@@ -1,0 +1,38 @@
+"""mctpu — TPU-native Monte Carlo derivative pricing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+marcomatteo/MonteCarloCUDA (European vanilla calls, correlated basket calls,
+and CVA of a call under Black-Scholes), designed TPU-first:
+
+* fused Pallas kernels generate randoms, step GBM paths and reduce payoffs
+  entirely on-chip (:mod:`mctpu.kernels`);
+* counter-based per-block RNG streams make results reproducible and
+  shard-invariant (:mod:`mctpu.rng`);
+* the path dimension shards over a ``jax.sharding.Mesh``; partial sums
+  combine deterministically (:mod:`mctpu.parallel`);
+* an independent NumPy oracle cross-checks everything (:mod:`mctpu.reference`).
+
+See SURVEY.md at the repo root for the complete layer map of the reference
+and how each component maps here.
+"""
+from mctpu.engine import EngineConfig, price_basket, price_cva, price_vanilla
+from mctpu.types import (BasketOption, CvaResult, CvaSpec, McResult,
+                         Precision, VanillaOption)
+from mctpu import math  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EngineConfig",
+    "price_vanilla",
+    "price_basket",
+    "price_cva",
+    "VanillaOption",
+    "BasketOption",
+    "CvaSpec",
+    "McResult",
+    "CvaResult",
+    "Precision",
+    "math",
+    "__version__",
+]

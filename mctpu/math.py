@@ -1,0 +1,173 @@
+"""Closed-form financial math (pure jnp, usable inside Pallas kernels).
+
+Replaces the device math library of the reference
+(``single_precision/MonteCarloKernel.cu:65-129``) and its CPU twin
+(``single_precision/MonteCarloHost.c:91-185``).  Every function here is a pure
+function of jnp arrays, so the *same code* runs in three places: jitted XLA
+programs, Pallas TPU kernels (on VMEM refs' values), and the NumPy oracle via
+``jax.numpy`` on CPU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "norm_cdf",
+    "norm_cdf_hastings",
+    "bs_call",
+    "bs_call_hastings",
+    "cholesky_lower",
+    "gbm_terminal",
+    "cva_closed_form",
+    "default_leg_weights",
+    "wide_dtype",
+]
+
+
+def wide_dtype():
+    """f64 when x64 is enabled, else f32 (TPU default).
+
+    Estimator tails and closed-form oracles prefer f64; hot kernels are
+    explicitly f32, so enabling x64 (``JAX_ENABLE_X64=1``) costs nothing.
+    """
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+# Hastings polynomial coefficients (Abramowitz & Stegun 26.2.17), as used by
+# the reference's `cnd` (MonteCarloKernel.cu:110-123 and MonteCarloHost.c:125-137).
+_A1 = 0.31938153
+_A2 = -0.356563782
+_A3 = 1.781477937
+_A4 = -1.821255978
+_A5 = 1.330274429
+_ONEOVER2PI = 0.39894228040143267793994605993438
+
+
+def norm_cdf_hastings(d):
+    """Hastings approximation of the standard normal CDF (|err| < 7.5e-8).
+
+    Bit-for-bit the same polynomial as the reference ``cnd``
+    (``MonteCarloKernel.cu:110-123``); kept for parity checks and because it is
+    cheap on the VPU (one exp + one reciprocal + 5 FMA).
+    """
+    d = jnp.asarray(d)
+    k = 1.0 / (1.0 + 0.2316419 * jnp.abs(d))
+    poly = k * (_A1 + k * (_A2 + k * (_A3 + k * (_A4 + k * _A5))))
+    cnd = _ONEOVER2PI * jnp.exp(-0.5 * d * d) * poly
+    return jnp.where(d > 0, 1.0 - cnd, cnd).astype(d.dtype)
+
+
+def norm_cdf(d):
+    """Standard normal CDF via erf (exact to dtype precision)."""
+    d = jnp.asarray(d)
+    return (0.5 * (1.0 + jax.lax.erf(d * (2.0 ** -0.5)))).astype(d.dtype)
+
+
+def _bs_call(s, k, r, v, t, cdf):
+    """Black-Scholes call with a pluggable normal CDF.
+
+    Matches ``device_bsCall`` (``MonteCarloKernel.cu:125-129``) /
+    ``host_bsCall`` (``MonteCarloHost.c:140-144``), extended with a safe
+    ``t -> 0`` limit: at zero remaining maturity the price is the intrinsic
+    value ``max(s - k, 0)`` (the reference divides by ``v*sqrt(t)`` and relies
+    on float rounding near the last CVA grid node; we normalize that edge, see
+    SURVEY.md §3.4 note).
+    """
+    s, k, r, v, t = map(jnp.asarray, (s, k, r, v, t))
+    dtype = jnp.result_type(s, k, r, v, t)
+    eps = jnp.asarray(1e-12, dtype)
+    t_safe = jnp.maximum(t, eps)
+    sq = v * jnp.sqrt(t_safe)
+    d1 = (jnp.log(s / k) + (r + 0.5 * v * v) * t_safe) / sq
+    d2 = d1 - sq
+    price = s * cdf(d1) - k * jnp.exp(-r * t_safe) * cdf(d2)
+    intrinsic = jnp.maximum(s - k, 0.0)
+    return jnp.where(t > eps, price, intrinsic).astype(dtype)
+
+
+def bs_call(s, k, r, v, t):
+    """Black-Scholes European call price (erf-based CDF)."""
+    return _bs_call(s, k, r, v, t, norm_cdf)
+
+
+def bs_call_hastings(s, k, r, v, t):
+    """Black-Scholes call with the reference's Hastings CDF (kernel-grade)."""
+    return _bs_call(s, k, r, v, t, norm_cdf_hastings)
+
+
+def cholesky_lower(corr):
+    """Lower Cholesky factor L with L @ L.T == corr, PSD-tolerant.
+
+    Replaces the host Golub-Van Loan routine ``Chol``
+    (``MonteCarloHost.c:91-106``) that the basket driver applies before
+    pricing (``basketOpt.cu:96-99``).  Like the reference, it handles
+    positive *semi*-definite matrices via the ``v[j] > 0`` pivot guard
+    (zero column when the pivot vanishes) — necessary because the
+    reference's own default 3-asset correlation matrix (all off-diagonals
+    -0.5, ``basketOpt.cu:46-54``) is singular, and ``jnp.linalg.cholesky``
+    would return NaNs for it.
+
+    The column loop is a Python loop over the static asset count (small:
+    3-100), fully unrolled at trace time.
+    """
+    c = jnp.asarray(corr)
+    n = c.shape[0]
+    a = jnp.zeros_like(c)
+    idx = jnp.arange(n)
+    tiny = jnp.asarray(jnp.finfo(c.dtype).tiny, c.dtype)
+    for j in range(n):
+        # v_i = c[i,j] - sum_{k<j} a[i,k] a[j,k]  (columns >= j are still 0)
+        v = c[:, j] - a @ a[j, :]
+        col = jnp.where(v[j] > 0, v / jnp.sqrt(jnp.maximum(v[j], tiny)), 0.0)
+        a = a.at[:, j].set(jnp.where(idx >= j, col, 0.0))
+    return a
+
+
+def gbm_terminal(s, r, v, t, z):
+    """Terminal value of a GBM step: ``s * exp((r - v^2/2) t + v sqrt(t) z)``.
+
+    The one-step log-Euler (exact for GBM) used by every payoff in the
+    reference: ``callPayoff`` (``MonteCarloKernel.cu:67-71``), ``geomBrownian``
+    (``:104-107``), ``basketPayoff`` (``:89-101``).
+    """
+    return s * jnp.exp((r - 0.5 * v * v) * t + v * jnp.sqrt(t) * z)
+
+
+def default_leg_weights(intensity, t, n_grid: int, dtype=jnp.float32):
+    """Default-probability mass per grid node.
+
+    ``dp_j = exp(-lambda t_{j-1}) - exp(-lambda t_j)`` for ``j = 1..n_grid``
+    with ``t_j = j * t / n_grid`` (``MonteCarloKernel.cu:249``). Returns shape
+    ``(n_grid,)``.
+    """
+    dt = jnp.asarray(t, dtype) / n_grid
+    j = jnp.arange(1, n_grid + 1, dtype=dtype)
+    lam = jnp.asarray(intensity, dtype)
+    return jnp.exp(-lam * dt * (j - 1)) - jnp.exp(-lam * dt * j)
+
+
+def cva_closed_form(intensity, lgd, s, k, r, v, t, n_grid: int, dtype=None):
+    """Exact expectation of the reference CVA estimator (no MC error).
+
+    The discounted BS price process ``e^{-r u} C(S_u, T-u)`` is a martingale,
+    so ``E[ee_j] = E[C(S_{t_j}, T - t_j)] = e^{r t_j} C(S_0, T)``.  The
+    reference estimator (``cvaCallOptMC``, ``MonteCarloKernel.cu:242-263``)
+    averages ``lgd * sum_j dp_j * ee_j`` with **no discounting** of the sum
+    (``MonteCarloKernel.cu:467``), hence:
+
+        CVA = lgd * C(S_0,T) * sum_j dp_j * e^{r t_j}
+
+    This exact value is the correctness oracle for the CVA Monte Carlo engine
+    (the reference had only a self-consistency sweep, ``cvaOpt.cu:70-97``).
+    At the final node ``t_j = T`` we use the normalized convention
+    ``ee = intrinsic`` whose expectation is also ``e^{r T} C(S_0, T)``.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    dp = default_leg_weights(intensity, t, n_grid, dtype=dtype)
+    tj = jnp.asarray(t, dtype) / n_grid * jnp.arange(1, n_grid + 1, dtype=dtype)
+    c0 = bs_call(
+        jnp.asarray(s, dtype), jnp.asarray(k, dtype), jnp.asarray(r, dtype),
+        jnp.asarray(v, dtype), jnp.asarray(t, dtype),
+    )
+    return jnp.asarray(lgd, dtype) * c0 * jnp.sum(dp * jnp.exp(jnp.asarray(r, dtype) * tj))

@@ -1,0 +1,24 @@
+"""Mesh construction for path-parallel Monte Carlo.
+
+A 1-D mesh over all available devices with axis ``"paths"``; simulation
+blocks are sharded over that axis.  Multi-host slices work unchanged: build
+the mesh from ``jax.devices()`` after ``jax.distributed.initialize()`` and the
+combine rides ICI/DCN through the same collectives.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+__all__ = ["path_mesh", "PATH_AXIS"]
+
+PATH_AXIS = "paths"
+
+
+def path_mesh(devices=None) -> Mesh:
+    """1-D mesh over ``devices`` (default: all) with axis ``"paths"``."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (PATH_AXIS,))

@@ -1,0 +1,152 @@
+"""Independent NumPy oracle engine (the CPU twin, kept deliberately simple).
+
+Port-of-behavior of the reference CPU engine ``MonteCarloHost.c`` (C9 in
+SURVEY.md §2): same payoffs, same estimator (discounted mean + 95% CI from raw
+``(sum, sum2)``), but an *independent implementation* — NumPy ``Generator``
+(PCG64) randoms instead of JAX Threefry, plain vectorized arithmetic instead
+of XLA — so agreement with the TPU engine is a genuine cross-check, exactly
+like the reference's CPU-vs-GPU basket comparison (``basketOpt.cu:122``).
+
+This module intentionally does NOT import jax.
+"""
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+
+from mctpu.types import BasketOption, CvaSpec, VanillaOption
+
+__all__ = [
+    "OracleResult",
+    "bs_call",
+    "price_vanilla",
+    "price_basket",
+    "price_cva",
+]
+
+_A = (0.31938153, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_ONEOVER2PI = 0.39894228040143267793994605993438
+
+
+@dataclasses.dataclass(frozen=True)
+class OracleResult:
+    price: float
+    ci: float
+    std_error: float
+    n: int
+    expected_exposure: np.ndarray | None = None
+
+
+def norm_cdf(d):
+    """Hastings polynomial CDF, as in ``MonteCarloHost.c:125-137``."""
+    d = np.asarray(d, dtype=np.float64)
+    k = 1.0 / (1.0 + 0.2316419 * np.abs(d))
+    poly = k * (_A[0] + k * (_A[1] + k * (_A[2] + k * (_A[3] + k * _A[4]))))
+    cnd = _ONEOVER2PI * np.exp(-0.5 * d * d) * poly
+    return np.where(d > 0, 1.0 - cnd, cnd)
+
+
+def cholesky_psd(c: np.ndarray) -> np.ndarray:
+    """Golub-Van Loan Cholesky with the reference's PSD pivot guard
+    (``Chol``, ``MonteCarloHost.c:91-106``): zero column on vanishing pivot,
+    so the reference's singular default correlation matrix factorizes."""
+    c = np.asarray(c, np.float64)
+    n = c.shape[0]
+    a = np.zeros_like(c)
+    for j in range(n):
+        v = c[j:, j] - a[j:, :j] @ a[j, :j]
+        if v[0] > 0:
+            a[j:, j] = v / np.sqrt(v[0])
+    return a
+
+
+def bs_call(s, k, r, v, t):
+    """Black-Scholes call (``host_bsCall``, ``MonteCarloHost.c:140-144``)
+    with the normalized intrinsic-value limit at t == 0."""
+    s = np.asarray(s, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    t_safe = np.maximum(t, 1e-12)
+    sq = v * np.sqrt(t_safe)
+    d1 = (np.log(s / k) + (r + 0.5 * v * v) * t_safe) / sq
+    d2 = d1 - sq
+    price = s * norm_cdf(d1) - k * np.exp(-r * t_safe) * norm_cdf(d2)
+    return np.where(t > 1e-12, price, np.maximum(s - k, 0.0))
+
+
+def _estimate(payoffs: np.ndarray, discount: float) -> OracleResult:
+    """The reference estimator (``MonteCarloHost.c:221-229``): discounted mean,
+    sample stdev from raw sums, 95% CI = 1.96 sigma / sqrt(n)."""
+    n = payoffs.size
+    s = float(payoffs.sum())
+    s2 = float((payoffs * payoffs).sum())
+    price = discount * s / n
+    emp_std = np.sqrt(max(n * s2 - s * s, 0.0) / (n * (n - 1.0)))
+    se = emp_std / np.sqrt(n)
+    return OracleResult(price=float(price), ci=float(1.96 * se), std_error=float(se), n=n)
+
+
+def price_vanilla(opt: VanillaOption, n_paths: int, seed: int = 0,
+                  antithetic: bool = False) -> OracleResult:
+    """Serial-twin of ``host_vanillaOpt`` (``MonteCarloHost.c:284-292``)."""
+    rng = np.random.default_rng(seed)
+    s, k, r, v, t = (float(x) for x in (opt.s, opt.k, opt.r, opt.v, opt.t))
+    if antithetic:
+        z = rng.standard_normal(n_paths // 2)
+        z = np.concatenate([z, -z])
+    else:
+        z = rng.standard_normal(n_paths)
+    st = s * np.exp((r - 0.5 * v * v) * t + v * np.sqrt(t) * z)
+    p = np.maximum(st - k, 0.0)
+    if antithetic:
+        half = n_paths // 2
+        p = 0.5 * (p[:half] + p[half:])  # pair means are the i.i.d. unit
+    return _estimate(p, np.exp(-r * t))
+
+
+def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> OracleResult:
+    """Twin of the basket branch of ``MonteCarlo`` (``MonteCarloHost.c:202-219``)."""
+    rng = np.random.default_rng(seed)
+    a = opt.n_assets
+    s0 = np.asarray(opt.s, np.float64)
+    v = np.asarray(opt.v, np.float64)
+    w = np.asarray(opt.w, np.float64)
+    d = np.asarray(opt.d, np.float64)
+    corr = np.asarray(opt.corr, np.float64)
+    k, r, t = float(opt.k), float(opt.r), float(opt.t)
+    chol = cholesky_psd(corr)
+    z = rng.standard_normal((n_paths, a))
+    bt = z @ chol.T + d  # simGaussVect: MonteCarloHost.c:151-162
+    st = s0 * np.exp((r - 0.5 * v * v) * t + v * np.sqrt(t) * bt)
+    p = np.maximum(st @ w - k, 0.0)
+    return _estimate(p, np.exp(-r * t))
+
+
+def price_cva(spec: CvaSpec, n_paths: int, seed: int = 0) -> OracleResult:
+    """Twin of ``cvaMonteCarlo`` (``MonteCarloHost.c:233-278``).
+
+    Normalized node semantics (shared with the TPU engine, SURVEY.md §3.4):
+    exposure at node j is ``BS(S_j, T - j dt)`` with the intrinsic value at the
+    final node; the estimator mean is NOT discounted
+    (``MonteCarloHost.c:273``).  Also returns the expected-exposure profile.
+    """
+    rng = np.random.default_rng(seed)
+    opt = spec.option
+    s0, k, r, v, t = (float(x) for x in (opt.s, opt.k, opt.r, opt.v, opt.t))
+    lam, lgd, g = float(spec.intensity), float(spec.lgd), int(spec.n_grid)
+    dt = t / g
+    j = np.arange(1, g + 1)
+    dp = np.exp(-lam * dt * (j - 1)) - np.exp(-lam * dt * j)
+    s = np.full(n_paths, s0)
+    acc = np.zeros(n_paths)
+    ee_profile = np.empty(g)
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    for jj in range(1, g + 1):
+        z = rng.standard_normal(n_paths)
+        s = s * np.exp(drift + vol * z)
+        t_rem = t * (g - jj) / g
+        ee = bs_call(s, k, r, v, t_rem)
+        ee_profile[jj - 1] = ee.mean()
+        acc += dp[jj - 1] * ee
+    res = _estimate(lgd * acc, discount=1.0)
+    return dataclasses.replace(res, expected_exposure=ee_profile)

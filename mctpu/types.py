@@ -1,0 +1,254 @@
+"""Data model for the TPU-native Monte Carlo pricing framework.
+
+This is the L1 layer of the framework: typed, JAX-pytree-registered product
+and result records. It replaces the C structs of the reference
+(``single_precision/MonteCarlo.h:33-74``): ``OptionData`` -> :class:`VanillaOption`,
+``MultiOptionData`` -> :class:`BasketOption`, ``CVA`` -> :class:`CvaSpec`,
+``OptionValue`` -> :class:`McResult`.
+
+Two deliberate upgrades over the reference:
+
+* the basket size is a runtime value (``n_assets``), not the compile-time
+  ``#define N 3`` of ``MonteCarlo.h:17``;
+* precision is a single policy enum (:class:`Precision`) instead of the
+  duplicated ``single_precision/`` / ``double_precision/`` source trees.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Precision",
+    "VanillaOption",
+    "BasketOption",
+    "CvaSpec",
+    "McResult",
+    "CvaResult",
+]
+
+
+class Precision(str, enum.Enum):
+    """Accumulation/compute precision policy.
+
+    The reference maintains two whole source trees (``single_precision/``,
+    ``double_precision/``) that differ only in ``float`` vs ``double``.  On
+    TPU, f64 is emulated and slow, so the headline policy is f32 compute with
+    compensated (Kahan) accumulation; F64 exists for CPU oracles and parity
+    checks.
+    """
+
+    F32 = "f32"
+    F32_KAHAN = "f32_kahan"
+    F64 = "f64"
+
+    @property
+    def dtype(self) -> jnp.dtype:
+        return jnp.float64 if self is Precision.F64 else jnp.float32
+
+    @property
+    def kahan(self) -> bool:
+        return self is Precision.F32_KAHAN
+
+
+def _register_pytree(cls):
+    """Register a frozen dataclass as a JAX pytree.
+
+    Array-like fields become leaves; ints and other metadata-ish fields are
+    kept as aux data so they stay static under ``jit``.
+    """
+    fields = [f.name for f in dataclasses.fields(cls)]
+    leaf_fields = [f.name for f in dataclasses.fields(cls) if f.metadata.get("leaf", True)]
+    static_fields = [f for f in fields if f not in leaf_fields]
+
+    def flatten(obj):
+        children = tuple(getattr(obj, name) for name in leaf_fields)
+        aux = tuple(getattr(obj, name) for name in static_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        kwargs = dict(zip(leaf_fields, children))
+        kwargs.update(dict(zip(static_fields, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"leaf": False}, **kw)
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class VanillaOption:
+    """European call option under Black-Scholes GBM.
+
+    Mirrors ``OptionData`` (``MonteCarlo.h:33-39``): spot ``s``, strike ``k``,
+    risk-free rate ``r``, volatility ``v``, time to maturity ``t``.
+    """
+
+    s: Any  # spot price
+    k: Any  # strike
+    r: Any  # risk-free rate
+    v: Any  # volatility
+    t: Any  # time to maturity (years)
+
+    def astype(self, dtype) -> "VanillaOption":
+        return VanillaOption(*(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r, self.v, self.t)))
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class BasketOption:
+    """European call on a weighted basket of correlated GBM underlyings.
+
+    Mirrors ``MultiOptionData`` (``MonteCarlo.h:42-51``) with one key change:
+    the reference stores the correlation matrix in ``p`` and then *overwrites
+    it in place with its Cholesky factor* before pricing
+    (``basketOpt.cu:96-99``).  Here the two are distinct: ``corr`` always holds
+    the correlation matrix; engines compute the lower Cholesky factor
+    explicitly (:func:`mctpu.math.cholesky_lower`).
+
+    Shapes: ``s, v, w, d`` are ``(n_assets,)``; ``corr`` is
+    ``(n_assets, n_assets)``.
+    """
+
+    s: Any  # spot prices, (A,)
+    v: Any  # volatilities, (A,)
+    w: Any  # basket weights, (A,)
+    corr: Any  # correlation matrix, (A, A)
+    d: Any  # Brownian drift vector (reference's MOPTION.d; usually zero), (A,)
+    k: Any  # strike
+    r: Any  # risk-free rate
+    t: Any  # time to maturity
+
+    @property
+    def n_assets(self) -> int:
+        return int(np.shape(self.s)[0])
+
+    def astype(self, dtype) -> "BasketOption":
+        return BasketOption(
+            s=jnp.asarray(self.s, dtype),
+            v=jnp.asarray(self.v, dtype),
+            w=jnp.asarray(self.w, dtype),
+            corr=jnp.asarray(self.corr, dtype),
+            d=jnp.asarray(self.d, dtype),
+            k=jnp.asarray(self.k, dtype),
+            r=jnp.asarray(self.r, dtype),
+            t=jnp.asarray(self.t, dtype),
+        )
+
+    @staticmethod
+    def default_reference(n_assets: int = 3) -> "BasketOption":
+        """The hard-coded basket of the reference driver (``basketOpt.cu:33-68``).
+
+        For ``n_assets != 3`` the reference falls back to alternating vols
+        0.3/0.2 and an alternating +/-0.5 off-diagonal correlation
+        (``basketOpt.cu:147-177``); replicated here.
+        """
+        a = n_assets
+        if a == 3:
+            v = np.array([0.2, 0.3, 0.2])
+            corr = np.array(
+                [[1.0, -0.5, -0.5], [-0.5, 1.0, -0.5], [-0.5, -0.5, 1.0]]
+            )
+        else:
+            v = np.where(np.arange(a) % 2 == 0, 0.3, 0.2)
+            corr = np.empty((a, a))
+            for i in range(a):
+                for j in range(i, a):
+                    rho = 1.0 if i == j else (0.5 if j % 2 == 0 else -0.5)
+                    corr[i, j] = corr[j, i] = rho
+        return BasketOption(
+            s=np.full((a,), 100.0),
+            v=v,
+            w=np.full((a,), 1.0 / a),
+            corr=corr,
+            d=np.zeros((a,)),
+            k=100.0,
+            r=0.048790164,
+            t=1.0,
+        )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class CvaSpec:
+    """Credit valuation adjustment of a European call.
+
+    Mirrors ``CVA`` (``MonteCarlo.h:58-66``): constant default intensity
+    ``intensity`` (reference ``defInt``), loss-given-default ``lgd``, the
+    underlying ``option`` and the number of exposure-grid steps ``n_grid``
+    (reference ``n``).  ``n_grid`` is static (it sets loop bounds / shapes).
+    """
+
+    intensity: Any  # hazard rate lambda
+    lgd: Any  # loss given default (1 - recovery)
+    option: VanillaOption
+    n_grid: int = _static(default=50)
+
+    def astype(self, dtype) -> "CvaSpec":
+        return CvaSpec(
+            intensity=jnp.asarray(self.intensity, dtype),
+            lgd=jnp.asarray(self.lgd, dtype),
+            option=self.option.astype(dtype),
+            n_grid=self.n_grid,
+        )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class McResult:
+    """Monte Carlo estimate: price plus 95% confidence half-width.
+
+    Mirrors ``OptionValue {Expected, Confidence}`` (``MonteCarlo.h:53-56``)
+    with the estimator inputs kept for composition: raw ``sum_p``/``sum_p2``
+    accumulators and the effective number of i.i.d. samples ``n`` (pairs, when
+    antithetic variates are on).
+    """
+
+    price: Any
+    ci: Any  # 1.96 * sigma_hat / sqrt(n): MonteCarloKernel.cu:423
+    std_error: Any
+    sum_p: Any
+    sum_p2: Any
+    n: int = _static(default=0)  # effective i.i.d. sample count
+    n_paths: int = _static(default=0)  # GBM paths actually simulated
+
+    def __repr__(self):  # compact human-readable form
+        return (
+            f"McResult(price={float(self.price):.6f}, ci=±{float(self.ci):.6f}, "
+            f"n={self.n}, n_paths={self.n_paths})"
+        )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class CvaResult:
+    """CVA estimate plus the expected-exposure profile over the time grid.
+
+    ``cva``/``ci`` follow the reference estimator (mean of per-path default
+    legs, *not* discounted: ``MonteCarloKernel.cu:467``).  ``expected_exposure``
+    is ``E[ee_j]`` per grid node ``j=1..n_grid`` (the reference prints only the
+    scalar; the profile is a first-class output here).
+    """
+
+    cva: Any
+    ci: Any
+    std_error: Any
+    expected_exposure: Any  # (n_grid,) E[BS(S_tj, T - tj)] per node
+    default_leg: Any  # (n_grid,) dp_j weights
+    n: int = _static(default=0)
+    n_paths: int = _static(default=0)
+
+    def __repr__(self):
+        return (
+            f"CvaResult(cva={float(self.cva):.6f}, ci=±{float(self.ci):.6f}, "
+            f"n={self.n}, n_paths={self.n_paths})"
+        )

@@ -1,0 +1,44 @@
+"""Test harness: CPU backend with 8 virtual devices, x64 enabled.
+
+The multi-chip sharding tests emulate a TPU slice on the host platform
+(SURVEY.md §4: the TPU-world analogue of multi-node testing without a
+cluster).  Environment must be set before jax initializes.
+"""
+import os
+
+# Env for backends that initialize lazily (XLA host device count).
+os.environ["JAX_PLATFORMS"] = os.environ.get("MCTPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_ENABLE_X64"] = "1"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+# jax may already be imported at interpreter startup (site hooks registering
+# accelerator plugins), freezing env-derived config; config.update still wins.
+# Default to the host platform: suites must be fast and mesh-testable; tests
+# needing a real TPU are marked @pytest.mark.tpu and opt in via
+# MCTPU_TEST_PLATFORM.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+def pytest_collection_modifyitems(config, items):
+    run_slow = os.environ.get("RUN_SLOW", "") == "1"
+    skip_slow = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
+    has_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(reason="requires a real TPU device")
+    for item in items:
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        if "tpu" in item.keywords and not has_tpu:
+            item.add_marker(skip_tpu)

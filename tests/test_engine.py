@@ -1,0 +1,186 @@
+"""Engine tests (XLA backend on CPU): correctness vs closed forms and the
+independent NumPy oracle — the reference's oracle comparisons promoted to
+asserts (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mctpu import engine, math as mcmath, reference
+from mctpu.models import cva as mcva
+from mctpu.types import BasketOption, CvaSpec, Precision, VanillaOption
+
+OPT = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0)
+CVA_OPT = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+CFG = engine.EngineConfig(num_blocks=8, rows=8, backend="xla")
+KEY = jax.random.key(2024)
+
+
+def _z(price, want, se):
+    return abs(float(price) - float(want)) / float(se)
+
+
+class TestVanilla:
+    def test_within_3_sigma_of_bs(self):
+        res = engine.price_vanilla(OPT, 1 << 19, KEY, CFG)
+        bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
+        # CI applies to the discounted mean; discount the comparison too.
+        assert _z(res.price, bs, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+
+    def test_rounds_path_count_up(self):
+        res = engine.price_vanilla(OPT, 1000, KEY, CFG)
+        assert res.n_paths >= 1000
+        assert res.n == res.n_paths
+
+    def test_antithetic_reduces_error_and_halves_units(self):
+        plain = engine.price_vanilla(OPT, 1 << 18, KEY, CFG)
+        cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                    antithetic=True)
+        anti = engine.price_vanilla(OPT, 1 << 18, KEY, cfg_a)
+        assert anti.n == anti.n_paths // 2
+        assert float(anti.std_error) < float(plain.std_error)
+        bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
+        assert _z(anti.price, bs, anti.std_error * np.exp(-OPT.r * OPT.t)) < 3
+
+    def test_f64_precision_policy(self):
+        cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                  precision=Precision.F64)
+        res = engine.price_vanilla(OPT, 1 << 18, KEY, cfg)
+        bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
+        assert _z(res.price, bs, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+
+    def test_kahan_agrees_with_plain_f32_on_same_draws(self):
+        # F32 and F32_KAHAN consume identical f32 normal draws; only the
+        # accumulator differs, so prices must agree to accumulation noise.
+        cfg_k = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                    precision=Precision.F32_KAHAN)
+        cfg_p = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                    precision=Precision.F32)
+        a = engine.price_vanilla(OPT, 1 << 18, KEY, cfg_k)
+        b = engine.price_vanilla(OPT, 1 << 18, KEY, cfg_p)
+        assert abs(float(a.price) - float(b.price)) < 1e-4
+
+    def test_kahan_accumulator_beats_plain_f32(self):
+        # Unit-level: compensated f32 summation of an adversarial sequence
+        # tracks the f64 sum where plain f32 drifts.
+        from mctpu.utils.accum import kahan_add, kahan_init, kahan_value
+        rng = np.random.default_rng(0)
+        xs = (rng.standard_normal(200_000) * 7 + 10).astype(np.float32)
+        want = float(np.sum(xs.astype(np.float64)))
+
+        def scan_fn(carry, x):
+            plain, kah = carry
+            return (plain + x, kahan_add(kah, x)), None
+
+        (plain, kah), _ = jax.lax.scan(
+            scan_fn,
+            (jnp.float32(0), kahan_init(jnp.float32(0))),
+            jnp.asarray(xs))
+        del kahan_value  # value extracted in f64 to dodge output rounding
+        err_plain = abs(float(plain) - want)
+        err_kahan = abs(float(kah[0]) + float(kah[1]) - want)
+        assert err_kahan < err_plain / 100
+        assert err_kahan < 0.01
+
+    def test_ci_shrinks_with_paths(self):
+        small = engine.price_vanilla(OPT, 1 << 15, KEY, CFG)
+        big = engine.price_vanilla(OPT, 1 << 20, KEY, CFG)
+        ratio = float(small.ci) / float(big.ci)
+        assert ratio == pytest.approx(np.sqrt(big.n / small.n), rel=0.15)
+
+    def test_reproducible(self):
+        a = engine.price_vanilla(OPT, 1 << 16, KEY, CFG)
+        b = engine.price_vanilla(OPT, 1 << 16, KEY, CFG)
+        assert float(a.price) == float(b.price)
+
+
+class TestBasket:
+    def test_single_asset_matches_bs(self):
+        opt = BasketOption(
+            s=np.array([100.0]), v=np.array([0.2]), w=np.array([1.0]),
+            corr=np.eye(1), d=np.zeros(1), k=100.0, r=0.048790, t=1.0,
+        )
+        res = engine.price_basket(opt, 1 << 19, KEY, CFG)
+        bs = mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
+        assert _z(res.price, bs, res.std_error * np.exp(-0.048790)) < 3
+
+    def test_reference_config_vs_oracle(self):
+        opt = BasketOption.default_reference(3)
+        res = engine.price_basket(opt, 1 << 19, KEY, CFG)
+        ora = reference.price_basket(opt, 1 << 19, seed=11)
+        se = np.hypot(float(res.std_error) * np.exp(-opt.r * opt.t),
+                      ora.std_error)
+        assert _z(res.price, ora.price, se) < 3
+
+    def test_ten_assets_vs_oracle(self):
+        opt = BasketOption.default_reference(10)
+        res = engine.price_basket(opt, 1 << 18, KEY, CFG)
+        ora = reference.price_basket(opt, 1 << 18, seed=12)
+        se = np.hypot(float(res.std_error) * np.exp(-opt.r * opt.t),
+                      ora.std_error)
+        assert _z(res.price, ora.price, se) < 3
+
+    def test_perfectly_correlated_equals_single(self):
+        # Equal vols + rho=1 + equal spots -> basket == single asset.
+        a = 4
+        opt = BasketOption(
+            s=np.full(a, 100.0), v=np.full(a, 0.2), w=np.full(a, 1 / a),
+            corr=np.ones((a, a)), d=np.zeros(a), k=100.0, r=0.048790, t=1.0,
+        )
+        res = engine.price_basket(opt, 1 << 19, KEY, CFG)
+        bs = mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
+        assert _z(res.price, bs, res.std_error * np.exp(-0.048790)) < 3
+
+    def test_antithetic(self):
+        opt = BasketOption.default_reference(3)
+        cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                    antithetic=True)
+        anti = engine.price_basket(opt, 1 << 18, KEY, cfg_a)
+        plain = engine.price_basket(opt, 1 << 18, KEY, CFG)
+        assert float(anti.std_error) < float(plain.std_error)
+
+
+class TestCva:
+    SPEC = CvaSpec(intensity=0.03, lgd=0.6, option=CVA_OPT, n_grid=25)
+
+    def test_within_3_sigma_of_closed_form(self):
+        res = engine.price_cva(self.SPEC, 1 << 17, KEY, CFG)
+        want = float(mcva.closed_form(self.SPEC))
+        assert _z(res.cva, want, res.std_error) < 3
+
+    def test_exposure_profile(self):
+        res = engine.price_cva(self.SPEC, 1 << 17, KEY, CFG)
+        c0 = float(mcmath.bs_call(CVA_OPT.s, CVA_OPT.k, CVA_OPT.r, CVA_OPT.v, CVA_OPT.t))
+        tj = CVA_OPT.t / self.SPEC.n_grid * np.arange(1, self.SPEC.n_grid + 1)
+        want = c0 * np.exp(CVA_OPT.r * tj)
+        np.testing.assert_allclose(np.asarray(res.expected_exposure), want, rtol=0.02)
+
+    def test_default_leg_output(self):
+        res = engine.price_cva(self.SPEC, 1 << 14, KEY, CFG)
+        dp = np.asarray(res.default_leg)
+        assert dp.shape == (self.SPEC.n_grid,)
+        assert dp.sum() == pytest.approx(
+            1 - np.exp(-0.03 * 1.0), rel=1e-6)
+
+    def test_vs_oracle(self):
+        res = engine.price_cva(self.SPEC, 1 << 17, KEY, CFG)
+        ora = reference.price_cva(self.SPEC, 1 << 15, seed=13)
+        se = np.hypot(float(res.std_error), ora.std_error)
+        assert _z(res.cva, ora.price, se) < 3
+
+    def test_antithetic(self):
+        cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                    antithetic=True)
+        anti = engine.price_cva(self.SPEC, 1 << 16, KEY, cfg_a)
+        want = float(mcva.closed_form(self.SPEC))
+        assert _z(anti.cva, want, anti.std_error) < 3
+        assert anti.n == anti.n_paths // 2
+
+    def test_grid_sweep(self):
+        # The reference CVA driver sweeps grid sizes (cvaOpt.cu:70-97);
+        # assert each converges to its own closed form.
+        for g in (25, 50):
+            spec = CvaSpec(intensity=0.03, lgd=0.6, option=CVA_OPT, n_grid=g)
+            res = engine.price_cva(spec, 1 << 15, KEY, CFG)
+            want = float(mcva.closed_form(spec))
+            assert _z(res.cva, want, res.std_error) < 4
