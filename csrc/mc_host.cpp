@@ -1,0 +1,287 @@
+// mc_host.cpp — native multithreaded CPU Monte Carlo engine.
+//
+// The framework's native host runtime: the role of the reference's serial C
+// engine MonteCarloHost.c (CPU baseline + independent cross-check of the
+// accelerator results), rebuilt as modern C++17 with counter-based RNG and
+// std::thread data parallelism over paths.  Deliberately shares NO code with
+// the JAX/Pallas path: agreement between the two is a genuine
+// independent-implementation test (the reference's own methodology,
+// basketOpt.cu:122).
+//
+// Exposed via a C ABI (loaded with ctypes from mctpu/native.py).
+//
+// Estimator semantics match the reference (MonteCarloHost.c:221-229):
+//   price = discount * sum/n,  empstd = sqrt((n*sum2 - sum^2)/(n(n-1))),
+//   ci = 1.96 * empstd / sqrt(n); CVA mean is NOT discounted.
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Counter-based RNG: splitmix64-seeded xoshiro256++, one stream per chunk.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t& x) {
+    uint64_t z = (x += 0x9E3779B97F4A7C15ULL);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+}
+
+struct Xoshiro256pp {
+    uint64_t s[4];
+    explicit Xoshiro256pp(uint64_t seed) {
+        uint64_t sm = seed;
+        for (auto& w : s) w = splitmix64(sm);
+    }
+    static inline uint64_t rotl(uint64_t x, int k) {
+        return (x << k) | (x >> (64 - k));
+    }
+    inline uint64_t next() {
+        const uint64_t result = rotl(s[0] + s[3], 23) + s[0];
+        const uint64_t t = s[1] << 17;
+        s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3]; s[2] ^= t;
+        s[3] = rotl(s[3], 45);
+        return result;
+    }
+    // Uniform in (0, 1]: top 53 bits, offset so log() is finite.
+    inline double uniform() {
+        return static_cast<double>((next() >> 11) + 1) * 0x1.0p-53;
+    }
+};
+
+// Box-Muller with a cached spare (the reference host RNG is also
+// Box-Muller, MonteCarloHost.c:118-122).
+struct NormalGen {
+    Xoshiro256pp rng;
+    double spare = 0.0;
+    bool has_spare = false;
+    explicit NormalGen(uint64_t seed) : rng(seed) {}
+    inline double next() {
+        if (has_spare) { has_spare = false; return spare; }
+        double u1 = rng.uniform();
+        double u2 = rng.uniform();
+        double r = std::sqrt(-2.0 * std::log(u1));
+        double th = 6.283185307179586476925286766559 * u2;
+        spare = r * std::sin(th);
+        has_spare = true;
+        return r * std::cos(th);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Math: normal CDF (erfc-based, full double accuracy) + Black-Scholes call.
+// ---------------------------------------------------------------------------
+
+static inline double norm_cdf(double d) {
+    return 0.5 * std::erfc(-d * 0.70710678118654752440);
+}
+
+static inline double bs_call(double s, double k, double r, double v, double t) {
+    if (t <= 1e-12) return s > k ? s - k : 0.0;
+    const double sq = v * std::sqrt(t);
+    const double d1 = (std::log(s / k) + (r + 0.5 * v * v) * t) / sq;
+    return s * norm_cdf(d1) - k * std::exp(-r * t) * norm_cdf(d1 - sq);
+}
+
+// ---------------------------------------------------------------------------
+// Parallel accumulation framework: paths split into chunks, one RNG stream
+// per chunk (chunk id folds into the seed, so results are independent of the
+// thread count — the same shard-invariance contract as the TPU engine).
+// ---------------------------------------------------------------------------
+
+struct Sums { double s = 0.0, s2 = 0.0; };
+
+template <typename PathFn>
+static Sums run_parallel(int64_t n, uint64_t seed, const PathFn& path_value) {
+    const int64_t kChunk = 1 << 16;
+    const int64_t n_chunks = (n + kChunk - 1) / kChunk;
+    unsigned hw = std::thread::hardware_concurrency();
+    const unsigned n_threads =
+        hw ? std::min<int64_t>(hw, n_chunks) : 1;
+
+    std::vector<Sums> per_thread(n_threads);
+    std::atomic<int64_t> next_chunk{0};
+    auto worker = [&](unsigned tid) {
+        Sums local;
+        for (;;) {
+            const int64_t c = next_chunk.fetch_add(1);
+            if (c >= n_chunks) break;
+            uint64_t mix = seed;
+            splitmix64(mix);                     // decorrelate from raw seed
+            NormalGen gen(mix ^ (0xA5A5A5A5DEADBEEFULL + 0x9E3779B9ULL * c));
+            const int64_t lo = c * kChunk;
+            const int64_t hi = std::min(lo + kChunk, n);
+            // Per-chunk compensated accumulation (Neumaier).
+            double s = 0, cs = 0, s2 = 0, cs2 = 0;
+            for (int64_t i = lo; i < hi; ++i) {
+                const double p = path_value(gen);
+                double t1 = s + p;
+                cs += std::abs(s) >= std::abs(p) ? (s - t1) + p : (p - t1) + s;
+                s = t1;
+                const double q = p * p;
+                double t2 = s2 + q;
+                cs2 += std::abs(s2) >= std::abs(q) ? (s2 - t2) + q : (q - t2) + s2;
+                s2 = t2;
+            }
+            local.s += s + cs;
+            local.s2 += s2 + cs2;
+        }
+        per_thread[tid] = local;
+    };
+
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (unsigned t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+
+    Sums total;
+    for (const auto& p : per_thread) { total.s += p.s; total.s2 += p.s2; }
+    return total;
+}
+
+static void finish(const Sums& sums, int64_t n, double discount, double* out) {
+    const double nd = static_cast<double>(n);
+    const double price = discount * sums.s / nd;
+    const double var =
+        std::max(nd * sums.s2 - sums.s * sums.s, 0.0) / (nd * (nd - 1.0));
+    const double se = std::sqrt(var) / std::sqrt(nd);
+    out[0] = price;          // estimator mean (discounted)
+    out[1] = 1.96 * se;      // 95% CI half-width (on the undiscounted mean,
+    out[2] = se;             //   as in the reference: MonteCarloKernel.cu:423)
+}
+
+}  // namespace
+
+extern "C" {
+
+// out[3] = {price, ci, std_error}
+void mc_vanilla(double s0, double k, double r, double v, double t,
+                int64_t n_paths, uint64_t seed, int antithetic, double* out) {
+    const double mu = (r - 0.5 * v * v) * t;
+    const double sig = v * std::sqrt(t);
+    Sums sums;
+    if (antithetic) {
+        sums = run_parallel(n_paths / 2, seed, [&](NormalGen& g) {
+            const double z = g.next();
+            const double p1 = std::max(s0 * std::exp(mu + sig * z) - k, 0.0);
+            const double p2 = std::max(s0 * std::exp(mu - sig * z) - k, 0.0);
+            return 0.5 * (p1 + p2);
+        });
+        finish(sums, n_paths / 2, std::exp(-r * t), out);
+    } else {
+        sums = run_parallel(n_paths, seed, [&](NormalGen& g) {
+            return std::max(s0 * std::exp(mu + sig * g.next()) - k, 0.0);
+        });
+        finish(sums, n_paths, std::exp(-r * t), out);
+    }
+}
+
+// chol is the row-major lower Cholesky factor (a x a); payoff follows
+// basketPayoff (MonteCarloKernel.cu:89-101).
+void mc_basket(const double* s0, const double* v, const double* w,
+               const double* chol, const double* drift, int32_t a,
+               double k, double r, double t,
+               int64_t n_paths, uint64_t seed, double* out) {
+    if (a > 1024) { out[0] = out[1] = out[2] = -1.0; return; }  // stack guard
+    const double sqt = std::sqrt(t);
+    std::vector<double> mu(a);
+    for (int i = 0; i < a; ++i) mu[i] = (r - 0.5 * v[i] * v[i]) * t;
+    Sums sums = run_parallel(n_paths, seed, [&](NormalGen& g) {
+        double z[1024];
+        for (int i = 0; i < a; ++i) z[i] = g.next();
+        double basket = 0.0;
+        for (int i = 0; i < a; ++i) {
+            double bt = drift[i];
+            const double* row = chol + static_cast<size_t>(i) * a;
+            for (int j = 0; j <= i; ++j) bt += row[j] * z[j];
+            basket += w[i] * s0[i] * std::exp(mu[i] + v[i] * sqt * bt);
+        }
+        return std::max(basket - k, 0.0);
+    });
+    finish(sums, n_paths, std::exp(-r * t), out);
+}
+
+// CVA of a call: grid walk per path (cvaCallOptMC, MonteCarloKernel.cu:242-263)
+// with the normalized final-node semantics (intrinsic exposure at t == T).
+// ee_profile (length n_grid, may be null) receives E[exposure] per node.
+// NOTE: undiscounted mean, as in the reference (MonteCarloKernel.cu:467).
+void mc_cva(double s0, double k, double r, double v, double t,
+            double intensity, double lgd, int32_t n_grid,
+            int64_t n_paths, uint64_t seed, double* out, double* ee_profile) {
+    const double dt = t / n_grid;
+    const double mu = (r - 0.5 * v * v) * dt;
+    const double sig = v * std::sqrt(dt);
+    std::vector<double> dp(n_grid), t_rem(n_grid);
+    for (int j = 1; j <= n_grid; ++j) {
+        dp[j - 1] = std::exp(-dt * (j - 1) * intensity)
+                  - std::exp(-dt * j * intensity);
+        t_rem[j - 1] = t * (n_grid - j) / n_grid;
+    }
+    Sums sums = run_parallel(n_paths, seed, [&](NormalGen& g) {
+        double s = s0, acc = 0.0;
+        for (int j = 0; j < n_grid; ++j) {
+            s *= std::exp(mu + sig * g.next());
+            const double ee = t_rem[j] > 0.0 ? bs_call(s, k, r, v, t_rem[j])
+                                             : std::max(s - k, 0.0);
+            acc += dp[j] * ee;
+        }
+        return lgd * acc;
+    });
+    finish(sums, n_paths, 1.0, out);
+
+    if (ee_profile) {
+        // Expected-exposure profile on its own (independent-stream, serial)
+        // pass with a down-sampled path count — profile accuracy needs far
+        // fewer paths than the CVA scalar.
+        const int64_t n_prof = std::min<int64_t>(n_paths, 1 << 16);
+        std::vector<double> prof(n_grid, 0.0);
+        uint64_t mix = seed ^ 0xC0FFEE123456789ULL;
+        splitmix64(mix);
+        NormalGen g(mix);
+        for (int64_t p = 0; p < n_prof; ++p) {
+            double s = s0;
+            for (int j = 0; j < n_grid; ++j) {
+                s *= std::exp(mu + sig * g.next());
+                prof[j] += t_rem[j] > 0.0 ? bs_call(s, k, r, v, t_rem[j])
+                                          : std::max(s - k, 0.0);
+            }
+        }
+        for (int j = 0; j < n_grid; ++j)
+            ee_profile[j] = prof[j] / static_cast<double>(n_prof);
+    }
+}
+
+// Golub-Van Loan Cholesky with the PSD pivot guard (Chol,
+// MonteCarloHost.c:91-106) so singular correlation matrices factorize.
+void mc_cholesky(const double* c, int32_t n, double* a) {
+    std::memset(a, 0, sizeof(double) * n * n);
+    std::vector<double> vcol(n);
+    for (int j = 0; j < n; ++j) {
+        for (int i = j; i < n; ++i) {
+            double v = c[i * n + j];
+            for (int k2 = 0; k2 < j; ++k2)
+                v -= a[j * n + k2] * a[i * n + k2];
+            vcol[i] = v;
+        }
+        if (vcol[j] > 0.0) {
+            const double inv = 1.0 / std::sqrt(vcol[j]);
+            for (int i = j; i < n; ++i) a[i * n + j] = vcol[i] * inv;
+        }
+    }
+}
+
+// Closed-form Black-Scholes call (host_bsCall twin, full double accuracy).
+double mc_bs_call(double s, double k, double r, double v, double t) {
+    return bs_call(s, k, r, v, t);
+}
+
+int32_t mc_abi_version(void) { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,71 @@
+"""CVA experiment (replaces ``cvaOpt.cu:30-111``).
+
+Computes the CVA of a European call (default intensity 3%, LGD 60%, S=K=100,
+r=5%, v=20%, T=1y: ``cvaOpt.cu:22-28,33-34``) over a sweep of exposure-grid
+sizes — the reference's self-consistency sweep (``cvaOpt.cu:70-97``) upgraded
+with an exact closed-form column (martingale identity,
+:func:`mctpu.math.cva_closed_form`) and the expected-exposure profile.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from mctpu import engine, reference
+from mctpu.cli import common
+from mctpu.models import cva as mcva
+from mctpu.types import CvaSpec, VanillaOption
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_engine_args(p, default_mult=1)
+    p.add_argument("--intensity", type=float, default=0.03)
+    p.add_argument("--recovery", type=float, default=0.4)
+    p.add_argument("--grids", type=int, nargs="+",
+                   default=[25, 50, 75, 250, 500],
+                   help="exposure grid sizes to sweep (cvaOpt.cu:70)")
+    p.add_argument("--profile", action="store_true",
+                   help="print the expected-exposure profile")
+    args = p.parse_args(argv)
+
+    opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+    lgd = 1.0 - args.recovery
+    n = common.n_paths(args)
+    cfg = common.build_config(args)
+    key = jax.random.key(args.seed)
+
+    print("CVA of a European call (mctpu)")
+    print(f"default intensity {args.intensity:.2f}, LGD {lgd:.2f}, "
+          f"paths {n}")
+    common.print_option(opt)
+    print()
+
+    ok = True
+    for g in args.grids:
+        spec = CvaSpec(intensity=args.intensity, lgd=lgd, option=opt,
+                       n_grid=g)
+        want = float(mcva.closed_form(spec))
+        engine.price_cva(spec, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_cva, spec, n, key, cfg)
+        z = abs(float(res.cva) - want) / float(res.std_error)
+        ok &= z < 4
+        print(f"grid={g:4d}  cva={float(res.cva):.6f}  "
+              f"ci=±{float(res.ci):.6f}  closed_form={want:.6f}  "
+              f"z={z:5.2f}  time={dt * 1e3:9.2f} ms")
+        if args.profile:
+            ee = np.asarray(res.expected_exposure)
+            with np.printoptions(precision=4, threshold=16):
+                print(f"  E[exposure] profile: {ee}")
+        if not args.skip_cpu and g == args.grids[0]:
+            eng = common.cpu_engine()
+            ora = eng.price_cva(spec, min(n, 1 << 16), seed=args.seed)
+            tag = "cpu native" if eng is not reference else "cpu oracle"
+            print(f"  {tag} (grid={g}): {ora.price:.6f} ± {ora.ci:.6f}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,68 @@
+"""Vanilla European call experiment (replaces ``vanillaOpt.cu:28-109``).
+
+Prices the reference's hard-coded option (S=K=100, r=4.879%, v=20%, T=1y:
+``vanillaOpt.cu:22-26``) by Monte Carlo on the accelerator, cross-checks
+against the Black-Scholes closed form and the independent CPU oracle, and
+reports |MC - BS|, the 95% CI, timings and the CPU/accelerator speedup —
+the same experiment, scanf replaced by flags.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from mctpu import engine, math as mcmath, reference
+from mctpu.cli import common
+from mctpu.types import VanillaOption
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_engine_args(p)
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--rate", type=float, default=0.048790)
+    p.add_argument("--vol", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
+                        v=args.vol, t=args.maturity)
+    n = common.n_paths(args)
+    cfg = common.build_config(args)
+    key = jax.random.key(args.seed)
+
+    print("Vanilla Option Pricing (mctpu)")
+    print(f"Monte Carlo scenarios: {n}")
+    common.print_option(opt)
+
+    bs = float(mcmath.bs_call(opt.s, opt.k, opt.r, opt.v, opt.t))
+    print(f"\nBlack & Scholes price: {bs:.6f}\n")
+
+    cpu_time = None
+    if not args.skip_cpu:
+        cpu = common.cpu_engine()
+        ora, cpu_time = common.timed(
+            cpu.price_vanilla, opt, n, seed=args.seed,
+            antithetic=args.antithetic)
+        tag = "cpu native" if cpu is not reference else "cpu oracle"
+        common.print_result(tag, ora.price, ora.ci, cpu_time, n,
+                            extra=f"  |MC-BS|={abs(ora.price - bs):.6f}")
+
+    # Compile once, then report warm timing (the reference times a single
+    # launch after its separate init phase: MonteCarloKernel.cu:381-387).
+    engine.price_vanilla(opt, n, key, cfg)
+    res, dt = common.timed(engine.price_vanilla, opt, n, key, cfg)
+    diff = abs(float(res.price) - bs)
+    common.print_result(cfg.resolve_backend(), res.price, res.ci, dt,
+                        res.n_paths, extra=f"  |MC-BS|={diff:.6f}")
+    within = diff <= 3 * float(res.std_error)
+    print(f"\n|MC-BS| within 3 sigma: {within}")
+    if cpu_time is not None and dt > 0:
+        print(f"speedup vs CPU oracle: {cpu_time / dt:.1f}x")
+    return 0 if within else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -65,6 +65,7 @@ class EngineConfig:
     antithetic: bool = False
     mesh: Optional[Mesh] = None
     interpret: bool = False  # Pallas interpret mode (debug only; very slow)
+    auto_shrink: bool = True  # shrink launch geometry for small path counts
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -72,6 +73,32 @@ class EngineConfig:
         if self.precision is Precision.F64:
             return "xla"  # TPU Pallas path is f32-only
         return _default_backend()
+
+    def layout_for(self, n_paths: int, paths_per_block_iter_row: int):
+        """(num_blocks, rows) shrunk so the launch granularity tracks small
+        requests.
+
+        The reference silently drops the remainder of ``sims / numBlocks``
+        (``MonteCarloKernel.cu:509``); we instead round *up*, and shrink the
+        tile/grid so a 262k-path request doesn't get 33M paths of work.
+        ``paths_per_block_iter_row`` is the product-specific path count of one
+        (block, iteration, row) cell.
+        """
+        blocks, rows = self.num_blocks, self.rows
+        if not self.auto_shrink:
+            return blocks, rows
+        # Floor at 8 blocks regardless of mesh so the shrunk geometry — and
+        # therefore the RNG stream layout and the bitwise result — is
+        # identical for every mesh size up to 8 devices.
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        min_blocks = max(8, n_dev)
+        while rows > 8 and blocks * rows * paths_per_block_iter_row > n_paths:
+            rows //= 2
+        while (blocks % 2 == 0 and blocks // 2 >= min_blocks
+               and (blocks // 2) % min_blocks == 0
+               and blocks * rows * paths_per_block_iter_row > n_paths):
+            blocks //= 2
+        return blocks, max(rows, 8)
 
     @property
     def dtype_str(self) -> str:
@@ -90,7 +117,8 @@ class EngineConfig:
 _RUNNERS: dict[Any, Any] = {}
 
 
-def _shard_blocks(cfg: EngineConfig, partial_fn, args, out_specs):
+def _shard_blocks(cfg: EngineConfig, num_blocks: int, partial_fn, args,
+                  out_specs):
     """Run ``partial_fn(args, block_offset, n_local_blocks)`` over the mesh.
 
     Without a mesh, runs all blocks locally.  With a mesh, each device owns a
@@ -100,12 +128,12 @@ def _shard_blocks(cfg: EngineConfig, partial_fn, args, out_specs):
     """
     mesh = cfg.mesh
     if mesh is None:
-        return partial_fn(args, jnp.int32(0), cfg.num_blocks)
+        return partial_fn(args, jnp.int32(0), num_blocks)
     n_dev = mesh.devices.size
-    if cfg.num_blocks % n_dev:
+    if num_blocks % n_dev:
         raise ValueError(
-            f"num_blocks={cfg.num_blocks} must divide over {n_dev} devices")
-    nb_local = cfg.num_blocks // n_dev
+            f"num_blocks={num_blocks} must divide over {n_dev} devices")
+    nb_local = num_blocks // n_dev
 
     def shard_fn(a):
         idx = jax.lax.axis_index(PATH_AXIS)
@@ -131,9 +159,10 @@ def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
     ``MonteCarloKernel.cu:501-516``)."""
     cfg = config
     backend = cfg.resolve_backend()
-    plan = kvanilla.make_plan(n_paths, cfg.num_blocks, cfg.rows,
-                              cfg.antithetic, cfg.dtype_str,
-                              cfg.precision.kahan)
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kvanilla.LANES * anti)
+    plan = kvanilla.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                              cfg.dtype_str, cfg.precision.kahan)
     cache_key = ("vanilla", plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
@@ -145,7 +174,8 @@ def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
             else:
                 fn = lambda a, off, nb: kvanilla.xla_partials(
                     a[0], a[1], off, plan, nb)
-            partials = _shard_blocks(cfg, fn, (o, k), P(PATH_AXIS, None))
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
             sum_p, sum_p2 = _combine(partials)
             wide = mcest.wide_dtype()
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
@@ -173,9 +203,10 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     """
     cfg = config
     backend = cfg.resolve_backend()
-    plan = kbasket.make_plan(n_paths, cfg.num_blocks, cfg.rows,
-                             cfg.antithetic, cfg.dtype_str,
-                             cfg.precision.kahan)
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * anti)
+    plan = kbasket.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
     cache_key = ("basket", opt.n_assets, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
@@ -189,7 +220,8 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
             else:
                 fn = lambda a, off, nb: kbasket.xla_partials(
                     a[0], a[1], a[2], off, plan, nb)
-            partials = _shard_blocks(cfg, fn, (o, chol, k), P(PATH_AXIS, None))
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, chol, k),
+                                     P(PATH_AXIS, None))
             sum_p, sum_p2 = _combine(partials)
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return sum_p, sum_p2, disc
@@ -216,7 +248,9 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
     """
     cfg = config
     backend = cfg.resolve_backend()
-    plan = kcva.make_plan(n_paths, cfg.num_blocks, cfg.rows, cfg.antithetic,
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kcva.LANES * anti)
+    plan = kcva.make_plan(n_paths, blocks, rows, cfg.antithetic,
                           cfg.dtype_str, cfg.precision.kahan)
     cache_key = ("cva", spec.n_grid, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
@@ -230,7 +264,8 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
                 fn = lambda a, off, nb: kcva.xla_partials(
                     a[0], a[1], off, plan, nb)
             partials, ee_sums = _shard_blocks(
-                cfg, fn, (sp, k), (P(PATH_AXIS, None), P(PATH_AXIS, None)))
+                cfg, plan.num_blocks, fn, (sp, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None)))
             sum_p, sum_p2 = _combine(partials)
             wide = mcest.wide_dtype()
             ee_profile = pairwise_tree_sum(

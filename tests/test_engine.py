@@ -184,3 +184,36 @@ class TestCva:
             res = engine.price_cva(spec, 1 << 15, KEY, CFG)
             want = float(mcva.closed_form(spec))
             assert _z(res.cva, want, res.std_error) < 4
+
+
+class TestAutoShrink:
+    def test_small_request_shrinks_geometry(self):
+        cfg = engine.EngineConfig(num_blocks=512, rows=256, backend="xla")
+        res = engine.price_vanilla(OPT, 262144, KEY, cfg)
+        # Without shrink this would be 512*256*256 = 33.5M paths.
+        assert res.n_paths <= 2 * 262144
+
+    def test_shrink_respects_exact_request(self):
+        cfg = engine.EngineConfig(num_blocks=512, rows=256, backend="xla")
+        res = engine.price_vanilla(OPT, 1 << 18, KEY, cfg)
+        assert res.n_paths == 1 << 18
+
+    def test_shrunk_run_is_mesh_invariant(self):
+        from mctpu.parallel import path_mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 devices")
+        base = engine.price_vanilla(
+            OPT, 1 << 15, KEY,
+            engine.EngineConfig(num_blocks=512, rows=256, backend="xla"))
+        shard = engine.price_vanilla(
+            OPT, 1 << 15, KEY,
+            engine.EngineConfig(num_blocks=512, rows=256, backend="xla",
+                                mesh=path_mesh(devs[:8])))
+        assert float(base.price) == float(shard.price)
+
+    def test_opt_out(self):
+        cfg = engine.EngineConfig(num_blocks=64, rows=64, backend="xla",
+                                  auto_shrink=False)
+        res = engine.price_vanilla(OPT, 1, KEY, cfg)
+        assert res.n_paths == 64 * 2 * 64 * 128

@@ -1,0 +1,104 @@
+"""Native C++ host engine tests (csrc/mc_host.cpp via ctypes).
+
+The native engine is a third, fully independent implementation (own RNG, own
+math, own language); its agreement with the closed forms and the NumPy oracle
+is the strongest cross-check tier in the suite.
+"""
+import numpy as np
+import pytest
+
+from mctpu import math as mcmath
+from mctpu import native, reference
+from mctpu.models import cva as mcva
+from mctpu.types import BasketOption, CvaSpec, VanillaOption
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine not built (needs g++)")
+
+OPT = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0)
+
+
+def test_bs_call_matches_jax():
+    a = native.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
+    b = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
+    assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_vanilla_within_3_sigma():
+    res = native.price_vanilla(OPT, 1 << 21, seed=1)
+    bs = native.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
+    assert abs(res.price - bs) < 3 * res.std_error * np.exp(-0.048790)
+
+
+def test_vanilla_deterministic_and_thread_invariant():
+    # Chunked counter RNG: the result must not depend on scheduling.
+    a = native.price_vanilla(OPT, 1 << 19, seed=7)
+    b = native.price_vanilla(OPT, 1 << 19, seed=7)
+    assert a.price == b.price
+    assert a.ci == b.ci
+
+
+def test_vanilla_antithetic_reduces_error():
+    plain = native.price_vanilla(OPT, 1 << 20, seed=2)
+    anti = native.price_vanilla(OPT, 1 << 20, seed=2, antithetic=True)
+    assert anti.std_error < plain.std_error
+
+
+def test_basket_vs_numpy_oracle():
+    opt = BasketOption.default_reference(3)
+    a = native.price_basket(opt, 1 << 20, seed=3)
+    b = reference.price_basket(opt, 1 << 19, seed=4)
+    se = np.hypot(a.std_error, b.std_error)
+    assert abs(a.price - b.price) < 3 * se
+
+
+def test_basket_single_asset_is_vanilla():
+    opt = BasketOption(
+        s=np.array([100.0]), v=np.array([0.2]), w=np.array([1.0]),
+        corr=np.eye(1), d=np.zeros(1), k=100.0, r=0.048790, t=1.0)
+    res = native.price_basket(opt, 1 << 20, seed=5)
+    bs = native.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
+    assert abs(res.price - bs) < 3 * res.std_error * np.exp(-0.048790)
+
+
+def test_cva_within_3_sigma_of_closed_form():
+    spec = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=50)
+    res = native.price_cva(spec, 1 << 17, seed=6)
+    want = float(mcva.closed_form(spec))
+    assert abs(res.price - want) < 3 * res.std_error
+
+
+def test_cva_profile_matches_martingale_growth():
+    spec = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=25)
+    res = native.price_cva(spec, 1 << 16, seed=8)
+    c0 = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+    tj = 1.0 / spec.n_grid * np.arange(1, spec.n_grid + 1)
+    np.testing.assert_allclose(res.expected_exposure, c0 * np.exp(0.05 * tj),
+                               rtol=0.02)
+
+
+def test_cholesky_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((8, 8))
+    cov = a @ a.T + 8 * np.eye(8)
+    d = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(d, d)
+    np.testing.assert_allclose(native.cholesky(corr),
+                               reference.cholesky_psd(corr), atol=1e-12)
+    # And the singular reference matrix factorizes too.
+    sing = np.asarray(BasketOption.default_reference(3).corr, np.float64)
+    L = native.cholesky(sing)
+    np.testing.assert_allclose(L @ L.T, sing, atol=1e-12)
+
+
+def test_asset_limit_guard():
+    a = 1025
+    opt = BasketOption(
+        s=np.full(a, 100.0), v=np.full(a, 0.2), w=np.full(a, 1 / a),
+        corr=np.eye(a), d=np.zeros(a), k=100.0, r=0.05, t=1.0)
+    with pytest.raises(ValueError, match="1024"):
+        native.price_basket(opt, 1024, seed=0)
