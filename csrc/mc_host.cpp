@@ -263,6 +263,11 @@ void mc_cva(double s0, double k, double r, double v, double t,
 void mc_cholesky(const double* c, int32_t n, double* a) {
     std::memset(a, 0, sizeof(double) * n * n);
     std::vector<double> vcol(n);
+    // Relative pivot tolerance: an exact > 0 test divides by rounding noise
+    // for singular matrices and produces a garbage column.
+    double max_diag = 0.0;
+    for (int j = 0; j < n; ++j) max_diag = std::max(max_diag, std::abs(c[j * n + j]));
+    const double tol = n * 2.220446049250313e-16 * max_diag;
     for (int j = 0; j < n; ++j) {
         for (int i = j; i < n; ++i) {
             double v = c[i * n + j];
@@ -270,7 +275,7 @@ void mc_cholesky(const double* c, int32_t n, double* a) {
                 v -= a[j * n + k2] * a[i * n + k2];
             vcol[i] = v;
         }
-        if (vcol[j] > 0.0) {
+        if (vcol[j] > tol) {
             const double inv = 1.0 / std::sqrt(vcol[j]);
             for (int i = j; i < n; ++i) a[i * n + j] = vcol[i] * inv;
         }

@@ -148,6 +148,13 @@ def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, v_ref, w_ref, d_ref,
 def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
+    with jax.enable_x64(False):
+        return _pallas_partials(opt, chol, seed, block_offset, plan,
+                                n_blocks, interpret)
+
+
+def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
     o = opt.astype(jnp.float32)
     ops = pad_assets(o, chol, jnp.float32)
     a_pad = ops["chol_t"].shape[0]

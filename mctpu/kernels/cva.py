@@ -204,6 +204,13 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref, out_ref,
 def pallas_partials(spec: CvaSpec, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
+    # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
+    with jax.enable_x64(False):
+        return _pallas_partials(spec, seed, block_offset, plan, n_blocks,
+                                interpret)
+
+
+def _pallas_partials(spec, seed, block_offset, plan, n_blocks, interpret):
     sp = spec.astype(jnp.float32)
     o = sp.option
     g = spec.n_grid

@@ -118,6 +118,15 @@ def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan):
 def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    # Mosaic has no i64/f64; trace the kernel with x64 semantics off so
+    # literals and index arithmetic stay 32-bit even when the caller enabled
+    # x64 for the estimator tail.
+    with jax.enable_x64(False):
+        return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
+                                interpret)
+
+
+def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
     o = opt.astype(jnp.float32)
     mu = (o.r - 0.5 * o.v * o.v) * o.t
     sig = o.v * jnp.sqrt(o.t)

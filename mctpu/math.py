@@ -114,11 +114,15 @@ def cholesky_lower(corr):
     n = c.shape[0]
     a = jnp.zeros_like(c)
     idx = jnp.arange(n)
-    tiny = jnp.asarray(jnp.finfo(c.dtype).tiny, c.dtype)
+    # Relative pivot tolerance: a pivot below n*eps*max|diag| is numerically
+    # zero.  An exact `> 0` test would divide by rounding noise (~1e-17 in
+    # f64) and blow the column up to ~1e8 for singular correlation matrices.
+    tol = (n * jnp.finfo(c.dtype).eps
+           * jnp.max(jnp.abs(jnp.diagonal(c))))
     for j in range(n):
         # v_i = c[i,j] - sum_{k<j} a[i,k] a[j,k]  (columns >= j are still 0)
         v = c[:, j] - a @ a[j, :]
-        col = jnp.where(v[j] > 0, v / jnp.sqrt(jnp.maximum(v[j], tiny)), 0.0)
+        col = jnp.where(v[j] > tol, v / jnp.sqrt(jnp.maximum(v[j], tol)), 0.0)
         a = a.at[:, j].set(jnp.where(idx >= j, col, 0.0))
     return a
 

@@ -53,9 +53,10 @@ def cholesky_psd(c: np.ndarray) -> np.ndarray:
     c = np.asarray(c, np.float64)
     n = c.shape[0]
     a = np.zeros_like(c)
+    tol = n * np.finfo(np.float64).eps * np.abs(np.diag(c)).max()
     for j in range(n):
         v = c[j:, j] - a[j:, :j] @ a[j, :j]
-        if v[0] > 0:
+        if v[0] > tol:  # relative pivot tolerance (numerically zero -> skip)
             a[j:, j] = v / np.sqrt(v[0])
     return a
 

@@ -145,12 +145,39 @@ class BasketOption:
         )
 
     @staticmethod
+    def equicorrelated(n_assets: int, rho: float = 0.3) -> "BasketOption":
+        """A well-posed n-asset basket: equicorrelation ``rho`` (PSD for any
+        size when ``-1/(n-1) <= rho <= 1``), vols alternating 0.3/0.2,
+        equal weights.  Preferred for large-basket benchmarks — see the
+        ``default_reference`` caveat."""
+        a = n_assets
+        corr = np.full((a, a), rho)
+        np.fill_diagonal(corr, 1.0)
+        return BasketOption(
+            s=np.full((a,), 100.0),
+            v=np.where(np.arange(a) % 2 == 0, 0.3, 0.2),
+            w=np.full((a,), 1.0 / a),
+            corr=corr,
+            d=np.zeros((a,)),
+            k=100.0,
+            r=0.048790164,
+            t=1.0,
+        )
+
+    @staticmethod
     def default_reference(n_assets: int = 3) -> "BasketOption":
         """The hard-coded basket of the reference driver (``basketOpt.cu:33-68``).
 
         For ``n_assets != 3`` the reference falls back to alternating vols
         0.3/0.2 and an alternating +/-0.5 off-diagonal correlation
         (``basketOpt.cu:147-177``); replicated here.
+
+        Caveat (faithful to the reference): for ``n_assets > 3`` that
+        fallback matrix is *indefinite*; the reference's pivot-guarded
+        Cholesky (``MonteCarloHost.c:91-106``) silently truncates it, so the
+        factor satisfies ``L L^T != corr``.  The framework reproduces this
+        behavior exactly; use :meth:`equicorrelated` for a well-posed large
+        basket.
         """
         a = n_assets
         if a == 3:

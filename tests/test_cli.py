@@ -1,0 +1,58 @@
+"""CLI driver tests: the three experiment binaries run end-to-end on CPU."""
+import json
+
+import pytest
+
+from mctpu.cli import basket as cli_basket
+from mctpu.cli import cva as cli_cva
+from mctpu.cli import vanilla as cli_vanilla
+
+FAST = ["--paths", "65536", "--blocks", "8", "--rows", "8",
+        "--backend", "xla"]
+
+
+def test_vanilla_cli(capsys):
+    rc = cli_vanilla.main(FAST)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Black & Scholes price: 10.386" in out
+    assert "within 3 sigma: True" in out
+    assert "speedup" in out
+
+
+def test_vanilla_cli_custom_option(capsys):
+    rc = cli_vanilla.main(FAST + ["--spot", "110", "--strike", "95",
+                                  "--skip-cpu"])
+    assert rc == 0
+    assert "price=" in capsys.readouterr().out
+
+
+def test_basket_cli(capsys):
+    rc = cli_basket.main(FAST)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "combined sigma" in out
+
+
+def test_basket_cli_ten_assets(capsys):
+    rc = cli_basket.main(FAST + ["--assets", "10", "--skip-cpu"])
+    assert rc == 0
+
+
+def test_cva_cli(capsys):
+    rc = cli_cva.main(FAST + ["--grids", "10", "25", "--profile"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "closed_form=0.19" in out
+    assert "E[exposure] profile" in out
+
+
+def test_sweep_quick_runs_on_cpu(capsys):
+    import benchmarks.sweep as sweep
+    rc = sweep.main(["--quick", "--configs", "1", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    recs = [json.loads(line) for line in out.strip().splitlines()]
+    by_name = {r["config"]: r for r in recs}
+    assert by_name["vanilla_1M_f64_vs_closed_form"]["within_3sigma"]
+    assert by_name["cva_grid50_default_leg"]["within_3sigma"]
