@@ -95,6 +95,29 @@ def bs_call_hastings(s, k, r, v, t):
     return _bs_call(s, k, r, v, t, norm_cdf_hastings)
 
 
+def bs_greeks(s, k, r, v, t):
+    """Closed-form Black-Scholes call Greeks (oracle for the MC Greeks).
+
+    Returns dict(price, delta, gamma, vega, theta, rho).  Theta is the
+    derivative w.r.t. *maturity* t (the calendar-decay convention is its
+    negation).  Not in the reference — the oracle for :mod:`mctpu.greeks`.
+    """
+    s, k, r, v, t = map(jnp.asarray, (s, k, r, v, t))
+    sq = v * jnp.sqrt(t)
+    d1 = (jnp.log(s / k) + (r + 0.5 * v * v) * t) / sq
+    d2 = d1 - sq
+    pdf = jnp.exp(-0.5 * d1 * d1) * 0.3989422804014327
+    disc = jnp.exp(-r * t)
+    return {
+        "price": s * norm_cdf(d1) - k * disc * norm_cdf(d2),
+        "delta": norm_cdf(d1),
+        "gamma": pdf / (s * sq),
+        "vega": s * pdf * jnp.sqrt(t),
+        "theta": s * pdf * v / (2 * jnp.sqrt(t)) + r * k * disc * norm_cdf(d2),
+        "rho": k * t * disc * norm_cdf(d2),
+    }
+
+
 def cholesky_lower(corr):
     """Lower Cholesky factor L with L @ L.T == corr, PSD-tolerant.
 
