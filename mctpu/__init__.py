@@ -19,7 +19,7 @@ from mctpu.engine import EngineConfig, price_basket, price_cva, price_vanilla
 from mctpu.types import (BasketOption, CvaResult, CvaSpec, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
-from mctpu import greeks, qmc  # noqa: F401
+from mctpu import greeks, qmc, sobol, variance  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -37,5 +37,7 @@ __all__ = [
     "math",
     "greeks",
     "qmc",
+    "sobol",
+    "variance",
     "__version__",
 ]

@@ -1,0 +1,53 @@
+"""Greeks experiment driver (beyond the reference: sensitivities).
+
+Prints pathwise Monte Carlo Greeks (delta/vega/theta/rho via jax.grad), the
+common-random-number bump gamma, and the closed-form Black-Scholes column for
+comparison.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from mctpu import greeks, math as mcmath
+from mctpu.cli import common
+from mctpu.types import VanillaOption
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--paths", type=int, default=1 << 20)
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--rate", type=float, default=0.048790)
+    p.add_argument("--vol", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
+                        v=args.vol, t=args.maturity)
+    key = jax.random.key(args.seed)
+    common.print_option(opt)
+
+    mc, dt = common.timed(greeks.vanilla_greeks, opt, args.paths, key)
+    gamma = greeks.bump_and_revalue(
+        lambda s: greeks.vanilla_greeks(
+            VanillaOption(s=s, k=opt.k, r=opt.r, v=opt.v, t=opt.t),
+            args.paths, key)["price"],
+        jnp.asarray(opt.s, mcmath.wide_dtype()), eps=1.0, order=2)
+    cf = mcmath.bs_greeks(opt.s, opt.k, opt.r, opt.v, opt.t)
+
+    print(f"\npaths={args.paths}  time={dt * 1e3:.2f} ms")
+    print(f"{'greek':>6} | {'pathwise MC':>12} | {'closed form':>12}")
+    for name in ("price", "delta", "vega", "theta", "rho"):
+        print(f"{name:>6} | {float(mc[name]):12.6f} | {float(cf[name]):12.6f}")
+    print(f"{'gamma':>6} | {float(gamma):12.6f} | {float(cf['gamma']):12.6f}"
+          f"   (CRN bump-and-revalue)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -56,3 +56,12 @@ def test_sweep_quick_runs_on_cpu(capsys):
     by_name = {r["config"]: r for r in recs}
     assert by_name["vanilla_1M_f64_vs_closed_form"]["within_3sigma"]
     assert by_name["cva_grid50_default_leg"]["within_3sigma"]
+
+
+def test_greeks_cli(capsys):
+    from mctpu.cli import greeks as cli_greeks
+    rc = cli_greeks.main(["--paths", "262144"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "delta" in out and "gamma" in out
+    assert "closed form" in out
