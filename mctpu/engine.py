@@ -157,6 +157,7 @@ def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig()) -> McResult:
     """Monte Carlo price of a European call (TPU twin of ``dev_vanillaOpt``,
     ``MonteCarloKernel.cu:501-516``)."""
+    opt.validate()
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
@@ -201,6 +202,7 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     reproducing the driver-side Cholesky of the reference
     (``basketOpt.cu:96-99``) inside the jitted program.
     """
+    opt.validate()
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
@@ -246,6 +248,7 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
     reference: ``MonteCarloKernel.cu:467``) plus the expected-exposure
     profile per grid node.
     """
+    spec.validate()
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1

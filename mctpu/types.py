@@ -84,6 +84,11 @@ def _static(**kw):
     return dataclasses.field(metadata={"leaf": False}, **kw)
 
 
+def _concrete(*values) -> bool:
+    """True when no value is a JAX tracer (validation only runs eagerly)."""
+    return not any(isinstance(v, jax.core.Tracer) for v in values)
+
+
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
 class VanillaOption:
@@ -101,6 +106,17 @@ class VanillaOption:
 
     def astype(self, dtype) -> "VanillaOption":
         return VanillaOption(*(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r, self.v, self.t)))
+
+    def validate(self) -> None:
+        """Eager sanity checks (no-op under tracing)."""
+        if not _concrete(self.s, self.k, self.v, self.t):
+            return
+        if not (float(self.s) > 0 and float(self.k) > 0):
+            raise ValueError("spot and strike must be positive")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
 
 
 @_register_pytree
@@ -143,6 +159,31 @@ class BasketOption:
             r=jnp.asarray(self.r, dtype),
             t=jnp.asarray(self.t, dtype),
         )
+
+    def validate(self) -> None:
+        """Eager sanity checks (no-op under tracing)."""
+        a = self.n_assets
+        for name, x in (("s", self.s), ("v", self.v), ("w", self.w),
+                        ("d", self.d)):
+            if np.shape(x) != (a,):
+                raise ValueError(f"{name} must have shape ({a},), "
+                                 f"got {np.shape(x)}")
+        if np.shape(self.corr) != (a, a):
+            raise ValueError(f"corr must have shape ({a},{a})")
+        if not _concrete(self.s, self.v, self.corr, self.k, self.t):
+            return
+        s, v, corr = (np.asarray(self.s), np.asarray(self.v),
+                      np.asarray(self.corr))
+        if (s <= 0).any():
+            raise ValueError("spot prices must be positive")
+        if (v < 0).any():
+            raise ValueError("volatilities must be non-negative")
+        if not np.allclose(corr, corr.T, atol=1e-6):
+            raise ValueError("correlation matrix must be symmetric")
+        if not np.allclose(np.diag(corr), 1.0, atol=1e-6):
+            raise ValueError("correlation matrix must have unit diagonal")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
 
     @staticmethod
     def equicorrelated(n_assets: int, rho: float = 0.3) -> "BasketOption":
@@ -228,6 +269,18 @@ class CvaSpec:
             n_grid=self.n_grid,
         )
 
+    def validate(self) -> None:
+        """Eager sanity checks (no-op under tracing)."""
+        if self.n_grid < 1:
+            raise ValueError("n_grid must be >= 1")
+        self.option.validate()
+        if not _concrete(self.intensity, self.lgd):
+            return
+        if float(self.intensity) < 0:
+            raise ValueError("default intensity must be non-negative")
+        if not 0.0 <= float(self.lgd) <= 1.0:
+            raise ValueError("lgd must lie in [0, 1]")
+
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +307,16 @@ class McResult:
             f"n={self.n}, n_paths={self.n_paths})"
         )
 
+    def to_dict(self) -> dict:
+        """Plain-Python record (JSON-ready) for logging/automation."""
+        return {
+            "price": float(self.price),
+            "ci": float(self.ci),
+            "std_error": float(self.std_error),
+            "n": int(self.n),
+            "n_paths": int(self.n_paths),
+        }
+
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
@@ -279,3 +342,16 @@ class CvaResult:
             f"CvaResult(cva={float(self.cva):.6f}, ci=±{float(self.ci):.6f}, "
             f"n={self.n}, n_paths={self.n_paths})"
         )
+
+    def to_dict(self) -> dict:
+        """Plain-Python record (JSON-ready) for logging/automation."""
+        import numpy as _np
+        return {
+            "cva": float(self.cva),
+            "ci": float(self.ci),
+            "std_error": float(self.std_error),
+            "expected_exposure": _np.asarray(self.expected_exposure).tolist(),
+            "default_leg": _np.asarray(self.default_leg).tolist(),
+            "n": int(self.n),
+            "n_paths": int(self.n_paths),
+        }

@@ -217,3 +217,55 @@ class TestAutoShrink:
                                   auto_shrink=False)
         res = engine.price_vanilla(OPT, 1, KEY, cfg)
         assert res.n_paths == 64 * 2 * 64 * 128
+
+
+class TestValidation:
+    def test_vanilla_rejects_bad_inputs(self):
+        import pytest as _pytest
+        from mctpu.types import VanillaOption
+        with _pytest.raises(ValueError, match="positive"):
+            VanillaOption(s=-1.0, k=100.0, r=0.05, v=0.2, t=1.0).validate()
+        with _pytest.raises(ValueError, match="volatility"):
+            VanillaOption(s=100.0, k=100.0, r=0.05, v=-0.1, t=1.0).validate()
+        with _pytest.raises(ValueError, match="maturity"):
+            VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=0.0).validate()
+
+    def test_basket_rejects_bad_inputs(self):
+        import pytest as _pytest
+        good = BasketOption.default_reference(3)
+        good.validate()
+        bad_corr = BasketOption(
+            s=np.full(3, 100.0), v=np.full(3, 0.2), w=np.full(3, 1 / 3),
+            corr=np.eye(3) * 2, d=np.zeros(3), k=100.0, r=0.05, t=1.0)
+        with _pytest.raises(ValueError, match="unit diagonal"):
+            bad_corr.validate()
+        bad_shape = BasketOption(
+            s=np.full(3, 100.0), v=np.full(2, 0.2), w=np.full(3, 1 / 3),
+            corr=np.eye(3), d=np.zeros(3), k=100.0, r=0.05, t=1.0)
+        with _pytest.raises(ValueError, match="shape"):
+            bad_shape.validate()
+
+    def test_cva_rejects_bad_inputs(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="n_grid"):
+            CvaSpec(intensity=0.03, lgd=0.6, option=CVA_OPT, n_grid=0).validate()
+        with _pytest.raises(ValueError, match="lgd"):
+            CvaSpec(intensity=0.03, lgd=1.5, option=CVA_OPT, n_grid=5).validate()
+
+    def test_engine_validates(self):
+        import pytest as _pytest
+        bad = VanillaOption(s=-5.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        with _pytest.raises(ValueError):
+            engine.price_vanilla(bad, 1 << 12, KEY, CFG)
+
+    def test_result_to_dict(self):
+        import json
+        res = engine.price_vanilla(OPT, 1 << 14, KEY, CFG)
+        d = res.to_dict()
+        json.dumps(d)
+        assert set(d) == {"price", "ci", "std_error", "n", "n_paths"}
+        spec = CvaSpec(intensity=0.03, lgd=0.6, option=CVA_OPT, n_grid=5)
+        rc = engine.price_cva(spec, 1 << 12, KEY, CFG)
+        dc = rc.to_dict()
+        json.dumps(dc)
+        assert len(dc["expected_exposure"]) == 5
