@@ -21,7 +21,6 @@ BASELINE_PATH_STEPS = 1e9  # BASELINE.json north-star, per chip
 def main() -> None:
     from mctpu import math as mcmath
     from mctpu.kernels import vanilla as kvanilla
-    from mctpu.rng import key_to_seed
     from mctpu.types import VanillaOption
 
     on_tpu = jax.default_backend() == "tpu"

@@ -26,7 +26,6 @@ from mctpu import rng as mcrng
 from mctpu.kernels.common import LANES, Plan, chunk_sums
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaSpec
-from mctpu.utils.accum import kahan_add
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials", "node_constants"]
 

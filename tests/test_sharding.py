@@ -5,13 +5,10 @@ bitwise identical for every mesh size — resharding a run never changes it.
 This replaces (and strengthens) the reference's single-device-only story.
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh
 
 from mctpu import engine
-from mctpu.models import cva as mcva
 from mctpu import math as mcmath
 from mctpu.parallel import path_mesh
 from mctpu.types import BasketOption, CvaSpec, VanillaOption
