@@ -29,6 +29,11 @@ def main(argv=None):
                    help="exposure grid sizes to sweep (cvaOpt.cu:70)")
     p.add_argument("--profile", action="store_true",
                    help="print the expected-exposure profile")
+    p.add_argument("--strikes", type=float, nargs="+", default=None,
+                   help="portfolio strike ladder (with --weights: netted "
+                        "portfolio CVA instead of the single call)")
+    p.add_argument("--weights", type=float, nargs="+", default=None,
+                   help="portfolio position weights (negatives = short)")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
@@ -43,14 +48,38 @@ def main(argv=None):
     common.print_option(opt)
     print()
 
+    portfolio = args.strikes is not None
+    if portfolio:
+        weights = args.weights if args.weights is not None else [1.0] * len(args.strikes)
+        if len(weights) != len(args.strikes):
+            p.error("--strikes and --weights must have the same length")
+        print(f"portfolio: strikes={args.strikes} weights={weights}")
+
     ok = True
     for g in args.grids:
-        spec = CvaSpec(intensity=args.intensity, lgd=lgd, option=opt,
-                       n_grid=g)
-        want = float(mcva.closed_form(spec))
-        engine.price_cva(spec, n, key, cfg)  # compile
-        res, dt = common.timed(engine.price_cva, spec, n, key, cfg)
-        z = abs(float(res.cva) - want) / float(res.std_error)
+        if portfolio:
+            from mctpu import math as mcmath
+            from mctpu.types import CvaPortfolioSpec
+            port = CvaPortfolioSpec(
+                intensity=args.intensity, lgd=lgd, s=opt.s, r=opt.r,
+                v=opt.v, t=opt.t, strikes=np.asarray(args.strikes),
+                weights=np.asarray(weights), n_grid=g)
+            engine.price_cva_portfolio(port, n, key, cfg)  # compile
+            res, dt = common.timed(engine.price_cva_portfolio, port, n, key, cfg)
+            if all(w >= 0 for w in weights):
+                want = float(mcmath.cva_portfolio_closed_form(
+                    args.intensity, lgd, opt.s, opt.r, opt.v, opt.t,
+                    args.strikes, weights, g))
+                z = abs(float(res.cva) - want) / float(res.std_error)
+            else:
+                want, z = float("nan"), 0.0  # netting: no closed form
+        else:
+            spec = CvaSpec(intensity=args.intensity, lgd=lgd, option=opt,
+                           n_grid=g)
+            want = float(mcva.closed_form(spec))
+            engine.price_cva(spec, n, key, cfg)  # compile
+            res, dt = common.timed(engine.price_cva, spec, n, key, cfg)
+            z = abs(float(res.cva) - want) / float(res.std_error)
         ok &= z < 4
         print(f"grid={g:4d}  cva={float(res.cva):.6f}  "
               f"ci=±{float(res.ci):.6f}  closed_form={want:.6f}  "
@@ -59,7 +88,7 @@ def main(argv=None):
             ee = np.asarray(res.expected_exposure)
             with np.printoptions(precision=4, threshold=16):
                 print(f"  E[exposure] profile: {ee}")
-        if not args.skip_cpu and g == args.grids[0]:
+        if not args.skip_cpu and g == args.grids[0] and not portfolio:
             eng = common.cpu_engine()
             ora = eng.price_cva(spec, min(n, 1 << 16), seed=args.seed)
             tag = "cpu native" if eng is not reference else "cpu oracle"

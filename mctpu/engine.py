@@ -38,10 +38,11 @@ from mctpu.kernels import cva as kcva
 from mctpu.kernels import vanilla as kvanilla
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
-from mctpu.types import (BasketOption, CvaResult, CvaSpec, McResult,
-                         Precision, VanillaOption)
+from mctpu.types import (BasketOption, CvaPortfolioSpec, CvaResult, CvaSpec,
+                         McResult, Precision, VanillaOption)
 
-__all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_cva"]
+__all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_cva",
+           "price_cva_portfolio"]
 
 
 def _default_backend() -> str:
@@ -246,19 +247,33 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
 
     Returns the CVA (mean of per-path default legs, undiscounted like the
     reference: ``MonteCarloKernel.cu:467``) plus the expected-exposure
-    profile per grid node.
+    profile per grid node.  Internally the M=1 case of
+    :func:`price_cva_portfolio`.
     """
     spec.validate()
+    return price_cva_portfolio(CvaPortfolioSpec.from_single(spec), n_paths,
+                               key, config)
+
+
+def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
+                        config: EngineConfig = EngineConfig()) -> CvaResult:
+    """CVA of a netted portfolio of calls on one underlying.
+
+    Exposure at each node is ``max(sum_m w_m BS(S_j, k_m, t_rem), 0)`` —
+    short positions offset long ones inside the netting set (the thesis
+    scope the reference's ``CVA.ns`` field gestures at; ``MonteCarlo.h:62``).
+    """
+    port.validate()
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
     blocks, rows = cfg.layout_for(n_paths, kcva.LANES * anti)
     plan = kcva.make_plan(n_paths, blocks, rows, cfg.antithetic,
                           cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("cva", spec.n_grid, plan, cfg._key())
+    cache_key = ("cva", port.n_grid, port.n_options, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
-        def run(sp: CvaSpec, k):
+        def run(sp: CvaPortfolioSpec, k):
             if backend == "pallas":
                 fn = lambda a, off, nb: kcva.pallas_partials(
                     a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
@@ -277,12 +292,12 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
 
         runner = jax.jit(run)
         _RUNNERS[cache_key] = runner
-    sum_p, sum_p2, ee_profile = runner(spec, key)
+    sum_p, sum_p2, ee_profile = runner(port, key)
     n = plan.total_units
     res = mcest.estimate(sum_p, sum_p2, n, discount=1.0,
                          n_paths=plan.total_paths)
-    dp = mcmath.default_leg_weights(spec.intensity, spec.option.t,
-                                    spec.n_grid, dtype=mcest.wide_dtype())
+    dp = mcmath.default_leg_weights(port.intensity, port.t,
+                                    port.n_grid, dtype=mcest.wide_dtype())
     return CvaResult(
         cva=res.price,
         ci=res.ci,

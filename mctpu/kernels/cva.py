@@ -1,15 +1,18 @@
 """Fused CVA Monte Carlo kernel (exposure walk over a time grid).
 
-TPU-native rebuild of ``cvaCallOptMC`` (``MonteCarloKernel.cu:223-284``): each
-path walks a GBM over ``n_grid`` steps of ``dt = T / n_grid``; at node ``j``
-the default-probability mass is ``dp_j = e^{-lambda t_{j-1}} - e^{-lambda t_j}``
-and the exposure is the remaining Black-Scholes value (Hastings CDF on the
-VPU, ``device_bsCall``, ``MonteCarloKernel.cu:125-129``); the per-path default
-leg is ``lgd * sum_j dp_j * ee_j``.  The sequential time loop stays on-chip as
-a ``fori_loop`` with the running spots carried in registers (never shard time
-— the GBM recurrence is serial; SURVEY.md §2).
+TPU-native rebuild of ``cvaCallOptMC`` (``MonteCarloKernel.cu:223-284``),
+generalized to a netted portfolio of calls on one underlying: each path walks
+a GBM over ``n_grid`` steps of ``dt = T / n_grid``; at node ``j`` the
+default-probability mass is ``dp_j = e^{-lambda t_{j-1}} - e^{-lambda t_j}``
+and the exposure is the positive part of the remaining portfolio value
+``max(sum_m w_m BS(S_j, k_m, T - t_j), 0)`` (Hastings CDF on the VPU,
+``device_bsCall``, ``MonteCarloKernel.cu:125-129``); the per-path default leg
+is ``lgd * sum_j dp_j * ee_j``.  The reference's single option is the M=1
+case (``CVA.ns``, ``MonteCarlo.h:62``, gestures at the portfolio scope).
 
-Also accumulates the expected-exposure profile ``sum_paths ee_j`` per node, a
+The sequential time loop stays on-chip as a ``fori_loop`` with the running
+spots carried in registers (never shard time — the GBM recurrence is serial;
+SURVEY.md §2).  Also accumulates the expected-exposure profile per node, a
 first-class output the reference never materializes.
 """
 from __future__ import annotations
@@ -25,7 +28,7 @@ from mctpu import math as mcmath
 from mctpu import rng as mcrng
 from mctpu.kernels.common import LANES, Plan, chunk_sums
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
-from mctpu.types import CvaSpec
+from mctpu.types import CvaPortfolioSpec
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials", "node_constants"]
 
@@ -38,92 +41,84 @@ def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic, dtype, kahan)
 
 
-def node_constants(spec: CvaSpec, dtype):
+def node_constants(port: CvaPortfolioSpec, dtype):
     """Per-node constants of the exposure walk, precomputed once.
 
     ``dp``: default-leg weights (``MonteCarloKernel.cu:249``); ``t_rem``:
     remaining maturity after node j (exact 0 at the last node); plus the
     per-step GBM drift/vol scalars.
     """
-    opt = spec.option
-    g = spec.n_grid
-    t = jnp.asarray(opt.t, dtype)
-    dp = mcmath.default_leg_weights(spec.intensity, opt.t, g, dtype=dtype)
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    dp = mcmath.default_leg_weights(port.intensity, port.t, g, dtype=dtype)
     j = jnp.arange(1, g + 1, dtype=dtype)
     t_rem = t * (g - j) / g
     dt = t / g
-    drift = (opt.r - 0.5 * opt.v * opt.v) * dt
-    vol = opt.v * jnp.sqrt(dt)
+    drift = (port.r - 0.5 * port.v * port.v) * dt
+    vol = port.v * jnp.sqrt(dt)
     return dp, t_rem, drift.astype(dtype), vol.astype(dtype)
 
 
-def _exposure(s, k, r, v, t_rem):
-    """Remaining option value at one node: BS with Hastings CDF, intrinsic at
-    the final node (normalized edge semantics, see mctpu.models.cva)."""
-    bs = mcmath.bs_call_hastings(s, k, r, v, jnp.maximum(t_rem, 1e-12))
-    return jnp.where(t_rem > 0, bs, jnp.maximum(s - k, 0.0))
+def _exposure(s, strikes, weights, r, v, t_rem, n_options: int):
+    """Netted portfolio exposure at one node.
 
-
-def _walk(spec_scalars, dp, t_rem, drift, vol, z_at, shape, n_grid: int,
-          antithetic: bool, dtype):
-    """Walk one path tile over the grid; returns (cva_tile, ee_sums (G,)).
-
-    ``z_at(j)`` yields the node-j normal tile.  With antithetic variates two
-    mirrored walks share each draw and the tile value is the pair mean.
+    Per option: BS value with the Hastings CDF, or the intrinsic value at the
+    final node (normalized t->0+ semantics, see mctpu.models.cva); then the
+    positive part of the weighted sum.  ``strikes``/``weights`` index with a
+    static Python loop (M is small and static).
     """
-    s0, k, r, v, lgd = spec_scalars
-
-    def one(sgn):
-        def body(j, carry):
-            s, acc, ee_sums = carry
-            z = z_at(j)
-            s = s * jnp.exp(drift + vol * (sgn * z))
-            ee = _exposure(s, k, r, v, t_rem[j])
-            acc = acc + dp[j] * ee
-            ee_sums = ee_sums.at[j].add(jnp.sum(ee))
-            return (s, acc, ee_sums)
-
-        init = (
-            jnp.full(shape, s0, dtype),
-            jnp.zeros(shape, dtype),
-            jnp.zeros((n_grid,), dtype),
-        )
-        _, acc, ee_sums = jax.lax.fori_loop(0, n_grid, body, init)
-        return lgd * acc, ee_sums
-
-    cva_p, ee_p = one(jnp.asarray(1.0, dtype))
-    if antithetic:
-        cva_m, ee_m = one(jnp.asarray(-1.0, dtype))
-        return 0.5 * (cva_p + cva_m), 0.5 * (ee_p + ee_m)
-    return cva_p, ee_p
+    t_safe = jnp.maximum(t_rem, 1e-12)
+    value = None
+    for m in range(n_options):
+        k_m = strikes[m]
+        bs = mcmath.bs_call_hastings(s, k_m, r, v, t_safe)
+        v_m = jnp.where(t_rem > 0, bs, jnp.maximum(s - k_m, 0.0))
+        term = weights[m] * v_m
+        value = term if value is None else value + term
+    return jnp.maximum(value, 0.0)
 
 
 # ---------------------------------------------------------------------------
 # XLA backend
 # ---------------------------------------------------------------------------
 
-def xla_partials(spec: CvaSpec, key: jax.Array, block_offset, plan: Plan,
-                 n_blocks: int):
+def xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
+                 plan: Plan, n_blocks: int):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))``.
 
     Second output is the per-block sum of exposures per node (for the
     expected-exposure profile).
     """
     dtype = plan.jdtype
-    sp = spec.astype(dtype)
-    o = sp.option
-    g = spec.n_grid
+    sp = port.astype(dtype)
+    g = port.n_grid
+    m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, dtype)
-    scalars = (o.s, o.k, o.r, o.v, sp.lgd)
     shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            s, acc, ee_sums = carry
+            s = s * jnp.exp(drift + vol * (sgn * z_seq[j]))
+            ee = _exposure(s, sp.strikes, sp.weights, sp.r, sp.v, t_rem[j], m)
+            acc = acc + dp[j] * ee
+            ee_sums = ee_sums.at[j].add(jnp.sum(ee))
+            return (s, acc, ee_sums)
+
+        init = (jnp.full(shape, sp.s, dtype), jnp.zeros(shape, dtype),
+                jnp.zeros((g,), dtype))
+        _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
+        return sp.lgd * acc, ee_sums
 
     def block_fn(bkey):
         def body(i, carry):
             ikey = jax.random.fold_in(bkey, i)
             z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
-            cva_tile, ee_sums = _walk(scalars, dp, t_rem, drift, vol,
-                                      lambda j: z_seq[j], shape, g,
-                                      plan.antithetic, dtype)
+            cva_tile, ee_sums = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                cva_m, ee_m = walk(z_seq, jnp.asarray(-1.0, dtype))
+                cva_tile = 0.5 * (cva_tile + cva_m)
+                ee_sums = 0.5 * (ee_sums + ee_m)
             cs, cs2 = chunk_sums(cva_tile)
             acc, ee_acc = carry
             return (_accum_add(acc, cs, cs2, plan.kahan), ee_acc + ee_sums)
@@ -145,11 +140,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cva_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref, out_ref,
-                ee_ref, prof_scratch, *, plan: Plan, n_grid: int):
-    s0, k, r, v, lgd = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
-                        scal_ref[4])
-    drift, vol = scal_ref[5], scal_ref[6]
+def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
+                out_ref, ee_ref, prof_scratch, *, plan: Plan, n_grid: int,
+                n_options: int):
+    s0, r, v, lgd = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    drift, vol = scal_ref[4], scal_ref[5]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
     g_pad = prof_scratch.shape[0]
@@ -172,7 +167,7 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref, out_ref,
             s, acc = carry
             z = draw()
             s = s * jnp.exp(drift + vol * (sgn * z))
-            ee = _exposure(s, k, r, v, trem_ref[j])
+            ee = _exposure(s, k_ref, w_ref, r, v, trem_ref[j], n_options)
             acc = acc + dp_ref[j] * ee
             # Exposure profile: accumulate the per-lane row sums at node j.
             row = jnp.sum(ee, axis=0, keepdims=True)
@@ -202,31 +197,33 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref, out_ref,
     ee_ref[b, :] = jnp.sum(prof_scratch[:], axis=1)
 
 
-def pallas_partials(spec: CvaSpec, seed, block_offset, plan: Plan,
+def pallas_partials(port: CvaPortfolioSpec, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
     with jax.enable_x64(False):
-        return _pallas_partials(spec, seed, block_offset, plan, n_blocks,
+        return _pallas_partials(port, seed, block_offset, plan, n_blocks,
                                 interpret)
 
 
-def _pallas_partials(spec, seed, block_offset, plan, n_blocks, interpret):
-    sp = spec.astype(jnp.float32)
-    o = sp.option
-    g = spec.n_grid
+def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret):
+    sp = port.astype(jnp.float32)
+    g = port.n_grid
+    m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, jnp.float32)
-    scal = jnp.stack([o.s, o.k, o.r, o.v, sp.lgd, drift, vol])
+    scal = jnp.stack([sp.s, sp.r, sp.v, sp.lgd, drift, vol])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
     g_pad = _round_up(g, 8)
-    kernel = functools.partial(_cva_kernel, plan=plan, n_grid=g)
+    kernel = functools.partial(_cva_kernel, plan=plan, n_grid=g, n_options=m)
     paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
     out, ee = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -246,10 +243,10 @@ def _pallas_partials(spec, seed, block_offset, plan, n_blocks, interpret):
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=20 * plan.iters * paths_iter * g,
+            flops=20 * plan.iters * paths_iter * g * m,
             bytes_accessed=n_blocks * (2 + g) * 4,
-            transcendentals=8 * plan.iters * paths_iter * g,
+            transcendentals=8 * plan.iters * paths_iter * g * m,
         ),
         interpret=interpret,
-    )(seed_arr, off_arr, scal, dp, t_rem)
+    )(seed_arr, off_arr, scal, sp.strikes, sp.weights, dp, t_rem)
     return out, ee[:, :g]

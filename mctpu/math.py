@@ -20,6 +20,7 @@ __all__ = [
     "cholesky_lower",
     "gbm_terminal",
     "cva_closed_form",
+    "cva_portfolio_closed_form",
     "default_leg_weights",
     "wide_dtype",
 ]
@@ -198,3 +199,33 @@ def cva_closed_form(intensity, lgd, s, k, r, v, t, n_grid: int, dtype=None):
         jnp.asarray(v, dtype), jnp.asarray(t, dtype),
     )
     return jnp.asarray(lgd, dtype) * c0 * jnp.sum(dp * jnp.exp(jnp.asarray(r, dtype) * tj))
+
+
+def cva_portfolio_closed_form(intensity, lgd, s, r, v, t, strikes, weights,
+                              n_grid: int, dtype=None):
+    """Exact CVA expectation for an all-long call portfolio.
+
+    With non-negative weights the netting ``max(.,0)`` never binds (call
+    values are non-negative), so the martingale argument of
+    :func:`cva_closed_form` applies per option and the CVA is linear:
+
+        CVA = lgd * (sum_m w_m C_0(k_m)) * sum_j dp_j e^{r t_j}
+
+    Raises for mixed-sign weights (no closed form; use the MC engines).
+    """
+    import numpy as _np
+    if (_np.asarray(weights) < 0).any():
+        raise ValueError("closed form requires non-negative weights "
+                         "(netting may bind otherwise)")
+    if dtype is None:
+        dtype = wide_dtype()
+    strikes = jnp.asarray(strikes, dtype)
+    weights = jnp.asarray(weights, dtype)
+    c0 = jnp.sum(weights * bs_call(jnp.asarray(s, dtype), strikes,
+                                   jnp.asarray(r, dtype),
+                                   jnp.asarray(v, dtype),
+                                   jnp.asarray(t, dtype)))
+    dp = default_leg_weights(intensity, t, n_grid, dtype=dtype)
+    tj = jnp.asarray(t, dtype) / n_grid * jnp.arange(1, n_grid + 1, dtype=dtype)
+    return jnp.asarray(lgd, dtype) * c0 * jnp.sum(
+        dp * jnp.exp(jnp.asarray(r, dtype) * tj))

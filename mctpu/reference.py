@@ -122,6 +122,30 @@ def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> OracleResult
     return _estimate(p, np.exp(-r * t))
 
 
+def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
+                        n_grid: int, n_paths: int, seed: int = 0) -> OracleResult:
+    """Netted-portfolio CVA oracle: exposure = max(sum_m w_m BS_m, 0)."""
+    rng = np.random.default_rng(seed)
+    strikes = np.asarray(strikes, np.float64)
+    weights = np.asarray(weights, np.float64)
+    dt = t / n_grid
+    j = np.arange(1, n_grid + 1)
+    dp = np.exp(-intensity * dt * (j - 1)) - np.exp(-intensity * dt * j)
+    s = np.full(n_paths, float(s0))
+    acc = np.zeros(n_paths)
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    for jj in range(1, n_grid + 1):
+        z = rng.standard_normal(n_paths)
+        s = s * np.exp(drift + vol * z)
+        t_rem = t * (n_grid - jj) / n_grid
+        value = np.zeros(n_paths)
+        for k, w in zip(strikes, weights):
+            value += w * bs_call(s, k, r, v, t_rem)
+        acc += dp[jj - 1] * np.maximum(value, 0.0)
+    return _estimate(lgd * acc, discount=1.0)
+
+
 def price_cva(spec: CvaSpec, n_paths: int, seed: int = 0) -> OracleResult:
     """Twin of ``cvaMonteCarlo`` (``MonteCarloHost.c:233-278``).
 

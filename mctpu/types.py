@@ -284,6 +284,87 @@ class CvaSpec:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class CvaPortfolioSpec:
+    """CVA of a netted portfolio of European calls on one underlying.
+
+    Generalizes :class:`CvaSpec` to the thesis scope ("CVA of a call
+    portfolio"; the reference's ``CVA.ns`` field, ``MonteCarlo.h:62``, is
+    declared for this but never used beyond 1).  Exposure at node ``j`` is
+    the *netted* positive part of the portfolio value:
+
+        ee_j = max(sum_m w_m * BS(S_j, k_m, T - t_j), 0)
+
+    so short positions (negative weights) offset long ones.  With all-long
+    weights this reduces to the weighted sum and admits an exact closed form
+    (:func:`mctpu.math.cva_portfolio_closed_form`).
+
+    ``s, r, v, t`` describe the single underlying; ``strikes``/``weights``
+    are ``(M,)`` vectors.
+    """
+
+    intensity: Any
+    lgd: Any
+    s: Any
+    r: Any
+    v: Any
+    t: Any
+    strikes: Any  # (M,)
+    weights: Any  # (M,)
+    n_grid: int = _static(default=50)
+
+    @property
+    def n_options(self) -> int:
+        return int(np.shape(self.strikes)[0])
+
+    def astype(self, dtype) -> "CvaPortfolioSpec":
+        return CvaPortfolioSpec(
+            intensity=jnp.asarray(self.intensity, dtype),
+            lgd=jnp.asarray(self.lgd, dtype),
+            s=jnp.asarray(self.s, dtype),
+            r=jnp.asarray(self.r, dtype),
+            v=jnp.asarray(self.v, dtype),
+            t=jnp.asarray(self.t, dtype),
+            strikes=jnp.asarray(self.strikes, dtype),
+            weights=jnp.asarray(self.weights, dtype),
+            n_grid=self.n_grid,
+        )
+
+    def validate(self) -> None:
+        if self.n_grid < 1:
+            raise ValueError("n_grid must be >= 1")
+        m = self.n_options
+        if np.shape(self.weights) != (m,):
+            raise ValueError(f"weights must have shape ({m},)")
+        if not _concrete(self.intensity, self.lgd, self.s, self.v, self.t,
+                         self.strikes):
+            return
+        if float(self.s) <= 0:
+            raise ValueError("spot must be positive")
+        if (np.asarray(self.strikes) <= 0).any():
+            raise ValueError("strikes must be positive")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
+        if float(self.intensity) < 0:
+            raise ValueError("default intensity must be non-negative")
+        if not 0.0 <= float(self.lgd) <= 1.0:
+            raise ValueError("lgd must lie in [0, 1]")
+
+    @staticmethod
+    def from_single(spec: "CvaSpec") -> "CvaPortfolioSpec":
+        o = spec.option
+        return CvaPortfolioSpec(
+            intensity=spec.intensity, lgd=spec.lgd,
+            s=o.s, r=o.r, v=o.v, t=o.t,
+            strikes=np.reshape(np.asarray(o.k, np.float64), (1,)),
+            weights=np.ones((1,)),
+            n_grid=spec.n_grid,
+        )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class McResult:
     """Monte Carlo estimate: price plus 95% confidence half-width.
 

@@ -65,3 +65,18 @@ def test_greeks_cli(capsys):
     assert rc == 0
     assert "delta" in out and "gamma" in out
     assert "closed form" in out
+
+
+def test_cva_cli_portfolio(capsys):
+    rc = cli_cva.main(FAST + ["--grids", "10", "--strikes", "90", "110",
+                              "--weights", "1.0", "-1.0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "portfolio" in out
+
+def test_cva_cli_portfolio_long_only(capsys):
+    rc = cli_cva.main(FAST + ["--grids", "10",
+                              "--strikes", "90", "100", "110"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "closed_form=" in out
