@@ -33,16 +33,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mctpu import estimator as mcest
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
+from mctpu.kernels import asian as kasian
 from mctpu.kernels import basket as kbasket
 from mctpu.kernels import cva as kcva
 from mctpu.kernels import vanilla as kvanilla
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
-from mctpu.types import (BasketOption, CvaPortfolioSpec, CvaResult, CvaSpec,
-                         McResult, Precision, VanillaOption)
+from mctpu.types import (AsianOption, BasketOption, CvaPortfolioSpec,
+                         CvaResult, CvaSpec, McResult, Precision,
+                         VanillaOption)
 
-__all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_cva",
-           "price_cva_portfolio"]
+__all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
+           "price_cva", "price_cva_portfolio"]
 
 
 def _default_backend() -> str:
@@ -226,6 +228,49 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
             partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, chol, k),
                                      P(PATH_AXIS, None))
             sum_p, sum_p2 = _combine(partials)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return sum_p, sum_p2, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2, disc = runner(opt, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
+
+
+# ---------------------------------------------------------------------------
+# Asian
+# ---------------------------------------------------------------------------
+
+def price_asian(opt: AsianOption, n_paths: int, key: jax.Array,
+                config: EngineConfig = EngineConfig()) -> McResult:
+    """Monte Carlo price of a discretely-monitored Asian call.
+
+    New product family beyond the reference; same engine contract (per-block
+    partials, deterministic combine, reference estimator semantics).
+    """
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kasian.LANES * anti)
+    plan = kasian.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                            cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("asian", opt.n_obs, opt.average, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o: AsianOption, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kasian.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kasian.xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            sum_p, sum_p2 = _combine(partials)
+            wide = mcest.wide_dtype()
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return sum_p, sum_p2, disc
 

@@ -119,6 +119,32 @@ def bs_greeks(s, k, r, v, t):
     }
 
 
+def geometric_asian_call(s, k, r, v, t, n_obs: int, dtype=None):
+    """Exact price of a discretely-monitored geometric-average Asian call.
+
+    Under GBM, ``log G`` of the geometric mean over ``t_i = i T / m``
+    (i = 1..m) is normal with
+
+        mean = log s + (r - v^2/2) T (m+1) / (2m)
+        var  = v^2 T (m+1)(2m+1) / (6 m^2)
+
+    so the price is a Black-Scholes-style formula on ``G``.  Oracle for the
+    geometric Asian MC engine and the control-variate mean for the
+    arithmetic Asian (no closed form exists for the arithmetic average).
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    s, k, r, v, t = (jnp.asarray(x, dtype) for x in (s, k, r, v, t))
+    m = n_obs
+    mu_g = jnp.log(s) + (r - 0.5 * v * v) * t * (m + 1) / (2 * m)
+    var_g = v * v * t * (m + 1) * (2 * m + 1) / (6 * m * m)
+    sd = jnp.sqrt(var_g)
+    d1 = (mu_g - jnp.log(k) + var_g) / sd
+    d2 = d1 - sd
+    fwd_g = jnp.exp(mu_g + 0.5 * var_g)
+    return jnp.exp(-r * t) * (fwd_g * norm_cdf(d1) - k * norm_cdf(d2))
+
+
 def cholesky_lower(corr):
     """Lower Cholesky factor L with L @ L.T == corr, PSD-tolerant.
 

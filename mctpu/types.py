@@ -27,7 +27,9 @@ __all__ = [
     "Precision",
     "VanillaOption",
     "BasketOption",
+    "AsianOption",
     "CvaSpec",
+    "CvaPortfolioSpec",
     "McResult",
     "CvaResult",
 ]
@@ -280,6 +282,49 @@ class CvaSpec:
             raise ValueError("default intensity must be non-negative")
         if not 0.0 <= float(self.lgd) <= 1.0:
             raise ValueError("lgd must lie in [0, 1]")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class AsianOption:
+    """Discretely-monitored average-price (Asian) call — a path-dependent
+    product family beyond the reference's scope.
+
+    The average runs over ``n_obs`` equally spaced observations
+    ``t_i = i T / n_obs`` (i = 1..n_obs).  ``average`` picks arithmetic
+    (no closed form; MC territory) or geometric (exact discrete closed form,
+    :func:`mctpu.math.geometric_asian_call` — the oracle, and the classic
+    control variate for the arithmetic case).
+    """
+
+    s: Any
+    k: Any
+    r: Any
+    v: Any
+    t: Any
+    n_obs: int = _static(default=50)
+    average: str = _static(default="arithmetic")  # arithmetic | geometric
+
+    def astype(self, dtype) -> "AsianOption":
+        return AsianOption(
+            s=jnp.asarray(self.s, dtype), k=jnp.asarray(self.k, dtype),
+            r=jnp.asarray(self.r, dtype), v=jnp.asarray(self.v, dtype),
+            t=jnp.asarray(self.t, dtype), n_obs=self.n_obs,
+            average=self.average)
+
+    def validate(self) -> None:
+        if self.average not in ("arithmetic", "geometric"):
+            raise ValueError("average must be 'arithmetic' or 'geometric'")
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        if not _concrete(self.s, self.k, self.v, self.t):
+            return
+        if not (float(self.s) > 0 and float(self.k) > 0):
+            raise ValueError("spot and strike must be positive")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
 
 
 @_register_pytree

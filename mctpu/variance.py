@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 from mctpu import math as mcmath
 from mctpu.models import basket as mbasket
-from mctpu.types import BasketOption, McResult, VanillaOption
+from mctpu.types import AsianOption, BasketOption, McResult, VanillaOption
 
-__all__ = ["price_vanilla_cv", "price_basket_cv"]
+__all__ = ["price_vanilla_cv", "price_basket_cv", "price_asian_cv"]
 
 
 def _cv_estimate(pay, ctrl, ctrl_mean, pilot: int, discount):
@@ -81,6 +81,45 @@ def _basket_cv(opt: BasketOption, chol, key, n_paths: int, pilot: int):
     ctrl_mean = jnp.exp(opt.r * opt.t) * jnp.sum(opt.w * opt.s)
     return _cv_estimate(pay, basket, ctrl_mean, pilot,
                         jnp.exp(-opt.r * opt.t))
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "pilot"))
+def _asian_cv(opt, key, n_paths: int, pilot: int):
+    from mctpu.models import asian as masian
+    dtype = mcmath.wide_dtype()
+    o = opt.astype(dtype)
+    z_seq = jax.random.normal(key, (opt.n_obs, n_paths), dtype)
+    arith = masian.path_payoff(
+        AsianOption(s=o.s, k=o.k, r=o.r, v=o.v, t=o.t, n_obs=opt.n_obs,
+                    average="arithmetic"), z_seq)
+    geom = masian.path_payoff(
+        AsianOption(s=o.s, k=o.k, r=o.r, v=o.v, t=o.t, n_obs=opt.n_obs,
+                    average="geometric"), z_seq)
+    # Control: the (undiscounted) geometric-Asian payoff; its exact mean is
+    # the closed form grown at the risk-free rate.
+    ctrl_mean = jnp.exp(o.r * o.t) * mcmath.geometric_asian_call(
+        o.s, o.k, o.r, o.v, o.t, opt.n_obs, dtype=dtype)
+    return _cv_estimate(arith, geom, ctrl_mean, pilot, jnp.exp(-o.r * o.t))
+
+
+def price_asian_cv(opt, n_paths: int, key: jax.Array,
+                   pilot_frac: float = 0.1) -> McResult:
+    """Arithmetic-Asian price with the geometric-Asian control variate.
+
+    The classic pairing: the two payoffs are ~99% correlated and the
+    geometric mean is known exactly (:func:`mctpu.math.geometric_asian_call`),
+    so the CI shrinks by an order of magnitude or more.
+    """
+    if opt.average != "arithmetic":
+        raise ValueError("the geometric control variate prices the "
+                         "arithmetic average")
+    dtype = mcmath.wide_dtype()
+    pilot = max(2, int(n_paths * pilot_frac))
+    price, se, n = _asian_cv(opt, key, n_paths, pilot)
+    se = se * jnp.exp(-jnp.asarray(opt.r, dtype) * jnp.asarray(opt.t, dtype))
+    return McResult(price=price, ci=1.96 * se, std_error=se,
+                    sum_p=price * n, sum_p2=jnp.zeros_like(price),
+                    n=n_paths - pilot, n_paths=n_paths)
 
 
 def price_basket_cv(opt: BasketOption, n_paths: int, key: jax.Array,
