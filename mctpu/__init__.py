@@ -15,11 +15,12 @@ and CVA of a call under Black-Scholes), designed TPU-first:
 See SURVEY.md at the repo root for the complete layer map of the reference
 and how each component maps here.
 """
-from mctpu.engine import (EngineConfig, price_asian, price_basket,
-                          price_cva, price_cva_portfolio, price_vanilla)
-from mctpu.types import (AsianOption, BasketOption, CvaPortfolioSpec,
-                         CvaResult, CvaSpec, McResult, Precision,
-                         VanillaOption)
+from mctpu.engine import (EngineConfig, price_asian, price_barrier,
+                          price_basket, price_cva, price_cva_portfolio,
+                          price_vanilla)
+from mctpu.types import (AsianOption, BarrierOption, BasketOption,
+                         CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
+                         Precision, VanillaOption)
 from mctpu import math  # noqa: F401
 from mctpu import greeks, qmc, sobol, variance  # noqa: F401
 
@@ -30,11 +31,13 @@ __all__ = [
     "price_vanilla",
     "price_basket",
     "price_asian",
+    "price_barrier",
     "price_cva",
     "price_cva_portfolio",
     "VanillaOption",
     "BasketOption",
     "AsianOption",
+    "BarrierOption",
     "CvaSpec",
     "CvaPortfolioSpec",
     "McResult",

@@ -1,0 +1,166 @@
+"""Fused knock-out barrier call Monte Carlo kernel.
+
+Walk skeleton shared with the Asian/CVA kernels: a ``fori_loop`` over the
+observation grid carries the spot tile plus a 0/1 ``alive`` tile that zeroes
+once the barrier is touched; the terminal call payoff is masked by ``alive``.
+New product family beyond the reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import rng as mcrng
+from mctpu.kernels.common import LANES, Plan, chunk_sums
+from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+from mctpu.types import BarrierOption
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True) -> Plan:
+    units = rows * LANES
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic, dtype, kahan)
+
+
+def _alive_update(alive, s, barrier, up: bool):
+    hit = s >= barrier if up else s <= barrier
+    return alive * jnp.where(hit, 0.0, 1.0)
+
+
+def _walk_tile(s0, k, barrier, drift, vol, draw, n_obs: int, up: bool,
+               sgn, shape, dtype):
+    def body(j, carry):
+        s, alive = carry
+        s = s * jnp.exp(drift + vol * (sgn * draw(j)))
+        return (s, _alive_update(alive, s, barrier, up))
+
+    init = (jnp.full(shape, s0, dtype), jnp.ones(shape, dtype))
+    s, alive = jax.lax.fori_loop(0, n_obs, body, init)
+    return alive * jnp.maximum(s - k, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def xla_partials(opt: BarrierOption, key: jax.Array, block_offset,
+                 plan: Plan, n_blocks: int):
+    """Per-block partial sums, shape ``(n_blocks, 2)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    g = opt.n_obs
+    up = opt.kind == "up-and-out"
+    dt = o.t / g
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    shape = (plan.rows, LANES)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            pay = _walk_tile(o.s, o.k, o.barrier, drift, vol,
+                             lambda j: z_seq[j], g, up,
+                             jnp.asarray(1.0, dtype), shape, dtype)
+            if plan.antithetic:
+                pay_m = _walk_tile(o.s, o.k, o.barrier, drift, vol,
+                                   lambda j: z_seq[j], g, up,
+                                   jnp.asarray(-1.0, dtype), shape, dtype)
+                pay = 0.5 * (pay + pay_m)
+            cs, cs2 = chunk_sums(pay)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend
+# ---------------------------------------------------------------------------
+
+def _barrier_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
+                    n_obs: int, up: bool):
+    s0, k, barrier = scal_ref[0], scal_ref[1], scal_ref[2]
+    drift, vol = scal_ref[3], scal_ref[4]
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def draw(_):
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return mcrng.box_muller(bits1, bits2)[0]
+
+    def walk(i, sgn):
+        pltpu.prng_seed(seed_ref[0],
+                        (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        return _walk_tile(s0, k, barrier, drift, vol, draw, n_obs, up,
+                          sgn, shape, jnp.float32)
+
+    def body(i, carry):
+        pay = walk(i, 1.0)
+        if plan.antithetic:
+            pay = 0.5 * (pay + walk(i, -1.0))
+        return _accum_add(carry, pay, pay * pay, plan.kahan)
+
+    tile = jnp.zeros(shape, jnp.float32)
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              ((tile, tile), (tile, tile)) if plan.kahan
+                              else (tile, tile))
+    acc, acc2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = jnp.sum(acc)
+    out_ref[b, 1] = jnp.sum(acc2)
+
+
+def pallas_partials(opt: BarrierOption, seed, block_offset, plan: Plan,
+                    n_blocks: int, interpret: bool = False):
+    """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
+    with jax.enable_x64(False):
+        return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
+                                interpret)
+
+
+def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
+    o = opt.astype(jnp.float32)
+    dt = o.t / opt.n_obs
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    scal = jnp.stack([o.s, o.k, o.barrier, drift, vol])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_barrier_kernel, plan=plan, n_obs=opt.n_obs,
+                               up=opt.kind == "up-and-out")
+    paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * plan.iters * paths_iter * opt.n_obs,
+            bytes_accessed=n_blocks * 8,
+            transcendentals=4 * plan.iters * paths_iter * opt.n_obs,
+        ),
+        interpret=interpret,
+    )(seed_arr, off_arr, scal)

@@ -145,6 +145,59 @@ def geometric_asian_call(s, k, r, v, t, n_obs: int, dtype=None):
     return jnp.exp(-r * t) * (fwd_g * norm_cdf(d1) - k * norm_cdf(d2))
 
 
+def up_and_out_call(s, k, r, v, t, barrier, dtype=None):
+    """Continuously-monitored up-and-out barrier call (Reiner-Rubinstein).
+
+    Requires ``k < barrier`` (otherwise the payoff region is knocked out and
+    the price is 0) and ``s < barrier`` (else already knocked out).  Oracle
+    for the barrier MC engine via the Broadie-Glasserman-Kou correction
+    (:func:`barrier_continuity_correction`) for discrete monitoring.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    s, k, r, v, t, b = (jnp.asarray(x, dtype) for x in (s, k, r, v, t, barrier))
+    sq = v * jnp.sqrt(t)
+    lam = (r + 0.5 * v * v) / (v * v)
+    x = jnp.log(s / k) / sq + lam * sq
+    x1 = jnp.log(s / b) / sq + lam * sq
+    y = jnp.log(b * b / (s * k)) / sq + lam * sq
+    y1 = jnp.log(b / s) / sq + lam * sq
+    disc = jnp.exp(-r * t)
+    pow1 = (b / s) ** (2 * lam)
+    pow2 = (b / s) ** (2 * lam - 2)
+    # C_uo = C_vanilla - C_ui with the Reiner-Rubinstein up-and-in call:
+    # C_ui = S N(x1) - K e^{-rT} N(x1-sq)
+    #        - S (B/S)^{2 lam} [N(-y) - N(-y1)]
+    #        + K e^{-rT} (B/S)^{2 lam - 2} [N(-y+sq) - N(-y1+sq)]
+    price = (
+        s * (norm_cdf(x) - norm_cdf(x1))
+        - k * disc * (norm_cdf(x - sq) - norm_cdf(x1 - sq))
+        + s * pow1 * (norm_cdf(-y) - norm_cdf(-y1))
+        - k * disc * pow2 * (norm_cdf(-y + sq) - norm_cdf(-y1 + sq))
+    )
+    # Already knocked out / degenerate regions.
+    price = jnp.where(s >= b, 0.0, price)
+    price = jnp.where(k >= b, 0.0, price)
+    return jnp.maximum(price, 0.0)
+
+
+def barrier_continuity_correction(barrier, s, v, t, n_obs: int, up: bool = True):
+    """BGK-corrected effective barrier for discretely-monitored MC.
+
+    A discrete walk monitors the barrier only at ``n_obs`` points, so it
+    knocks out less often than the continuous contract; the discrete price
+    matches the continuous formula evaluated at the barrier shifted by
+    ``exp(±beta v sqrt(dt))`` with ``beta = zeta(1/2)/sqrt(2 pi) ~ 0.5826``
+    (Broadie-Glasserman-Kou 1997).
+    """
+    beta = 0.5825971579390106
+    dt = jnp.asarray(t, wide_dtype()) / n_obs
+    shift = jnp.exp((beta if up else -beta) * jnp.asarray(v, wide_dtype())
+                    * jnp.sqrt(dt))
+    del s
+    return jnp.asarray(barrier, wide_dtype()) * shift
+
+
 def cholesky_lower(corr):
     """Lower Cholesky factor L with L @ L.T == corr, PSD-tolerant.
 

@@ -329,6 +329,58 @@ class AsianOption:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class BarrierOption:
+    """Discretely-monitored knock-out barrier call.
+
+    ``kind`` is ``"up-and-out"`` (knocked out when the spot touches or
+    exceeds ``barrier`` at any of the ``n_obs`` observation dates) or
+    ``"down-and-out"`` (knocked out at or below).  New product family beyond
+    the reference; the continuous closed form + the Broadie-Glasserman-Kou
+    correction (:mod:`mctpu.math`) anchor the up-and-out tests.
+    """
+
+    s: Any
+    k: Any
+    r: Any
+    v: Any
+    t: Any
+    barrier: Any
+    n_obs: int = _static(default=50)
+    kind: str = _static(default="up-and-out")
+
+    def astype(self, dtype) -> "BarrierOption":
+        return BarrierOption(
+            s=jnp.asarray(self.s, dtype), k=jnp.asarray(self.k, dtype),
+            r=jnp.asarray(self.r, dtype), v=jnp.asarray(self.v, dtype),
+            t=jnp.asarray(self.t, dtype),
+            barrier=jnp.asarray(self.barrier, dtype),
+            n_obs=self.n_obs, kind=self.kind)
+
+    def validate(self) -> None:
+        if self.kind not in ("up-and-out", "down-and-out"):
+            raise ValueError("kind must be 'up-and-out' or 'down-and-out'")
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        if not _concrete(self.s, self.k, self.v, self.t, self.barrier):
+            return
+        if not (float(self.s) > 0 and float(self.k) > 0):
+            raise ValueError("spot and strike must be positive")
+        if float(self.barrier) <= 0:
+            raise ValueError("barrier must be positive")
+        if self.kind == "up-and-out" and float(self.s) >= float(self.barrier):
+            raise ValueError("up-and-out option is already knocked out "
+                             "(spot >= barrier)")
+        if self.kind == "down-and-out" and float(self.s) <= float(self.barrier):
+            raise ValueError("down-and-out option is already knocked out "
+                             "(spot <= barrier)")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class CvaPortfolioSpec:
     """CVA of a netted portfolio of European calls on one underlying.
 
