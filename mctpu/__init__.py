@@ -18,11 +18,13 @@ and how each component maps here.
 from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_cva, price_cva_portfolio,
                           price_vanilla)
-from mctpu.types import (AsianOption, BarrierOption, BasketOption,
+from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
+                         BasketOption,
                          CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
-from mctpu import greeks, qmc, sobol, variance  # noqa: F401
+from mctpu import greeks, lsm, qmc, sobol, variance  # noqa: F401
+from mctpu.lsm import price_american
 
 __version__ = "0.1.0"
 
@@ -32,12 +34,14 @@ __all__ = [
     "price_basket",
     "price_asian",
     "price_barrier",
+    "price_american",
     "price_cva",
     "price_cva_portfolio",
     "VanillaOption",
     "BasketOption",
     "AsianOption",
     "BarrierOption",
+    "AmericanOption",
     "CvaSpec",
     "CvaPortfolioSpec",
     "McResult",
@@ -45,6 +49,7 @@ __all__ = [
     "Precision",
     "math",
     "greeks",
+    "lsm",
     "qmc",
     "sobol",
     "variance",

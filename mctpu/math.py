@@ -16,6 +16,7 @@ __all__ = [
     "norm_cdf",
     "norm_cdf_hastings",
     "bs_call",
+    "bs_put",
     "bs_call_hastings",
     "cholesky_lower",
     "gbm_terminal",
@@ -89,6 +90,13 @@ def _bs_call(s, k, r, v, t, cdf):
 def bs_call(s, k, r, v, t):
     """Black-Scholes European call price (erf-based CDF)."""
     return _bs_call(s, k, r, v, t, norm_cdf)
+
+
+def bs_put(s, k, r, v, t):
+    """Black-Scholes European put via put-call parity
+    (``P = C - S + K e^{-rt}``)."""
+    s, k, r, t = map(jnp.asarray, (s, k, r, t))
+    return bs_call(s, k, r, v, t) - s + k * jnp.exp(-r * t)
 
 
 def bs_call_hastings(s, k, r, v, t):

@@ -122,6 +122,32 @@ def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> OracleResult
     return _estimate(p, np.exp(-r * t))
 
 
+def binomial_american(s, k, r, v, t, n_steps: int = 2000,
+                      payoff: str = "put") -> float:
+    """Cox-Ross-Rubinstein binomial price of an American option.
+
+    Independent lattice oracle for the Longstaff-Schwartz engine
+    (:mod:`mctpu.lsm`); converges O(1/n) to the continuous-exercise price.
+    """
+    dt = t / n_steps
+    u = np.exp(v * np.sqrt(dt))
+    d = 1.0 / u
+    p = (np.exp(r * dt) - d) / (u - d)
+    disc = np.exp(-r * dt)
+    j = np.arange(n_steps + 1)
+    st = s * u ** (n_steps - j) * d ** j
+
+    def exercise(sv):
+        return np.maximum(k - sv, 0.0) if payoff == "put" else np.maximum(sv - k, 0.0)
+
+    values = exercise(st)
+    for step in range(n_steps - 1, -1, -1):
+        st = st[: step + 1] * d  # spots at this level
+        values = disc * (p * values[:-1] + (1 - p) * values[1:])
+        values = np.maximum(values, exercise(st))
+    return float(values[0])
+
+
 def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
                         n_grid: int, n_paths: int, seed: int = 0) -> OracleResult:
     """Netted-portfolio CVA oracle: exposure = max(sum_m w_m BS_m, 0)."""

@@ -329,6 +329,47 @@ class AsianOption:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class AmericanOption:
+    """American-exercise option priced by Longstaff-Schwartz regression MC.
+
+    ``n_steps`` exercise dates on a uniform grid; ``payoff`` is ``"put"``
+    (the canonical early-exercise case) or ``"call"`` (without dividends its
+    value equals the European call — a sharp test identity).  New product
+    family beyond the reference.
+    """
+
+    s: Any
+    k: Any
+    r: Any
+    v: Any
+    t: Any
+    n_steps: int = _static(default=50)
+    payoff: str = _static(default="put")
+
+    def astype(self, dtype) -> "AmericanOption":
+        return AmericanOption(
+            s=jnp.asarray(self.s, dtype), k=jnp.asarray(self.k, dtype),
+            r=jnp.asarray(self.r, dtype), v=jnp.asarray(self.v, dtype),
+            t=jnp.asarray(self.t, dtype), n_steps=self.n_steps,
+            payoff=self.payoff)
+
+    def validate(self) -> None:
+        if self.payoff not in ("put", "call"):
+            raise ValueError("payoff must be 'put' or 'call'")
+        if self.n_steps < 1:
+            raise ValueError("n_steps must be >= 1")
+        if not _concrete(self.s, self.k, self.v, self.t):
+            return
+        if not (float(self.s) > 0 and float(self.k) > 0):
+            raise ValueError("spot and strike must be positive")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class BarrierOption:
     """Discretely-monitored knock-out barrier call.
 

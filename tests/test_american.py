@@ -1,0 +1,70 @@
+"""Longstaff-Schwartz American option tests vs the binomial lattice oracle
+and exact identities."""
+import jax
+import numpy as np
+import pytest
+
+from mctpu import lsm, math as mcmath, reference
+from mctpu.types import AmericanOption
+
+KEY = jax.random.key(606)
+PUT = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0, n_steps=50,
+                     payoff="put")
+
+
+class TestBinomialOracle:
+    def test_european_limit_matches_bs(self):
+        # The same lattice without early exercise would be European; instead
+        # check the American call (no dividends) == European call identity.
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="call")
+        bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert crr == pytest.approx(bs, abs=5e-3)
+
+    def test_put_above_european(self):
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="put")
+        eur = float(mcmath.bs_put(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert crr > eur
+        assert crr == pytest.approx(6.090, abs=0.01)  # textbook value
+
+
+class TestLsm:
+    def test_put_matches_binomial(self):
+        res = lsm.price_american(PUT, 1 << 17, KEY)
+        # Binomial at the SAME 50 exercise dates (Bermudan) is the honest
+        # target; the 2000-step lattice is the continuous limit.  LSM sits
+        # between (slightly low of Bermudan, near continuous for 50 dates).
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="put")
+        assert abs(float(res.price) - crr) < 4 * float(res.std_error) + 0.02
+
+    def test_call_equals_european(self):
+        # No dividends: early exercise of a call is never optimal.
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=25, payoff="call")
+        res = lsm.price_american(opt, 1 << 17, KEY)
+        bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert abs(float(res.price) - bs) < 4 * float(res.std_error) + 0.02
+
+    def test_put_above_european_put(self):
+        res = lsm.price_american(PUT, 1 << 16, KEY)
+        eur = float(mcmath.bs_put(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert float(res.price) > eur + 3 * float(res.std_error)
+
+    def test_deep_itm_put_exercises_immediately(self):
+        opt = AmericanOption(s=50.0, k=100.0, r=0.10, v=0.2, t=1.0,
+                             n_steps=50, payoff="put")
+        res = lsm.price_american(opt, 1 << 15, KEY)
+        # Intrinsic 50; deep ITM with high rates -> exercise now.
+        assert float(res.price) == pytest.approx(50.0, abs=0.5)
+
+    def test_reproducible(self):
+        a = lsm.price_american(PUT, 1 << 14, KEY)
+        b = lsm.price_american(PUT, 1 << 14, KEY)
+        assert float(a.price) == float(b.price)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="payoff"):
+            AmericanOption(100.0, 100.0, 0.05, 0.2, 1.0, 50,
+                           "straddle").validate()
