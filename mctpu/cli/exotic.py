@@ -1,0 +1,94 @@
+"""Exotic-product experiment driver (families beyond the reference).
+
+``--product asian|barrier|american`` prices the product on the accelerator
+and prints the relevant oracle column (geometric closed form / BGK-corrected
+barrier formula / CRR binomial lattice).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from mctpu import engine, lsm, math as mcmath, reference, variance
+from mctpu.cli import common
+from mctpu.types import AmericanOption, AsianOption, BarrierOption
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_engine_args(p, default_mult=1)
+    p.add_argument("--product", choices=["asian", "barrier", "american"],
+                   default="asian")
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--rate", type=float, default=0.05)
+    p.add_argument("--vol", type=float, default=0.2)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--obs", type=int, default=50,
+                   help="observation/exercise dates")
+    p.add_argument("--average", choices=["arithmetic", "geometric"],
+                   default="arithmetic")
+    p.add_argument("--barrier", type=float, default=130.0)
+    p.add_argument("--kind", choices=["up-and-out", "down-and-out"],
+                   default="up-and-out")
+    p.add_argument("--payoff", choices=["put", "call"], default="put")
+    args = p.parse_args(argv)
+
+    n = common.n_paths(args)
+    cfg = common.build_config(args)
+    key = jax.random.key(args.seed)
+    base = dict(s=args.spot, k=args.strike, r=args.rate, v=args.vol,
+                t=args.maturity)
+
+    if args.product == "asian":
+        opt = AsianOption(n_obs=args.obs, average=args.average, **base)
+        engine.price_asian(opt, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_asian, opt, n, key, cfg)
+        common.print_result(f"asian/{args.average}", res.price, res.ci, dt,
+                            res.n_paths * args.obs, extra="  (path-steps/s)")
+        geo = float(mcmath.geometric_asian_call(
+            args.spot, args.strike, args.rate, args.vol, args.maturity,
+            args.obs))
+        print(f"geometric closed form: {geo:.6f}")
+        if args.average == "arithmetic":
+            cv = variance.price_asian_cv(opt, min(n, 1 << 17), key)
+            print(f"geometric-CV estimate: {float(cv.price):.6f} "
+                  f"± {float(cv.ci):.6f}")
+        return 0
+
+    if args.product == "barrier":
+        opt = BarrierOption(barrier=args.barrier, n_obs=args.obs,
+                            kind=args.kind, **base)
+        engine.price_barrier(opt, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_barrier, opt, n, key, cfg)
+        common.print_result(args.kind, res.price, res.ci, dt,
+                            res.n_paths * args.obs, extra="  (path-steps/s)")
+        if args.kind == "up-and-out":
+            beff = float(mcmath.barrier_continuity_correction(
+                args.barrier, args.spot, args.vol, args.maturity, args.obs))
+            want = float(mcmath.up_and_out_call(
+                args.spot, args.strike, args.rate, args.vol, args.maturity,
+                beff))
+            print(f"BGK-corrected closed form: {want:.6f} "
+                  f"(continuous barrier {args.barrier} -> {beff:.3f})")
+        return 0
+
+    opt = AmericanOption(n_steps=args.obs, payoff=args.payoff, **base)
+    lsm.price_american(opt, min(n, 1 << 18), key)  # compile
+    res, dt = common.timed(lsm.price_american, opt, min(n, 1 << 18), key)
+    common.print_result(f"american {args.payoff}", res.price, res.ci, dt,
+                        res.n_paths * args.obs, extra="  (path-steps/s)")
+    crr = reference.binomial_american(args.spot, args.strike, args.rate,
+                                      args.vol, args.maturity,
+                                      payoff=args.payoff)
+    eur = (mcmath.bs_put if args.payoff == "put" else mcmath.bs_call)(
+        args.spot, args.strike, args.rate, args.vol, args.maturity)
+    print(f"binomial lattice (2000 steps): {crr:.6f}   "
+          f"european: {float(eur):.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,3 +80,27 @@ def test_cva_cli_portfolio_long_only(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "closed_form=" in out
+
+
+def test_exotic_cli_asian(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "asian", "--obs", "12"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "geometric closed form" in out and "geometric-CV" in out
+
+
+def test_exotic_cli_barrier(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "barrier", "--obs", "25"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "BGK-corrected" in out
+
+
+def test_exotic_cli_american(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "american", "--obs", "25"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "binomial lattice" in out
