@@ -15,7 +15,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums
+from mctpu.kernels.common import LANES, Plan, chunk_sums, walk_pairwise
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
@@ -91,25 +91,20 @@ def _asian_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
-    def draw():
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return mcrng.box_muller(bits1, bits2)[0]
-
     def walk(i, sgn):
         # Re-seed per (block, iter) so the antithetic mirror replays the
         # stream (same trick as the CVA kernel).
         pltpu.prng_seed(seed_ref[0],
                         (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
-        def body(j, carry):
+        def step(j, z, carry):
             s, acc = carry
-            s = s * jnp.exp(drift + vol * (sgn * draw()))
+            s = s * jnp.exp(drift + vol * (sgn * z))
             acc = acc + (jnp.log(s) if geometric else s)
             return (s, acc)
 
         init = (jnp.full(shape, s0, jnp.float32), jnp.zeros(shape, jnp.float32))
-        _, acc = jax.lax.fori_loop(0, n_obs, body, init)
+        _, acc = walk_pairwise(shape, n_obs, step, init)
         return _payoff_from_avg(acc, k, n_obs, geometric)
 
     def body(i, carry):

@@ -15,7 +15,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums
+from mctpu.kernels.common import LANES, Plan, chunk_sums, walk_pairwise
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BarrierOption
 
@@ -34,11 +34,12 @@ def _alive_update(alive, s, barrier, up: bool):
     return alive * jnp.where(hit, 0.0, 1.0)
 
 
-def _walk_tile(s0, k, barrier, drift, vol, draw, n_obs: int, up: bool,
+def _walk_tile(s0, k, barrier, drift, vol, z_at, n_obs: int, up: bool,
                sgn, shape, dtype):
+    """XLA-backend walk from pre-drawn normals ``z_at(j)``."""
     def body(j, carry):
         s, alive = carry
-        s = s * jnp.exp(drift + vol * (sgn * draw(j)))
+        s = s * jnp.exp(drift + vol * (sgn * z_at(j)))
         return (s, _alive_update(alive, s, barrier, up))
 
     init = (jnp.full(shape, s0, dtype), jnp.ones(shape, dtype))
@@ -97,16 +98,18 @@ def _barrier_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
-    def draw(_):
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return mcrng.box_muller(bits1, bits2)[0]
-
     def walk(i, sgn):
         pltpu.prng_seed(seed_ref[0],
                         (off_ref[0] + b) * jnp.int32(plan.iters) + i)
-        return _walk_tile(s0, k, barrier, drift, vol, draw, n_obs, up,
-                          sgn, shape, jnp.float32)
+
+        def step(j, z, carry):
+            s, alive = carry
+            s = s * jnp.exp(drift + vol * (sgn * z))
+            return (s, _alive_update(alive, s, barrier, up))
+
+        init = (jnp.full(shape, s0, jnp.float32), jnp.ones(shape, jnp.float32))
+        s, alive = walk_pairwise(shape, n_obs, step, init)
+        return alive * jnp.maximum(s - k, 0.0)
 
     def body(i, carry):
         pay = walk(i, 1.0)

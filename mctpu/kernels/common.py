@@ -10,12 +10,14 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
-__all__ = ["Plan", "LANES", "draw_normal_pair", "chunk_sums"]
+__all__ = ["Plan", "LANES", "draw_normal_pair", "chunk_sums",
+           "walk_pairwise"]
 
 LANES = 128
 
@@ -97,3 +99,27 @@ def draw_normal_pair(shape):
 def chunk_sums(p):
     """(sum, sum of squares) of one payoff tile, reduced on the VPU."""
     return jnp.sum(p), jnp.sum(p * p)
+
+
+def walk_pairwise(shape, n_steps: int, step_fn, init):
+    """Drive a per-step walk consuming BOTH Box-Muller branches.
+
+    ``step_fn(j, z, carry) -> carry`` advances one grid step.  A naive
+    one-draw-per-step walk computes a full Box-Muller pair and discards the
+    sine branch every step; pairing two steps per iteration halves the
+    bits-generation and log/sqrt cost of the walk kernels (CVA/Asian/
+    barrier).  ``j`` arrives in order 0..n_steps-1; odd step counts take one
+    trailing half-pair.
+    """
+    half = n_steps // 2
+
+    def body(jj, carry):
+        z1, z2 = draw_normal_pair(shape)
+        carry = step_fn(2 * jj, z1, carry)
+        return step_fn(2 * jj + 1, z2, carry)
+
+    carry = jax.lax.fori_loop(0, half, body, init)
+    if n_steps % 2:
+        z1, _ = draw_normal_pair(shape)
+        carry = step_fn(n_steps - 1, z1, carry)
+    return carry

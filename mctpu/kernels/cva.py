@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums
+from mctpu.kernels.common import LANES, Plan, chunk_sums, walk_pairwise
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaPortfolioSpec
 
@@ -149,11 +149,6 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
     b = pl.program_id(0)
     g_pad = prof_scratch.shape[0]
 
-    def draw():
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        return mcrng.box_muller(bits1, bits2)[0]
-
     def walk(i, sgn):
         # (Re)seed per (block, iteration): the antithetic mirror walk replays
         # the exact same hardware-PRNG stream with the opposite sign.  The
@@ -163,9 +158,8 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
                         (off_ref[0] + b) * jnp.int32(plan.iters) + i)
         sgn_half = 0.5 if plan.antithetic else 1.0
 
-        def body(j, carry):
+        def step(j, z, carry):
             s, acc = carry
-            z = draw()
             s = s * jnp.exp(drift + vol * (sgn * z))
             ee = _exposure(s, k_ref, w_ref, r, v, trem_ref[j], n_options)
             acc = acc + dp_ref[j] * ee
@@ -175,7 +169,7 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
             return (s, acc)
 
         init = (jnp.full(shape, s0, jnp.float32), jnp.zeros(shape, jnp.float32))
-        _, acc = jax.lax.fori_loop(0, n_grid, body, init)
+        _, acc = walk_pairwise(shape, n_grid, step, init)
         return lgd * acc
 
     def body(i, carry):
