@@ -161,23 +161,26 @@ static void finish(const Sums& sums, int64_t n, double discount, double* out) {
 
 extern "C" {
 
-// out[3] = {price, ci, std_error}
+// out[3] = {price, ci, std_error}; is_put selects max(k - s, 0) payoffs.
 void mc_vanilla(double s0, double k, double r, double v, double t,
-                int64_t n_paths, uint64_t seed, int antithetic, double* out) {
+                int64_t n_paths, uint64_t seed, int antithetic, int is_put,
+                double* out) {
     const double mu = (r - 0.5 * v * v) * t;
     const double sig = v * std::sqrt(t);
+    const double sign = is_put ? -1.0 : 1.0;
+    auto payoff = [&](double z) {
+        return std::max(sign * (s0 * std::exp(mu + sig * z) - k), 0.0);
+    };
     Sums sums;
     if (antithetic) {
         sums = run_parallel(n_paths / 2, seed, [&](NormalGen& g) {
             const double z = g.next();
-            const double p1 = std::max(s0 * std::exp(mu + sig * z) - k, 0.0);
-            const double p2 = std::max(s0 * std::exp(mu - sig * z) - k, 0.0);
-            return 0.5 * (p1 + p2);
+            return 0.5 * (payoff(z) + payoff(-z));
         });
         finish(sums, n_paths / 2, std::exp(-r * t), out);
     } else {
         sums = run_parallel(n_paths, seed, [&](NormalGen& g) {
-            return std::max(s0 * std::exp(mu + sig * g.next()) - k, 0.0);
+            return payoff(g.next());
         });
         finish(sums, n_paths, std::exp(-r * t), out);
     }
@@ -287,6 +290,6 @@ double mc_bs_call(double s, double k, double r, double v, double t) {
     return bs_call(s, k, r, v, t);
 }
 
-int32_t mc_abi_version(void) { return 1; }
+int32_t mc_abi_version(void) { return 2; }
 
 }  // extern "C"

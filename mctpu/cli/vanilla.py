@@ -25,10 +25,13 @@ def main(argv=None):
     p.add_argument("--rate", type=float, default=0.048790)
     p.add_argument("--vol", type=float, default=0.2)
     p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--put", action="store_true",
+                   help="price a European put instead of a call")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
-                        v=args.vol, t=args.maturity)
+                        v=args.vol, t=args.maturity,
+                        kind="put" if args.put else "call")
     n = common.n_paths(args)
     cfg = common.build_config(args)
     key = jax.random.key(args.seed)
@@ -37,8 +40,10 @@ def main(argv=None):
     print(f"Monte Carlo scenarios: {n}")
     common.print_option(opt)
 
-    bs = float(mcmath.bs_call(opt.s, opt.k, opt.r, opt.v, opt.t))
-    print(f"\nBlack & Scholes price: {bs:.6f}\n")
+    bs_fn = mcmath.bs_put if args.put else mcmath.bs_call
+    bs = float(bs_fn(opt.s, opt.k, opt.r, opt.v, opt.t))
+    print(f"\nBlack & Scholes {'put' if args.put else 'call'} price: "
+          f"{bs:.6f}\n")
 
     cpu_time = None
     if not args.skip_cpu:

@@ -61,6 +61,9 @@ def vanilla_greeks(opt: VanillaOption, n_paths: int, key: jax.Array,
     delta, or the closed form.  Validated against ``bs_greeks`` in
     ``tests/test_greeks.py``.
     """
+    if getattr(opt, "kind", "call") != "call":
+        raise ValueError("vanilla_greeks prices calls; use put-call parity "
+                         "for put Greeks")
     n = n_paths // 2 if antithetic else n_paths
     price, delta, vega, theta, rho = _vanilla_greeks_impl(
         opt.s, opt.k, opt.r, opt.v, opt.t, key, n, antithetic)

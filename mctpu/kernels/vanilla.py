@@ -50,14 +50,18 @@ def _accum_final(carry, kahan: bool):
     return carry
 
 
-def _payoffs(s0, k, mu, sig, z, antithetic: bool):
-    """Call payoff(s) of a tile of normals; pair-mean when antithetic.
+def _payoffs(s0, k, mu, sig, z, antithetic: bool, put: bool = False):
+    """Option payoff(s) of a tile of normals; pair-mean when antithetic.
 
-    ``max(s0 * exp(mu + sig*z) - k, 0)`` per ``callPayoff``
-    (``MonteCarloKernel.cu:67-71``); with antithetic variates the i.i.d.
-    estimator unit is the pair mean ``(p(z) + p(-z)) / 2``.
+    Call: ``max(s0 * exp(mu + sig*z) - k, 0)`` per ``callPayoff``
+    (``MonteCarloKernel.cu:67-71``); put mirrors it (beyond the reference's
+    call-only scope).  With antithetic variates the i.i.d. estimator unit is
+    the pair mean ``(p(z) + p(-z)) / 2``.
     """
-    pay = lambda zz: jnp.maximum(s0 * jnp.exp(mu + sig * zz) - k, 0.0)
+    if put:
+        pay = lambda zz: jnp.maximum(k - s0 * jnp.exp(mu + sig * zz), 0.0)
+    else:
+        pay = lambda zz: jnp.maximum(s0 * jnp.exp(mu + sig * zz) - k, 0.0)
     if antithetic:
         return 0.5 * (pay(z) + pay(-z))
     return pay(z)
@@ -79,7 +83,8 @@ def xla_partials(opt: VanillaOption, key: jax.Array, block_offset, plan: Plan,
         def body(i, carry):
             zk = jax.random.fold_in(bkey, i)
             z = jax.random.normal(zk, (2, plan.rows, LANES), dtype)
-            p = _payoffs(o.s, o.k, mu, sig, z, plan.antithetic)
+            p = _payoffs(o.s, o.k, mu, sig, z, plan.antithetic,
+                         put=opt.kind == "put")
             cs, cs2 = chunk_sums(p)
             return _accum_add(carry, cs, cs2, plan.kahan)
 
@@ -95,7 +100,8 @@ def xla_partials(opt: VanillaOption, key: jax.Array, block_offset, plan: Plan,
 # Pallas TPU backend (in-kernel hardware PRNG; f32 only)
 # ---------------------------------------------------------------------------
 
-def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan):
+def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
+                    put: bool):
     pltpu.prng_seed(seed_ref[0], off_ref[0] + pl.program_id(0))
     s0, k, mu, sig = par_ref[0], par_ref[1], par_ref[2], par_ref[3]
 
@@ -108,8 +114,8 @@ def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan):
 
     def body(i, carry):
         z1, z2 = draw_normal_pair((plan.rows, LANES))
-        p1 = _payoffs(s0, k, mu, sig, z1, plan.antithetic)
-        p2 = _payoffs(s0, k, mu, sig, z2, plan.antithetic)
+        p1 = _payoffs(s0, k, mu, sig, z1, plan.antithetic, put=put)
+        p2 = _payoffs(s0, k, mu, sig, z2, plan.antithetic, put=put)
         return _accum_add(carry, p1 + p2, p1 * p1 + p2 * p2, plan.kahan)
 
     carry = jax.lax.fori_loop(0, plan.iters, body,
@@ -140,7 +146,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
-    kernel = functools.partial(_vanilla_kernel, plan=plan)
+    kernel = functools.partial(_vanilla_kernel, plan=plan,
+                               put=opt.kind == "put")
     flops_iter = plan.rows * LANES * 2 * (2 if plan.antithetic else 1)
     return pl.pallas_call(
         kernel,

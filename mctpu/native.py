@@ -82,9 +82,9 @@ def _load():
                             ctypes.c_uint64)
         dp = ctypes.POINTER(ctypes.c_double)
         lib.mc_abi_version.restype = i32
-        if lib.mc_abi_version() != 1:
+        if lib.mc_abi_version() != 2:
             raise RuntimeError("native engine ABI mismatch")
-        lib.mc_vanilla.argtypes = [d, d, d, d, d, i64, u64, i32, dp]
+        lib.mc_vanilla.argtypes = [d, d, d, d, d, i64, u64, i32, i32, dp]
         lib.mc_basket.argtypes = [dp, dp, dp, dp, dp, i32, d, d, d, i64, u64, dp]
         lib.mc_cva.argtypes = [d, d, d, d, d, d, d, i32, i64, u64, dp, dp]
         lib.mc_cholesky.argtypes = [dp, i32, dp]
@@ -111,7 +111,8 @@ def price_vanilla(opt: VanillaOption, n_paths: int, seed: int = 0,
     lib = _load()
     out = np.zeros(3)
     lib.mc_vanilla(float(opt.s), float(opt.k), float(opt.r), float(opt.v),
-                   float(opt.t), n_paths, seed, int(antithetic), _ptr(out))
+                   float(opt.t), n_paths, seed, int(antithetic),
+                   int(getattr(opt, "kind", "call") == "put"), _ptr(out))
     n = n_paths // 2 if antithetic else n_paths
     return NativeResult(out[0], out[1], out[2], n)
 

@@ -97,7 +97,10 @@ def price_vanilla(opt: VanillaOption, n_paths: int, seed: int = 0,
     else:
         z = rng.standard_normal(n_paths)
     st = s * np.exp((r - 0.5 * v * v) * t + v * np.sqrt(t) * z)
-    p = np.maximum(st - k, 0.0)
+    if getattr(opt, "kind", "call") == "put":
+        p = np.maximum(k - st, 0.0)
+    else:
+        p = np.maximum(st - k, 0.0)
     if antithetic:
         half = n_paths // 2
         p = 0.5 * (p[:half] + p[half:])  # pair means are the i.i.d. unit

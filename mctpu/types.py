@@ -94,10 +94,11 @@ def _concrete(*values) -> bool:
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
 class VanillaOption:
-    """European call option under Black-Scholes GBM.
+    """European option under Black-Scholes GBM.
 
     Mirrors ``OptionData`` (``MonteCarlo.h:33-39``): spot ``s``, strike ``k``,
-    risk-free rate ``r``, volatility ``v``, time to maturity ``t``.
+    risk-free rate ``r``, volatility ``v``, time to maturity ``t`` — plus a
+    ``kind`` field ("call" | "put"; the reference prices calls only).
     """
 
     s: Any  # spot price
@@ -105,12 +106,18 @@ class VanillaOption:
     r: Any  # risk-free rate
     v: Any  # volatility
     t: Any  # time to maturity (years)
+    kind: str = _static(default="call")
 
     def astype(self, dtype) -> "VanillaOption":
-        return VanillaOption(*(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r, self.v, self.t)))
+        return VanillaOption(
+            *(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r,
+                                              self.v, self.t)),
+            kind=self.kind)
 
     def validate(self) -> None:
         """Eager sanity checks (no-op under tracing)."""
+        if self.kind not in ("call", "put"):
+            raise ValueError("kind must be 'call' or 'put'")
         if not _concrete(self.s, self.k, self.v, self.t):
             return
         if not (float(self.s) > 0 and float(self.k) > 0):
@@ -275,6 +282,8 @@ class CvaSpec:
         """Eager sanity checks (no-op under tracing)."""
         if self.n_grid < 1:
             raise ValueError("n_grid must be >= 1")
+        if getattr(self.option, "kind", "call") != "call":
+            raise ValueError("CVA exposure model prices call options")
         self.option.validate()
         if not _concrete(self.intensity, self.lgd):
             return

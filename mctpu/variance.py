@@ -54,6 +54,8 @@ def _vanilla_cv(s, k, r, v, t, key, n_paths: int, pilot: int):
 def price_vanilla_cv(opt: VanillaOption, n_paths: int, key: jax.Array,
                      pilot_frac: float = 0.1) -> McResult:
     """Control-variate European call price (control: terminal spot)."""
+    if getattr(opt, "kind", "call") != "call":
+        raise ValueError("price_vanilla_cv prices calls")
     dtype = mcmath.wide_dtype()
     pilot = max(2, int(n_paths * pilot_frac))
     price, se, n = _vanilla_cv(

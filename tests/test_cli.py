@@ -15,7 +15,7 @@ def test_vanilla_cli(capsys):
     rc = cli_vanilla.main(FAST)
     out = capsys.readouterr().out
     assert rc == 0
-    assert "Black & Scholes price: 10.386" in out
+    assert "Black & Scholes call price: 10.386" in out
     assert "within 3 sigma: True" in out
     assert "speedup" in out
 
@@ -104,3 +104,11 @@ def test_exotic_cli_american(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "binomial lattice" in out
+
+
+def test_vanilla_cli_put(capsys):
+    rc = cli_vanilla.main(FAST + ["--put"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "put price: 5.6" in out
+    assert "within 3 sigma: True" in out

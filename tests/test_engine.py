@@ -269,3 +269,44 @@ class TestValidation:
         dc = rc.to_dict()
         json.dumps(dc)
         assert len(dc["expected_exposure"]) == 5
+
+
+class TestPut:
+    def test_put_within_3_sigma_of_bs_put(self):
+        put = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0,
+                            kind="put")
+        res = engine.price_vanilla(put, 1 << 19, KEY, CFG)
+        want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
+        assert _z(res.price, want, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+
+    def test_put_call_parity_same_draws(self):
+        # Same key => same paths => pathwise (S-K)+ - (K-S)+ = S - K, so
+        # C - P = e^{-rT} (mean(S_T) - K): parity holds up to the MC error
+        # of mean(S_T), whose sd is S0 sqrt(e^{v^2 T} - 1) (undiscounted).
+        n = 1 << 18
+        call = engine.price_vanilla(OPT, n, KEY, CFG)
+        put = engine.price_vanilla(
+            VanillaOption(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t, kind="put"),
+            n, KEY, CFG)
+        lhs = float(call.price) - float(put.price)
+        rhs = 100.0 - 100.0 * np.exp(-OPT.r * OPT.t)
+        se = 100.0 * np.sqrt(np.exp(OPT.v**2 * OPT.t) - 1.0) / np.sqrt(n)
+        assert lhs == pytest.approx(rhs, abs=4 * se)
+
+    def test_oracle_put(self):
+        put = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0,
+                            kind="put")
+        ora = reference.price_vanilla(put, 1 << 19, seed=21)
+        want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
+        assert abs(ora.price - want) < 3 * ora.std_error
+
+    def test_kind_validated(self):
+        with pytest.raises(ValueError, match="kind"):
+            VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0,
+                          kind="straddle").validate()
+        from mctpu.types import CvaSpec as _C
+        with pytest.raises(ValueError, match="call"):
+            _C(intensity=0.03, lgd=0.6,
+               option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0,
+                                    kind="put"),
+               n_grid=10).validate()

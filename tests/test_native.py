@@ -102,3 +102,11 @@ def test_asset_limit_guard():
         corr=np.eye(a), d=np.zeros(a), k=100.0, r=0.05, t=1.0)
     with pytest.raises(ValueError, match="1024"):
         native.price_basket(opt, 1024, seed=0)
+
+
+def test_native_put():
+    put = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0,
+                        kind="put")
+    res = native.price_vanilla(put, 1 << 20, seed=4)
+    want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
+    assert abs(res.price - want) < 3 * res.std_error * np.exp(-0.048790)
