@@ -9,7 +9,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import numpy as np
 
 from mctpu import engine, lsm, math as mcmath, reference, variance
 from mctpu.cli import common

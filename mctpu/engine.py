@@ -154,33 +154,33 @@ def _combine(partials):
 
 
 # ---------------------------------------------------------------------------
-# Vanilla
+# Shared scalar-product driver
 # ---------------------------------------------------------------------------
+# Every (sum_p, sum_p2)-shaped product shares one pipeline: plan the launch,
+# shard the blocks, run the kernel, combine deterministically, estimate.
+# ``prep(o)`` builds extra traced kernel operands (e.g. the basket's Cholesky
+# factor) inside the jitted program.
 
-def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
-                  config: EngineConfig = EngineConfig()) -> McResult:
-    """Monte Carlo price of a European call (TPU twin of ``dev_vanillaOpt``,
-    ``MonteCarloKernel.cu:501-516``)."""
-    opt.validate()
-    cfg = config
+def _price_scalar(tag, kmod, unit_per_row: int, extra_key, opt, n_paths: int,
+                  key: jax.Array, cfg: EngineConfig, prep=None) -> McResult:
     backend = cfg.resolve_backend()
-    anti = 2 if cfg.antithetic else 1
-    blocks, rows = cfg.layout_for(n_paths, 2 * kvanilla.LANES * anti)
-    plan = kvanilla.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                              cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("vanilla", plan, cfg._key())
+    blocks, rows = cfg.layout_for(n_paths, unit_per_row)
+    plan = kmod.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                          cfg.dtype_str, cfg.precision.kahan)
+    cache_key = (tag, extra_key, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
-        def run(o: VanillaOption, k):
+        def run(o, k):
+            extras = prep(o) if prep is not None else ()
             if backend == "pallas":
-                fn = lambda a, off, nb: kvanilla.pallas_partials(
-                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                fn = lambda a, off, nb: kmod.pallas_partials(
+                    *a[:-1], mcrng.key_to_seed(a[-1]), off, plan, nb,
                     interpret=cfg.interpret)
             else:
-                fn = lambda a, off, nb: kvanilla.xla_partials(
-                    a[0], a[1], off, plan, nb)
-            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
-                                     P(PATH_AXIS, None))
+                fn = lambda a, off, nb: kmod.xla_partials(
+                    *a[:-1], a[-1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn,
+                                     (o, *extras, k), P(PATH_AXIS, None))
             sum_p, sum_p2 = _combine(partials)
             wide = mcest.wide_dtype()
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
@@ -193,9 +193,15 @@ def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
                           n_paths=plan.total_paths)
 
 
-# ---------------------------------------------------------------------------
-# Basket
-# ---------------------------------------------------------------------------
+def price_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
+                  config: EngineConfig = EngineConfig()) -> McResult:
+    """Monte Carlo price of a European call/put (TPU twin of
+    ``dev_vanillaOpt``, ``MonteCarloKernel.cu:501-516``)."""
+    opt.validate()
+    anti = 2 if config.antithetic else 1
+    return _price_scalar("vanilla", kvanilla, 2 * kvanilla.LANES * anti,
+                         opt.kind, opt, n_paths, key, config)
+
 
 def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                  config: EngineConfig = EngineConfig()) -> McResult:
@@ -207,41 +213,16 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     (``basketOpt.cu:96-99``) inside the jitted program.
     """
     opt.validate()
-    cfg = config
-    backend = cfg.resolve_backend()
-    anti = 2 if cfg.antithetic else 1
-    blocks, rows = cfg.layout_for(n_paths, 2 * anti)
-    plan = kbasket.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                             cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("basket", opt.n_assets, plan, cfg._key())
-    runner = _RUNNERS.get(cache_key)
-    if runner is None:
-        def run(o: BasketOption, k):
-            wide = mcest.wide_dtype()
-            chol = mcmath.cholesky_lower(jnp.asarray(o.corr, wide))
-            if backend == "pallas":
-                fn = lambda a, off, nb: kbasket.pallas_partials(
-                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
-                    interpret=cfg.interpret)
-            else:
-                fn = lambda a, off, nb: kbasket.xla_partials(
-                    a[0], a[1], a[2], off, plan, nb)
-            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, chol, k),
-                                     P(PATH_AXIS, None))
-            sum_p, sum_p2 = _combine(partials)
-            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return sum_p, sum_p2, disc
+    anti = 2 if config.antithetic else 1
 
-        runner = jax.jit(run)
-        _RUNNERS[cache_key] = runner
-    sum_p, sum_p2, disc = runner(opt, key)
-    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
-                          n_paths=plan.total_paths)
+    def prep(o):
+        chol = mcmath.cholesky_lower(
+            jnp.asarray(o.corr, mcest.wide_dtype()))
+        return (chol,)
 
+    return _price_scalar("basket", kbasket, 2 * anti, opt.n_assets, opt,
+                         n_paths, key, config, prep=prep)
 
-# ---------------------------------------------------------------------------
-# Asian
-# ---------------------------------------------------------------------------
 
 def price_asian(opt: AsianOption, n_paths: int, key: jax.Array,
                 config: EngineConfig = EngineConfig()) -> McResult:
@@ -251,40 +232,10 @@ def price_asian(opt: AsianOption, n_paths: int, key: jax.Array,
     partials, deterministic combine, reference estimator semantics).
     """
     opt.validate()
-    cfg = config
-    backend = cfg.resolve_backend()
-    anti = 2 if cfg.antithetic else 1
-    blocks, rows = cfg.layout_for(n_paths, kasian.LANES * anti)
-    plan = kasian.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                            cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("asian", opt.n_obs, opt.average, plan, cfg._key())
-    runner = _RUNNERS.get(cache_key)
-    if runner is None:
-        def run(o: AsianOption, k):
-            if backend == "pallas":
-                fn = lambda a, off, nb: kasian.pallas_partials(
-                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
-                    interpret=cfg.interpret)
-            else:
-                fn = lambda a, off, nb: kasian.xla_partials(
-                    a[0], a[1], off, plan, nb)
-            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
-                                     P(PATH_AXIS, None))
-            sum_p, sum_p2 = _combine(partials)
-            wide = mcest.wide_dtype()
-            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return sum_p, sum_p2, disc
+    anti = 2 if config.antithetic else 1
+    return _price_scalar("asian", kasian, kasian.LANES * anti,
+                         (opt.n_obs, opt.average), opt, n_paths, key, config)
 
-        runner = jax.jit(run)
-        _RUNNERS[cache_key] = runner
-    sum_p, sum_p2, disc = runner(opt, key)
-    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
-                          n_paths=plan.total_paths)
-
-
-# ---------------------------------------------------------------------------
-# Barrier
-# ---------------------------------------------------------------------------
 
 def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig()) -> McResult:
@@ -294,35 +245,9 @@ def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
     closed form with the Broadie-Glasserman-Kou barrier correction.
     """
     opt.validate()
-    cfg = config
-    backend = cfg.resolve_backend()
-    anti = 2 if cfg.antithetic else 1
-    blocks, rows = cfg.layout_for(n_paths, kbarrier.LANES * anti)
-    plan = kbarrier.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                              cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("barrier", opt.n_obs, opt.kind, plan, cfg._key())
-    runner = _RUNNERS.get(cache_key)
-    if runner is None:
-        def run(o: BarrierOption, k):
-            if backend == "pallas":
-                fn = lambda a, off, nb: kbarrier.pallas_partials(
-                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
-                    interpret=cfg.interpret)
-            else:
-                fn = lambda a, off, nb: kbarrier.xla_partials(
-                    a[0], a[1], off, plan, nb)
-            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
-                                     P(PATH_AXIS, None))
-            sum_p, sum_p2 = _combine(partials)
-            wide = mcest.wide_dtype()
-            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return sum_p, sum_p2, disc
-
-        runner = jax.jit(run)
-        _RUNNERS[cache_key] = runner
-    sum_p, sum_p2, disc = runner(opt, key)
-    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
-                          n_paths=plan.total_paths)
+    anti = 2 if config.antithetic else 1
+    return _price_scalar("barrier", kbarrier, kbarrier.LANES * anti,
+                         (opt.n_obs, opt.kind), opt, n_paths, key, config)
 
 
 # ---------------------------------------------------------------------------
