@@ -111,15 +111,14 @@ def _asian_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
         pay = walk(i, 1.0)
         if plan.antithetic:
             pay = 0.5 * (pay + walk(i, -1.0))
-        return _accum_add(carry, pay, pay * pay, plan.kahan)
+        cs, cs2 = chunk_sums(pay)
+        return _accum_add(carry, cs, cs2, plan.kahan)
 
-    tile = jnp.zeros(shape, jnp.float32)
     carry = jax.lax.fori_loop(0, plan.iters, body,
-                              ((tile, tile), (tile, tile)) if plan.kahan
-                              else (tile, tile))
-    acc, acc2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = jnp.sum(acc)
-    out_ref[b, 1] = jnp.sum(acc2)
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
 
 
 def pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,

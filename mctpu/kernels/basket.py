@@ -129,23 +129,22 @@ def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, v_ref, w_ref, d_ref,
     }
     a_pad = lt_ref.shape[0]
 
-    # Vector accumulators over the (rows, 1) payoff tiles; one reduction per
-    # block at the end (see the note in vanilla.py).
-    tile = jnp.zeros((plan.rows, 1), jnp.float32)
-
+    # Scalar accumulators with per-iteration reductions (see the measured
+    # note in vanilla.py: small loop carries beat vector accumulators).
     def body(i, carry):
         z1, z2 = draw_normal_pair((plan.rows, a_pad))
         p1 = _payoff_tile(ops, k, r, t, z1, plan.antithetic)
         p2 = _payoff_tile(ops, k, r, t, z2, plan.antithetic)
-        return _accum_add(carry, p1 + p2, p1 * p1 + p2 * p2, plan.kahan)
+        cs = jnp.sum(p1) + jnp.sum(p2)
+        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+        return _accum_add(carry, cs, cs2, plan.kahan)
 
     carry = jax.lax.fori_loop(0, plan.iters, body,
-                              ((tile, tile), (tile, tile)) if plan.kahan
-                              else (tile, tile))
-    acc, acc2 = _accum_final(carry, plan.kahan)
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
     b = pl.program_id(0)
-    out_ref[b, 0] = jnp.sum(acc)
-    out_ref[b, 1] = jnp.sum(acc2)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
 
 
 def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,

@@ -177,17 +177,15 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
             cva_tile = 0.5 * (walk(i, 1.0) + walk(i, -1.0))
         else:
             cva_tile = walk(i, 1.0)
-        return _accum_add(carry, cva_tile, cva_tile * cva_tile, plan.kahan)
+        cs, cs2 = chunk_sums(cva_tile)
+        return _accum_add(carry, cs, cs2, plan.kahan)
 
     prof_scratch[:] = jnp.zeros((g_pad, LANES), jnp.float32)
-    # Vector accumulators; one reduction per block (see vanilla.py note).
-    tile = jnp.zeros(shape, jnp.float32)
     carry = jax.lax.fori_loop(0, plan.iters, body,
-                              ((tile, tile), (tile, tile)) if plan.kahan
-                              else (tile, tile))
-    acc, acc2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = jnp.sum(acc)
-    out_ref[b, 1] = jnp.sum(acc2)
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
     ee_ref[b, :] = jnp.sum(prof_scratch[:], axis=1)
 
 
