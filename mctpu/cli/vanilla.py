@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--maturity", type=float, default=1.0)
     p.add_argument("--put", action="store_true",
                    help="price a European put instead of a call")
+    p.add_argument("--sampler", choices=["mc", "lattice", "sobol"],
+                   default="mc",
+                   help="plain Monte Carlo or randomized QMC point sets")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
@@ -57,10 +60,21 @@ def main(argv=None):
 
     # Compile once, then report warm timing (the reference times a single
     # launch after its separate init phase: MonteCarloKernel.cu:381-387).
-    engine.price_vanilla(opt, n, key, cfg)
-    res, dt = common.timed(engine.price_vanilla, opt, n, key, cfg)
+    if args.sampler == "mc":
+        price_fn, tag = engine.price_vanilla, cfg.resolve_backend()
+        price_fn(opt, n, key, cfg)
+        res, dt = common.timed(price_fn, opt, n, key, cfg)
+    else:
+        if args.put:
+            p.error("QMC samplers currently price calls")
+        from mctpu import qmc, sobol
+        price_fn = (qmc.price_vanilla_qmc if args.sampler == "lattice"
+                    else sobol.price_vanilla_sobol)
+        tag = args.sampler
+        price_fn(opt, max(n // 16, 1024), key)
+        res, dt = common.timed(price_fn, opt, max(n // 16, 1024), key)
     diff = abs(float(res.price) - bs)
-    common.print_result(cfg.resolve_backend(), res.price, res.ci, dt,
+    common.print_result(tag, res.price, res.ci, dt,
                         res.n_paths, extra=f"  |MC-BS|={diff:.6f}")
     within = diff <= 3 * float(res.std_error)
     print(f"\n|MC-BS| within 3 sigma: {within}")

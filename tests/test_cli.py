@@ -112,3 +112,11 @@ def test_vanilla_cli_put(capsys):
     assert rc == 0
     assert "put price: 5.6" in out
     assert "within 3 sigma: True" in out
+
+
+def test_vanilla_cli_qmc_samplers(capsys):
+    for sampler in ("lattice", "sobol"):
+        rc = cli_vanilla.main(FAST + ["--sampler", sampler, "--skip-cpu"])
+        out = capsys.readouterr().out
+        assert rc == 0, out
+        assert f"[{sampler:>10}]" in out
