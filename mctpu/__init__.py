@@ -17,9 +17,9 @@ and how each component maps here.
 """
 from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_cva, price_cva_portfolio,
-                          price_vanilla)
+                          price_heston, price_vanilla)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
-                         BasketOption,
+                         BasketOption, HestonOption,
                          CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
@@ -34,6 +34,7 @@ __all__ = [
     "price_basket",
     "price_asian",
     "price_barrier",
+    "price_heston",
     "price_american",
     "price_cva",
     "price_cva_portfolio",
@@ -41,6 +42,7 @@ __all__ = [
     "BasketOption",
     "AsianOption",
     "BarrierOption",
+    "HestonOption",
     "AmericanOption",
     "CvaSpec",
     "CvaPortfolioSpec",

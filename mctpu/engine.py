@@ -37,15 +37,17 @@ from mctpu.kernels import asian as kasian
 from mctpu.kernels import barrier as kbarrier
 from mctpu.kernels import basket as kbasket
 from mctpu.kernels import cva as kcva
+from mctpu.kernels import heston as kheston
 from mctpu.kernels import vanilla as kvanilla
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
 from mctpu.types import (AsianOption, BarrierOption, BasketOption,
-                         CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
-                         Precision, VanillaOption)
+                         CvaPortfolioSpec, CvaResult, CvaSpec, HestonOption,
+                         McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
-           "price_barrier", "price_cva", "price_cva_portfolio"]
+           "price_barrier", "price_heston", "price_cva",
+           "price_cva_portfolio"]
 
 
 def _default_backend() -> str:
@@ -248,6 +250,52 @@ def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
     anti = 2 if config.antithetic else 1
     return _price_scalar("barrier", kbarrier, kbarrier.LANES * anti,
                          (opt.n_obs, opt.kind), opt, n_paths, key, config)
+
+
+# ---------------------------------------------------------------------------
+# Heston
+# ---------------------------------------------------------------------------
+
+def price_heston(opt: HestonOption, n_paths: int, key: jax.Array,
+                 config: EngineConfig = EngineConfig(),
+                 n_steps: int = 100) -> McResult:
+    """European call under Heston stochastic volatility (full-truncation
+    Euler over ``n_steps``; discretization bias is O(dt)).
+
+    A second dynamics family beyond the reference's GBM; anchored by the
+    characteristic-function pricer
+    (:func:`mctpu.models.heston.cf_call_price`).
+    """
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kheston.LANES * anti)
+    plan = kheston.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("heston", n_steps, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kheston.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n_steps,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kheston.xla_partials(
+                    a[0], a[1], off, plan, nb, n_steps)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            sum_p, sum_p2 = _combine(partials)
+            wide = mcest.wide_dtype()
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return sum_p, sum_p2, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2, disc = runner(opt, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
 
 
 # ---------------------------------------------------------------------------

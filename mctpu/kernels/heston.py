@@ -1,0 +1,182 @@
+"""Fused Heston Monte Carlo kernel (stochastic-volatility path walk).
+
+Full-truncation Euler scheme (Lord et al. 2010 — the least-biased of the
+simple Euler variants for the CIR variance):
+
+    v+   = max(v, 0)
+    S   *= exp((r - v+/2) dt + sqrt(v+ dt) (rho z_v + sqrt(1-rho^2) z_perp))
+    v   += kappa (theta - v+) dt + xi sqrt(v+ dt) z_v
+
+Each step consumes exactly one Box-Muller pair (``z_v``, ``z_perp``) — both
+branches used, nothing discarded.  Same fused-walk architecture as the other
+grid kernels: the (S, v) tiles live in registers for the whole path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import rng as mcrng
+from mctpu.kernels.common import LANES, Plan, chunk_sums, draw_normal_pair
+from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+from mctpu.types import HestonOption
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True,
+              n_steps: int = 100) -> Plan:
+    units = rows * LANES
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def _heston_step(s, v, z_v, z_perp, k_dt, th, xi, rho_c, rho_s, r_dt, sqdt):
+    """One full-truncation Euler step; returns (s_next, v_next)."""
+    vp = jnp.maximum(v, 0.0)
+    sq_v = jnp.sqrt(vp) * sqdt
+    z_s = rho_c * z_v + rho_s * z_perp
+    s = s * jnp.exp(r_dt - 0.5 * vp * (sqdt * sqdt) + sq_v * z_s)
+    v = v + k_dt * (th - vp) + xi * sq_v * z_v
+    return s, v
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def xla_partials(opt: HestonOption, key: jax.Array, block_offset, plan: Plan,
+                 n_blocks: int, n_steps: int):
+    """Per-block partial sums, shape ``(n_blocks, 2)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    dt = o.t / n_steps
+    sqdt = jnp.sqrt(dt)
+    k_dt = o.kappa * dt
+    r_dt = o.r * dt
+    rho_c = o.rho
+    rho_s = jnp.sqrt(1.0 - o.rho * o.rho)
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            s, v = carry
+            return _heston_step(s, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1],
+                                k_dt, o.theta, o.xi, rho_c, rho_s, r_dt, sqdt)
+
+        init = (jnp.full(shape, o.s, dtype), jnp.full(shape, o.v0, dtype))
+        s, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return jnp.maximum(s - o.k, 0.0)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_steps, 2) + shape, dtype)
+            pay = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                pay = 0.5 * (pay + walk(z_seq, jnp.asarray(-1.0, dtype)))
+            cs, cs2 = chunk_sums(pay)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend
+# ---------------------------------------------------------------------------
+
+def _heston_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
+                   n_steps: int):
+    s0, k, v0 = scal_ref[0], scal_ref[1], scal_ref[2]
+    k_dt, th, xi = scal_ref[3], scal_ref[4], scal_ref[5]
+    rho_c, rho_s = scal_ref[6], scal_ref[7]
+    r_dt, sqdt = scal_ref[8], scal_ref[9]
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def walk(i, sgn):
+        # Re-seed per (block, iter): antithetic mirror replays the stream.
+        pltpu.prng_seed(seed_ref[0],
+                        (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def body(j, carry):
+            s, v = carry
+            z_v, z_perp = draw_normal_pair(shape)
+            return _heston_step(s, v, sgn * z_v, sgn * z_perp, k_dt, th, xi,
+                                rho_c, rho_s, r_dt, sqdt)
+
+        init = (jnp.full(shape, s0, jnp.float32),
+                jnp.full(shape, v0, jnp.float32))
+        s, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return jnp.maximum(s - k, 0.0)
+
+    def body(i, carry):
+        pay = walk(i, 1.0)
+        if plan.antithetic:
+            pay = 0.5 * (pay + walk(i, -1.0))
+        cs, cs2 = chunk_sums(pay)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
+def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
+                    n_blocks: int, n_steps: int, interpret: bool = False):
+    """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
+    with jax.enable_x64(False):
+        return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
+                                n_steps, interpret)
+
+
+def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
+                     interpret):
+    o = opt.astype(jnp.float32)
+    dt = o.t / n_steps
+    scal = jnp.stack([
+        o.s, o.k, o.v0,
+        o.kappa * dt, o.theta, o.xi,
+        o.rho, jnp.sqrt(1.0 - o.rho * o.rho),
+        o.r * dt, jnp.sqrt(dt),
+    ])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_heston_kernel, plan=plan, n_steps=n_steps)
+    paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * plan.iters * paths_iter * n_steps,
+            bytes_accessed=n_blocks * 8,
+            transcendentals=6 * plan.iters * paths_iter * n_steps,
+        ),
+        interpret=interpret,
+    )(seed_arr, off_arr, scal)

@@ -338,6 +338,49 @@ class AsianOption:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class HestonOption:
+    """European call under Heston stochastic volatility.
+
+    ``v0`` initial variance, ``kappa`` mean-reversion speed, ``theta``
+    long-run variance, ``xi`` vol-of-vol, ``rho`` spot-variance correlation.
+    A second dynamics family beyond the reference's Black-Scholes GBM; the
+    characteristic-function pricer (:func:`mctpu.models.heston.cf_call_price`)
+    is the oracle.
+    """
+
+    s: Any
+    k: Any
+    r: Any
+    t: Any
+    v0: Any
+    kappa: Any
+    theta: Any
+    xi: Any
+    rho: Any
+
+    def astype(self, dtype) -> "HestonOption":
+        return HestonOption(*(jnp.asarray(x, dtype) for x in (
+            self.s, self.k, self.r, self.t, self.v0, self.kappa,
+            self.theta, self.xi, self.rho)))
+
+    def validate(self) -> None:
+        if not _concrete(self.s, self.k, self.t, self.v0, self.kappa,
+                         self.theta, self.xi, self.rho):
+            return
+        if not (float(self.s) > 0 and float(self.k) > 0):
+            raise ValueError("spot and strike must be positive")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
+        if float(self.v0) < 0 or float(self.theta) < 0:
+            raise ValueError("variances must be non-negative")
+        if float(self.kappa) < 0 or float(self.xi) < 0:
+            raise ValueError("kappa and xi must be non-negative")
+        if not -1.0 <= float(self.rho) <= 1.0:
+            raise ValueError("rho must lie in [-1, 1]")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class AmericanOption:
     """American-exercise option priced by Longstaff-Schwartz regression MC.
 
