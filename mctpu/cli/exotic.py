@@ -18,7 +18,8 @@ from mctpu.types import AmericanOption, AsianOption, BarrierOption
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     common.add_engine_args(p, default_mult=1)
-    p.add_argument("--product", choices=["asian", "barrier", "american"],
+    p.add_argument("--product",
+                   choices=["asian", "barrier", "american", "heston"],
                    default="asian")
     p.add_argument("--spot", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=100.0)
@@ -72,6 +73,22 @@ def main(argv=None):
                 beff))
             print(f"BGK-corrected closed form: {want:.6f} "
                   f"(continuous barrier {args.barrier} -> {beff:.3f})")
+        return 0
+
+    if args.product == "heston":
+        from mctpu.models import heston as mheston
+        from mctpu.types import HestonOption
+        opt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
+                           t=args.maturity, v0=args.vol**2, kappa=2.0,
+                           theta=args.vol**2, xi=0.3, rho=-0.7)
+        engine.price_heston(opt, n, key, cfg, n_steps=args.obs)  # compile
+        res, dt = common.timed(engine.price_heston, opt, n, key, cfg,
+                               n_steps=args.obs)
+        common.print_result("heston", res.price, res.ci, dt,
+                            res.n_paths * args.obs, extra="  (path-steps/s)")
+        print(f"characteristic-function price: "
+              f"{float(mheston.cf_call_price(opt)):.6f}  "
+              f"(v0=theta={args.vol**2:.4f}, kappa=2, xi=0.3, rho=-0.7)")
         return 0
 
     opt = AmericanOption(n_steps=args.obs, payoff=args.payoff, **base)

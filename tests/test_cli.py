@@ -120,3 +120,11 @@ def test_vanilla_cli_qmc_samplers(capsys):
         out = capsys.readouterr().out
         assert rc == 0, out
         assert f"[{sampler:>10}]" in out
+
+
+def test_exotic_cli_heston(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "heston", "--obs", "25"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "characteristic-function price" in out
