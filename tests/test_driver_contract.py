@@ -24,6 +24,26 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)  # raises on any failure
 
 
+def test_dryrun_multichip_fresh_process_like_driver():
+    """Regression for round 1's red MULTICHIP artifact: the driver imports
+    jax first and sets NO XLA_FLAGS, so the bootstrap must be able to request
+    the 8-device virtual host platform itself (jax_num_cpu_devices)."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_ENABLE_X64")}
+    code = ("import jax\n"  # jax pre-imported, like the driver harness
+            "import __graft_entry__ as g\n"
+            "g.dryrun_multichip(8)\n"
+            "print('MULTICHIP_OK')\n")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=600, cwd=str(Path(__file__).resolve().parent.parent))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MULTICHIP_OK" in proc.stdout
+
+
 def test_bench_emits_contract_json(capsys):
     import bench
     bench.main()
