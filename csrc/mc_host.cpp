@@ -151,10 +151,11 @@ static void finish(const Sums& sums, int64_t n, double discount, double* out) {
     const double price = discount * sums.s / nd;
     const double var =
         std::max(nd * sums.s2 - sums.s * sums.s, 0.0) / (nd * (nd - 1.0));
-    const double se = std::sqrt(var) / std::sqrt(nd);
+    const double se = discount * std::sqrt(var) / std::sqrt(nd);
     out[0] = price;          // estimator mean (discounted)
-    out[1] = 1.96 * se;      // 95% CI half-width (on the undiscounted mean,
-    out[2] = se;             //   as in the reference: MonteCarloKernel.cu:423)
+    out[1] = 1.96 * se;      // 95% CI half-width, discounted like the mean
+    out[2] = se;             //   (package convention; the reference leaves the
+                             //    CI undiscounted, MonteCarloKernel.cu:423)
 }
 
 }  // namespace

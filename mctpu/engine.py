@@ -18,8 +18,13 @@ functions; the CPU/GPU split becomes backend-transparent):
 
 Multi-chip scaling is data parallelism over simulation blocks: a 1-D
 ``jax.sharding.Mesh`` with axis ``"paths"`` (see :mod:`mctpu.parallel`).
-Results are bitwise identical for any mesh size (per-block counter RNG +
-fixed-order combine), tested in ``tests/test_sharding.py``.
+Results are bitwise identical for mesh sizes up to the ``layout_for`` block
+floor (8 devices by default — ``auto_shrink`` never shrinks below
+``max(8, n_devices)`` blocks, so wider meshes may pick a different launch
+geometry and hence different RNG streams; raise ``num_blocks``/disable
+``auto_shrink`` to extend the guarantee).  Per-block counter RNG +
+fixed-order combine provide the invariance, tested in
+``tests/test_sharding.py``.
 """
 from __future__ import annotations
 

@@ -7,10 +7,13 @@ Reproduces the closing math of the reference engines
     emp_std = sqrt((n * sum_p2 - sum_p^2) / (n * (n - 1)))
     ci      = 1.96 * emp_std / sqrt(n)
 
-with two deliberate numeric upgrades: the combine across blocks is a
+with three deliberate numeric upgrades: the combine across blocks is a
 fixed-order pairwise tree in float64 (the ``n*sum2 - sum^2`` form
-catastrophically cancels in f32 at ~1e9 paths, SURVEY.md §7), and CVA keeps
-the reference's no-discount quirk (``MonteCarloKernel.cu:467``).
+catastrophically cancels in f32 at ~1e9 paths, SURVEY.md §7); CVA keeps
+the reference's no-discount quirk (``MonteCarloKernel.cu:467``); and —
+unlike the reference, whose printed CI is in *undiscounted* payoff units
+while the price is discounted — ``std_error``/``ci`` here are discounted
+too, so every result field shares the price's units (see ``McResult``).
 """
 from __future__ import annotations
 
@@ -45,9 +48,13 @@ def estimate(sum_p, sum_p2, n: int, *, discount=1.0, n_paths: int | None = None)
     nf = jnp.asarray(n, wide)
     sum_p = jnp.asarray(sum_p, wide)
     sum_p2 = jnp.asarray(sum_p2, wide)
-    price = jnp.asarray(discount, wide) * sum_p / nf
+    disc = jnp.asarray(discount, wide)
+    price = disc * sum_p / nf
     var = jnp.maximum(nf * sum_p2 - sum_p * sum_p, 0.0) / (nf * (nf - 1.0))
-    se = jnp.sqrt(var) / jnp.sqrt(nf)
+    # Discount the standard error too: price, std_error and ci share units
+    # (the reference's CI stays in undiscounted payoff units,
+    # MonteCarloKernel.cu:421-423 — a units mismatch we fix, not mirror).
+    se = disc * jnp.sqrt(var) / jnp.sqrt(nf)
     return McResult(
         price=price,
         ci=1.96 * se,

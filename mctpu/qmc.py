@@ -55,7 +55,17 @@ def next_prime(n: int) -> int:
 
 
 def korobov_vector(n: int, dim: int, a: int = 1571) -> np.ndarray:
-    """Korobov generating vector ``(1, a, a^2, ...) mod n`` (host-side)."""
+    """Korobov generating vector ``(1, a, a^2, ...) mod n`` (host-side).
+
+    Requires ``gcd(a, n) == 1`` — otherwise every dimension ``j >= 1``
+    collapses (worst case ``a % n == 0`` makes them all constant); bump ``a``
+    past any collision (n is prime in our callers, so coprimality is just
+    ``a % n != 0``).
+    """
+    import math as _math
+
+    while _math.gcd(a, n) != 1:
+        a += 1
     g = np.empty(dim, dtype=np.int64)
     g[0] = 1
     for j in range(1, dim):
@@ -66,14 +76,19 @@ def korobov_vector(n: int, dim: int, a: int = 1571) -> np.ndarray:
 def lattice_points(n: int, dim: int, shift: jax.Array, dtype=jnp.float32):
     """The shifted rank-1 lattice point set, shape ``(n, dim)`` in [0, 1).
 
-    ``shift`` is a ``(dim,)`` uniform array (one randomization).  Uses f64
-    for the ``frac`` so point sets stay exact up to n ~ 2^26 even when the
-    output dtype is f32.
+    ``shift`` is a ``(dim,)`` uniform array (one randomization).  The
+    unshifted lattice ``(i * g mod n) / n`` is computed exactly in host-side
+    int64 — never in floating point, whose ulp at ``i * g / n ~ n`` exceeds
+    the 1/n lattice spacing even in f32 for n as small as ~2^13 (and jnp.f64
+    silently downgrades to f32 when x64 is off, e.g. on TPU).  Only the
+    shift-and-frac runs on device, on values in [0, 1) where ``dtype``
+    resolution is ample.
     """
-    g = jnp.asarray(korobov_vector(n, dim), jnp.float64)
-    i = jnp.arange(n, dtype=jnp.float64)[:, None]
-    u = i * (g[None, :] / n) + jnp.asarray(shift, jnp.float64)[None, :]
-    return (u - jnp.floor(u)).astype(dtype)
+    g = korobov_vector(n, dim)
+    i = np.arange(n, dtype=np.int64)[:, None]
+    base = ((i * g[None, :]) % n).astype(np.float64) / n  # exact for n < 2^53
+    u = jnp.asarray(base, dtype) + jnp.asarray(shift, dtype)[None, :]
+    return u - jnp.floor(u)
 
 
 def _replicate_estimate(values):
@@ -87,7 +102,7 @@ def _replicate_estimate(values):
 @functools.partial(jax.jit, static_argnames=("n", "replicates"))
 def _vanilla_qmc(s, k, r, v, t, key, n: int, replicates: int):
     dtype = mcmath.wide_dtype()
-    shifts = jax.random.uniform(key, (replicates, 1), dtype=jnp.float64)
+    shifts = jax.random.uniform(key, (replicates, 1), dtype=dtype)
 
     mu = (r - 0.5 * v * v) * t
     sig = v * jnp.sqrt(t)
@@ -131,7 +146,7 @@ def price_vanilla_qmc(opt: VanillaOption, n_points: int, key: jax.Array,
 def _basket_qmc(opt: BasketOption, chol, key, n: int, dim: int,
                 replicates: int):
     dtype = mcmath.wide_dtype()
-    shifts = jax.random.uniform(key, (replicates, dim), dtype=jnp.float64)
+    shifts = jax.random.uniform(key, (replicates, dim), dtype=dtype)
 
     def one(shift):
         u = lattice_points(n, dim, shift, dtype)

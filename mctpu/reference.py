@@ -76,13 +76,16 @@ def bs_call(s, k, r, v, t):
 
 def _estimate(payoffs: np.ndarray, discount: float) -> OracleResult:
     """The reference estimator (``MonteCarloHost.c:221-229``): discounted mean,
-    sample stdev from raw sums, 95% CI = 1.96 sigma / sqrt(n)."""
+    sample stdev from raw sums, 95% CI = 1.96 sigma / sqrt(n).
+
+    Unlike the reference we discount the standard error as well, so price,
+    ``std_error`` and ``ci`` share units (package-wide convention)."""
     n = payoffs.size
     s = float(payoffs.sum())
     s2 = float((payoffs * payoffs).sum())
     price = discount * s / n
     emp_std = np.sqrt(max(n * s2 - s * s, 0.0) / (n * (n - 1.0)))
-    se = emp_std / np.sqrt(n)
+    se = discount * emp_std / np.sqrt(n)
     return OracleResult(price=float(price), ci=float(1.96 * se), std_error=float(se), n=n)
 
 

@@ -562,10 +562,17 @@ class McResult:
     with the estimator inputs kept for composition: raw ``sum_p``/``sum_p2``
     accumulators and the effective number of i.i.d. samples ``n`` (pairs, when
     antithetic variates are on).
+
+    Units convention (package-wide): ``price``, ``std_error`` and ``ci`` are
+    all in *discounted* (present-value) units, so CIs are directly comparable
+    across the MC engine, QMC/Sobol, control variates and the oracles.  (The
+    reference prints an undiscounted CI next to a discounted price,
+    ``MonteCarloKernel.cu:421-423`` — a units mismatch we fix, not mirror.)
+    ``sum_p``/``sum_p2`` remain raw undiscounted accumulator sums.
     """
 
     price: Any
-    ci: Any  # 1.96 * sigma_hat / sqrt(n): MonteCarloKernel.cu:423
+    ci: Any  # 1.96 * discount * sigma_hat / sqrt(n)
     std_error: Any
     sum_p: Any
     sum_p2: Any

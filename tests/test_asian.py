@@ -43,7 +43,7 @@ class TestEngine:
     def test_geometric_within_3_sigma_of_closed_form(self):
         res = engine.price_asian(GEO, 1 << 17, KEY, CFG)
         want = float(masian.closed_form_geometric(GEO))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         assert abs(float(res.price) - want) < 3 * se
 
     def test_arithmetic_above_geometric(self):
@@ -68,7 +68,7 @@ class TestEngine:
         pay = masian.path_payoff(ARI, z)
         direct = float(np.exp(-0.05) * np.mean(np.asarray(pay)))
         res = engine.price_asian(ARI, 1 << 17, KEY, CFG)
-        se = float(res.std_error) * np.exp(-0.05) + \
+        se = float(res.std_error) + \
             float(np.std(np.asarray(pay)) / np.sqrt(pay.size))
         assert abs(direct - float(res.price)) < 4 * se
 
@@ -84,7 +84,7 @@ class TestControlVariate:
         # ~99% payoff correlation: order-of-magnitude CI reduction.
         assert float(cv.std_error) < float(mc.std_error) / 8
         se = np.hypot(float(cv.std_error),
-                      float(mc.std_error) * np.exp(-0.05))
+                      float(mc.std_error))
         assert abs(float(cv.price) - float(mc.price)) < 4 * se
 
     def test_rejects_geometric_input(self):

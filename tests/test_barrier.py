@@ -45,7 +45,7 @@ class TestEngine:
             UO.barrier, UO.s, UO.v, UO.t, UO.n_obs, up=True))
         want = float(mcmath.up_and_out_call(UO.s, UO.k, UO.r, UO.v, UO.t,
                                             b_eff))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         # BGK is O(1/sqrt(m)) accurate; allow MC error + 1% correction bias.
         assert abs(float(res.price) - want) < 3 * se + 0.01 * want
 
@@ -54,7 +54,7 @@ class TestEngine:
                             barrier=1e6, n_obs=10, kind="up-and-out")
         res = engine.price_barrier(far, 1 << 17, KEY, CFG)
         want = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         assert abs(float(res.price) - want) < 4 * se
 
     def test_down_and_out_far_barrier_is_vanilla(self):
@@ -62,7 +62,7 @@ class TestEngine:
                            barrier=1e-3, n_obs=10, kind="down-and-out")
         res = engine.price_barrier(do, 1 << 17, KEY, CFG)
         want = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         assert abs(float(res.price) - want) < 4 * se
 
     def test_more_observations_knock_out_more(self):

@@ -25,7 +25,7 @@ class TestVanilla:
         res = engine.price_vanilla(OPT, 1 << 19, KEY, CFG)
         bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
         # CI applies to the discounted mean; discount the comparison too.
-        assert _z(res.price, bs, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+        assert _z(res.price, bs, res.std_error) < 3
 
     def test_rounds_path_count_up(self):
         res = engine.price_vanilla(OPT, 1000, KEY, CFG)
@@ -40,14 +40,14 @@ class TestVanilla:
         assert anti.n == anti.n_paths // 2
         assert float(anti.std_error) < float(plain.std_error)
         bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
-        assert _z(anti.price, bs, anti.std_error * np.exp(-OPT.r * OPT.t)) < 3
+        assert _z(anti.price, bs, anti.std_error) < 3
 
     def test_f64_precision_policy(self):
         cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
                                   precision=Precision.F64)
         res = engine.price_vanilla(OPT, 1 << 18, KEY, cfg)
         bs = mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t)
-        assert _z(res.price, bs, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+        assert _z(res.price, bs, res.std_error) < 3
 
     def test_kahan_agrees_with_plain_f32_on_same_draws(self):
         # F32 and F32_KAHAN consume identical f32 normal draws; only the
@@ -102,13 +102,13 @@ class TestBasket:
         )
         res = engine.price_basket(opt, 1 << 19, KEY, CFG)
         bs = mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
-        assert _z(res.price, bs, res.std_error * np.exp(-0.048790)) < 3
+        assert _z(res.price, bs, res.std_error) < 3
 
     def test_reference_config_vs_oracle(self):
         opt = BasketOption.default_reference(3)
         res = engine.price_basket(opt, 1 << 19, KEY, CFG)
         ora = reference.price_basket(opt, 1 << 19, seed=11)
-        se = np.hypot(float(res.std_error) * np.exp(-opt.r * opt.t),
+        se = np.hypot(float(res.std_error),
                       ora.std_error)
         assert _z(res.price, ora.price, se) < 3
 
@@ -116,7 +116,7 @@ class TestBasket:
         opt = BasketOption.default_reference(10)
         res = engine.price_basket(opt, 1 << 18, KEY, CFG)
         ora = reference.price_basket(opt, 1 << 18, seed=12)
-        se = np.hypot(float(res.std_error) * np.exp(-opt.r * opt.t),
+        se = np.hypot(float(res.std_error),
                       ora.std_error)
         assert _z(res.price, ora.price, se) < 3
 
@@ -129,7 +129,7 @@ class TestBasket:
         )
         res = engine.price_basket(opt, 1 << 19, KEY, CFG)
         bs = mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
-        assert _z(res.price, bs, res.std_error * np.exp(-0.048790)) < 3
+        assert _z(res.price, bs, res.std_error) < 3
 
     def test_antithetic(self):
         opt = BasketOption.default_reference(3)
@@ -277,7 +277,7 @@ class TestPut:
                             kind="put")
         res = engine.price_vanilla(put, 1 << 19, KEY, CFG)
         want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
-        assert _z(res.price, want, res.std_error * np.exp(-OPT.r * OPT.t)) < 3
+        assert _z(res.price, want, res.std_error) < 3
 
     def test_put_call_parity_same_draws(self):
         # Same key => same paths => pathwise (S-K)+ - (K-S)+ = S - K, so

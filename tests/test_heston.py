@@ -43,7 +43,7 @@ class TestEngine:
     def test_mc_within_tolerance_of_cf(self):
         res = engine.price_heston(OPT, 1 << 17, KEY, CFG, n_steps=200)
         want = float(mheston.cf_call_price(OPT))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         # 3 sigma MC + 0.5% Euler discretization allowance at 200 steps.
         assert abs(float(res.price) - want) < 3 * se + 0.005 * want
 
@@ -59,7 +59,7 @@ class TestEngine:
                          kappa=2.0, theta=0.04, xi=0.0, rho=0.0)
         res = engine.price_heston(o, 1 << 17, KEY, CFG, n_steps=100)
         bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
-        se = float(res.std_error) * np.exp(-0.05)
+        se = float(res.std_error)
         assert abs(float(res.price) - bs) < 4 * se
 
     def test_negative_rho_fattens_left_tail(self):

@@ -27,7 +27,7 @@ def test_bs_call_matches_jax():
 def test_vanilla_within_3_sigma():
     res = native.price_vanilla(OPT, 1 << 21, seed=1)
     bs = native.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
-    assert abs(res.price - bs) < 3 * res.std_error * np.exp(-0.048790)
+    assert abs(res.price - bs) < 3 * res.std_error
 
 
 def test_vanilla_deterministic_and_thread_invariant():
@@ -58,7 +58,7 @@ def test_basket_single_asset_is_vanilla():
         corr=np.eye(1), d=np.zeros(1), k=100.0, r=0.048790, t=1.0)
     res = native.price_basket(opt, 1 << 20, seed=5)
     bs = native.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
-    assert abs(res.price - bs) < 3 * res.std_error * np.exp(-0.048790)
+    assert abs(res.price - bs) < 3 * res.std_error
 
 
 def test_cva_within_3_sigma_of_closed_form():
@@ -109,4 +109,4 @@ def test_native_put():
                         kind="put")
     res = native.price_vanilla(put, 1 << 20, seed=4)
     want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
-    assert abs(res.price - want) < 3 * res.std_error * np.exp(-0.048790)
+    assert abs(res.price - want) < 3 * res.std_error

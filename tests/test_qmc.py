@@ -47,7 +47,7 @@ def test_basket_qmc_matches_oracle():
                              engine.EngineConfig(num_blocks=8, rows=8,
                                                  backend="xla"))
     se = np.hypot(float(res.std_error),
-                  float(mc.std_error) * np.exp(-opt.r * opt.t))
+                  float(mc.std_error))
     assert abs(float(res.price) - float(mc.price)) < 4 * se
 
 

@@ -61,7 +61,7 @@ class TestShardInvariance:
     def test_sharded_result_is_correct(self, mesh8):
         res = engine.price_vanilla(OPT, 1 << 19, KEY, _cfg(mesh=mesh8))
         bs = float(mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t))
-        se = float(res.std_error) * np.exp(-OPT.r * OPT.t)
+        se = float(res.std_error)
         assert abs(float(res.price) - bs) < 3 * se
 
     def test_uneven_blocks_rejected(self, mesh8):

@@ -27,7 +27,7 @@ def test_basket_cv_unbiased_vs_plain():
     cv = variance.price_basket_cv(opt, 1 << 18, KEY)
     mc = engine.price_basket(opt, 1 << 20, jax.random.key(57), CFG)
     se = np.hypot(float(cv.std_error),
-                  float(mc.std_error) * np.exp(-opt.r * opt.t))
+                  float(mc.std_error))
     assert abs(float(cv.price) - float(mc.price)) < 4 * se
 
 
