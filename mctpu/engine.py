@@ -75,7 +75,11 @@ class EngineConfig:
     precision: Precision = Precision.F32_KAHAN
     antithetic: bool = False
     mesh: Optional[Mesh] = None
-    interpret: bool = False  # Pallas interpret mode (debug only; very slow)
+    # Pallas TPU-interpret mode: runs the kernels on CPU for tests/debug.
+    # The hardware PRNG is swapped for a deterministic counter-hash stream
+    # (mctpu.kernels.common.prng_emulation), so results are statistically
+    # equivalent but not bitwise equal to on-chip runs.  Slow; tests only.
+    interpret: bool = False
     auto_shrink: bool = True  # shrink launch geometry for small path counts
 
     def resolve_backend(self) -> str:

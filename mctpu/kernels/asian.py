@@ -7,6 +7,7 @@ family beyond the reference.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -15,7 +16,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums, walk_pairwise
+from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
@@ -94,8 +96,8 @@ def _asian_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     def walk(i, sgn):
         # Re-seed per (block, iter) so the antithetic mirror replays the
         # stream (same trick as the CVA kernel).
-        pltpu.prng_seed(seed_ref[0],
-                        (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def step(j, z, carry):
             s, acc = carry
@@ -125,7 +127,8 @@ def pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
-    with jax.enable_x64(False):
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
                                 interpret)
 
@@ -158,5 +161,5 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             bytes_accessed=n_blocks * 8,
             transcendentals=4 * plan.iters * paths_iter * opt.n_obs,
         ),
-        interpret=interpret,
+        interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal)

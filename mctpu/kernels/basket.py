@@ -11,6 +11,7 @@ call.  The reference's serial per-asset loops (``brownianVect``,
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -19,7 +20,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums, draw_normal_pair
+from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+                                  draw_normal_pair, interpret_arg,
+                                  prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BasketOption
 
@@ -118,7 +121,7 @@ def xla_partials(opt: BasketOption, chol, key: jax.Array, block_offset,
 
 def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, v_ref, w_ref, d_ref,
                    lt_ref, out_ref, *, plan: Plan):
-    pltpu.prng_seed(seed_ref[0], off_ref[0] + pl.program_id(0))
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
     k, r, t = scal_ref[0], scal_ref[1], scal_ref[2]
     ops = {
         "s0": s0_ref[:],
@@ -132,7 +135,7 @@ def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, v_ref, w_ref, d_ref,
     # Scalar accumulators with per-iteration reductions (see the measured
     # note in vanilla.py: small loop carries beat vector accumulators).
     def body(i, carry):
-        z1, z2 = draw_normal_pair((plan.rows, a_pad))
+        z1, z2 = draw_normal_pair((plan.rows, a_pad), i)
         p1 = _payoff_tile(ops, k, r, t, z1, plan.antithetic)
         p2 = _payoff_tile(ops, k, r, t, z2, plan.antithetic)
         cs = jnp.sum(p1) + jnp.sum(p2)
@@ -151,7 +154,8 @@ def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
-    with jax.enable_x64(False):
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, chol, seed, block_offset, plan,
                                 n_blocks, interpret)
 
@@ -189,5 +193,5 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
             bytes_accessed=n_blocks * 8 + a_pad * a_pad * 4,
             transcendentals=plan.iters * paths_iter * (2 * a_pad + 2),
         ),
-        interpret=interpret,
+        interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["s0"], ops["v"], ops["w"], ops["d"], ops["chol_t"])

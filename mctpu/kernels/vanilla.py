@@ -8,6 +8,7 @@ reduction + (in the engine) a pairwise combine across blocks.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -16,7 +17,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import LANES, Plan, chunk_sums, draw_normal_pair
+from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+                                  draw_normal_pair, interpret_arg,
+                                  prng_emulation, seed_prng)
 from mctpu.types import VanillaOption
 from mctpu.utils.accum import kahan_add
 
@@ -102,7 +105,7 @@ def xla_partials(opt: VanillaOption, key: jax.Array, block_offset, plan: Plan,
 
 def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
                     put: bool):
-    pltpu.prng_seed(seed_ref[0], off_ref[0] + pl.program_id(0))
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
     s0, k, mu, sig = par_ref[0], par_ref[1], par_ref[2], par_ref[3]
 
     # Scalar accumulators with a per-iteration tree reduction: measured ~16%
@@ -110,7 +113,7 @@ def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
     # (large fori_loop carries cost more than the VPU reduction here); Kahan
     # compensation rides on the cheap scalar adds.
     def body(i, carry):
-        z1, z2 = draw_normal_pair((plan.rows, LANES))
+        z1, z2 = draw_normal_pair((plan.rows, LANES), i)
         p1 = _payoffs(s0, k, mu, sig, z1, plan.antithetic, put=put)
         p2 = _payoffs(s0, k, mu, sig, z2, plan.antithetic, put=put)
         cs = jnp.sum(p1) + jnp.sum(p2)
@@ -131,7 +134,8 @@ def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
     # Mosaic has no i64/f64; trace the kernel with x64 semantics off so
     # literals and index arithmetic stay 32-bit even when the caller enabled
     # x64 for the estimator tail.
-    with jax.enable_x64(False):
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
                                 interpret)
 
@@ -165,5 +169,5 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             bytes_accessed=n_blocks * 8,
             transcendentals=5 * plan.iters * flops_iter,
         ),
-        interpret=interpret,
+        interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, params)

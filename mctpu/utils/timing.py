@@ -3,9 +3,32 @@
 The reference times every engine phase with cudaEvent pairs (RNG setup,
 allocs, kernel, D2H, reduction: ``MonteCarloKernel.cu:297-428``) and each
 driver times whole CPU/GPU runs to print a speedup (``vanillaOpt.cu:67-86``).
-On TPU most of those phases no longer exist (XLA owns memory and transfers);
-what remains meaningful is wall time around a synchronized jitted call, plus
-optional ``jax.profiler`` traces for kernel-level inspection.
+On TPU most of those phases no longer exist as host-visible events (XLA owns
+memory and transfers, the RNG has no setup kernel, and the reduction is fused
+into the program), so the honest per-phase mapping is:
+
+=====================  =======================================================
+reference phase        TPU equivalent (how to measure)
+=====================  =======================================================
+RNG setup kernel       none — counter-based streams need no state pool
+host/device allocs     XLA arena allocs; visible only in a profiler trace
+constant-mem upload    ``h2d`` phase of :func:`phase_breakdown` (device_put)
+kernel execution       ``execute`` phase (compiled call + block_until_ready)
+D2H partials copy      ``d2h`` phase (``np.asarray`` of the tiny result)
+final host reduction   inside ``execute`` (fused psum/pairwise combine)
+(not in reference)     ``trace+lower`` / ``compile`` — the JIT cost the
+                       reference pays at build time instead
+=====================  =======================================================
+
+:func:`phase_breakdown` produces exactly this table for one pricing call via
+the AOT API.  For instruction-level phases (DMA vs MXU vs VPU occupancy),
+wrap a run in :func:`profile_trace`::
+
+    with profile_trace("/tmp/mctpu-trace"):
+        sync(engine.price_vanilla(opt, n, key, cfg))
+    # then: tensorboard --logdir /tmp/mctpu-trace  (Profile tab), or open
+    # the .trace.json.gz in perfetto.dev; Pallas kernels appear as
+    # "custom-call" / "mosaic" ops with per-op duration.
 """
 from __future__ import annotations
 
@@ -15,7 +38,7 @@ from typing import Callable
 
 import jax
 
-__all__ = ["PhaseTimer", "sync", "profile_trace"]
+__all__ = ["PhaseTimer", "sync", "profile_trace", "phase_breakdown"]
 
 
 def sync(x=None):
@@ -58,6 +81,32 @@ class PhaseTimer:
         w = max((len(n) for n, _ in self.phases), default=0)
         return "\n".join(f"{n:<{w}}  {dt * 1e3:10.3f} ms"
                          for n, dt in self.phases)
+
+
+def phase_breakdown(fn, *args):
+    """Reference-style per-phase timing of one pricing call (see module doc).
+
+    Splits a ``jax.jit(fn)(*args)`` into trace+lower / compile / h2d /
+    execute / d2h phases via the AOT API — the TPU analogue of the
+    reference's cudaEvent bracketing (``MonteCarloKernel.cu:297-428``).
+    Returns ``(result, PhaseTimer)``.
+    """
+    import numpy as np
+
+    t = PhaseTimer()
+    jfn = jax.jit(fn)
+    with t.phase("trace+lower"):
+        lowered = jfn.lower(*args)
+    with t.phase("compile"):
+        compiled = lowered.compile()
+    with t.phase("h2d"):
+        args_dev = sync(jax.device_put(args))
+    with t.phase("execute"):
+        out = sync(compiled(*args_dev))
+    with t.phase("d2h"):
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "__array__") else x, out)
+    return out, t
 
 
 @contextlib.contextmanager

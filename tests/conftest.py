@@ -7,7 +7,7 @@ cluster).  Environment must be set before jax initializes.
 import os
 
 # Env for backends that initialize lazily (XLA host device count).
-os.environ["JAX_PLATFORMS"] = os.environ.get("MCTPU_TEST_PLATFORM", "cpu")
+_PLATFORM = os.environ.get("MCTPU_TEST_PLATFORM", "cpu")
 os.environ["JAX_ENABLE_X64"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -22,8 +22,11 @@ import pytest  # noqa: E402
 # accelerator plugins), freezing env-derived config; config.update still wins.
 # Default to the host platform: suites must be fast and mesh-testable; tests
 # needing a real TPU are marked @pytest.mark.tpu and opt in via
-# MCTPU_TEST_PLATFORM.
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# MCTPU_TEST_PLATFORM=tpu (which keeps the site default platform — the TPU
+# plugin may register under a vendor name, e.g. "axon", so we must not force
+# the literal string "tpu").
+if _PLATFORM != "tpu":
+    jax.config.update("jax_platforms", _PLATFORM)
 jax.config.update("jax_enable_x64", True)
 
 

@@ -68,3 +68,42 @@ class TestLsm:
         with pytest.raises(ValueError, match="payoff"):
             AmericanOption(100.0, 100.0, 0.05, 0.2, 1.0, 50,
                            "straddle").validate()
+
+    def test_long_grid_many_paths(self):
+        # The forward pricing pass must be O(n_paths) in memory: a 500-step
+        # walk over 2^16 paths runs without materializing (steps, paths).
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=500, payoff="put")
+        res = lsm.price_american(opt, 1 << 16, KEY, pilot_paths=1 << 13)
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="put")
+        assert abs(float(res.price) - crr) < 4 * float(res.std_error) + 0.03
+
+    def test_honest_second_moment(self):
+        # sum_p2 must be the real sum of squared discounted cashflows, and
+        # the CI must follow from it (round-1 shipped sum_p2=0).
+        res = lsm.price_american(PUT, 1 << 14, KEY)
+        assert float(res.sum_p2) > 0
+        n = res.n
+        s, s2 = float(res.sum_p), float(res.sum_p2)
+        var = max(n * s2 - s * s, 0.0) / (n * (n - 1.0))
+        want_se = np.sqrt(var / n)
+        assert float(res.std_error) == pytest.approx(want_se, rel=1e-10)
+
+    def test_out_of_sample_rule_is_low_biased(self):
+        # With a frozen independent rule the estimator is a lower bound in
+        # expectation; at tiny pilot sizes the price must NOT exceed the
+        # continuous-exercise lattice price beyond noise (in-sample LSM
+        # violates this by construction at small path counts).
+        res = lsm.price_american(PUT, 1 << 16, jax.random.key(7),
+                                 pilot_paths=1 << 10)
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="put")
+        assert float(res.price) < crr + 3 * float(res.std_error)
+
+    def test_f32_path_option(self):
+        import jax.numpy as jnp
+        res = lsm.price_american(PUT, 1 << 15, KEY, dtype=jnp.float32)
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=2000, payoff="put")
+        assert abs(float(res.price) - crr) < 4 * float(res.std_error) + 0.03

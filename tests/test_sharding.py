@@ -11,7 +11,8 @@ import pytest
 from mctpu import engine
 from mctpu import math as mcmath
 from mctpu.parallel import path_mesh
-from mctpu.types import BasketOption, CvaSpec, VanillaOption
+from mctpu.types import (AsianOption, BarrierOption, BasketOption, CvaSpec,
+                         HestonOption, VanillaOption)
 
 OPT = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0)
 KEY = jax.random.key(99)
@@ -57,6 +58,31 @@ class TestShardInvariance:
         assert float(base.cva) == float(shard.cva)
         np.testing.assert_array_equal(np.asarray(base.expected_exposure),
                                       np.asarray(shard.expected_exposure))
+
+    def test_asian_bitwise_invariant(self, mesh8):
+        opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12)
+        base = engine.price_asian(opt, 1 << 15, KEY, _cfg(mesh=None))
+        shard = engine.price_asian(opt, 1 << 15, KEY, _cfg(mesh=mesh8))
+        assert float(base.price) == float(shard.price)
+        assert float(base.ci) == float(shard.ci)
+
+    def test_barrier_bitwise_invariant(self, mesh8):
+        opt = BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
+                            n_obs=12, kind="up-and-out")
+        base = engine.price_barrier(opt, 1 << 15, KEY, _cfg(mesh=None))
+        shard = engine.price_barrier(opt, 1 << 15, KEY, _cfg(mesh=mesh8))
+        assert float(base.price) == float(shard.price)
+        assert float(base.ci) == float(shard.ci)
+
+    def test_heston_bitwise_invariant(self, mesh8):
+        opt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                           kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+        base = engine.price_heston(opt, 1 << 15, KEY, _cfg(mesh=None),
+                                   n_steps=16)
+        shard = engine.price_heston(opt, 1 << 15, KEY, _cfg(mesh=mesh8),
+                                    n_steps=16)
+        assert float(base.price) == float(shard.price)
+        assert float(base.ci) == float(shard.ci)
 
     def test_sharded_result_is_correct(self, mesh8):
         res = engine.price_vanilla(OPT, 1 << 19, KEY, _cfg(mesh=mesh8))

@@ -29,3 +29,18 @@ def test_sync_passthrough():
 def test_profile_trace_noop():
     with profile_trace(None):
         pass
+
+
+def test_phase_breakdown_reports_all_phases():
+    import jax.numpy as jnp
+
+    from mctpu.utils.timing import phase_breakdown
+
+    def fn(x):
+        return jnp.sum(x * x)
+
+    out, t = phase_breakdown(fn, jnp.arange(8.0))
+    assert float(out) == float(jnp.sum(jnp.arange(8.0) ** 2))
+    names = [n for n, _ in t.phases]
+    assert names == ["trace+lower", "compile", "h2d", "execute", "d2h"]
+    assert all(dt >= 0 for _, dt in t.phases)

@@ -1,0 +1,108 @@
+"""On-chip accuracy gates for the fused Pallas kernels (real TPU only).
+
+Run with ``MCTPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_hardware.py``
+on a machine with a TPU attached.  These cover the one thing the
+interpret-mode suite (tests/test_pallas_kernels.py) cannot: the hardware
+PRNG (``pltpu.prng_seed``/``prng_random_bits``) and the Mosaic compilation
+of each kernel.  Geometries are kept small so the whole module compiles and
+runs in a couple of minutes on one chip.
+"""
+import jax
+import numpy as np
+import pytest
+
+from mctpu import engine, math as mcmath
+from mctpu.models import asian as masian, cva as mcva, heston as mheston
+from mctpu.types import (AsianOption, BarrierOption, BasketOption, CvaSpec,
+                         HestonOption, VanillaOption)
+
+pytestmark = pytest.mark.tpu
+
+KEY = jax.random.key(101)
+OPT = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0)
+
+
+def _cfg(**kw):
+    kw.setdefault("num_blocks", 16)
+    kw.setdefault("rows", 32)
+    return engine.EngineConfig(backend="pallas", **kw)
+
+
+def _z(price, want, se):
+    return abs(float(price) - want) / float(se)
+
+
+def test_vanilla_on_chip():
+    bs = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
+    res = engine.price_vanilla(OPT, 1 << 22, KEY, _cfg())
+    assert _z(res.price, bs, res.std_error) < 4
+
+
+def test_vanilla_hardware_prng_moments():
+    # With 4M paths the payoff mean AND second moment must both be right;
+    # a biased bit stream shifts sum_p2 detectably.
+    res = engine.price_vanilla(OPT, 1 << 22, KEY, _cfg())
+    n = res.n
+    m2 = float(res.sum_p2) / n
+    m1 = float(res.sum_p) / n
+    # Closed-form E[payoff^2] for a GBM call (f64 quadrature-free form).
+    s, k, r, v, t = 100.0, 100.0, 0.048790, 0.2, 1.0
+    sq = v * np.sqrt(t)
+    d1 = (np.log(s / k) + (r + 0.5 * v * v) * t) / sq
+    d2 = d1 - sq
+    from math import erf
+
+    def cdf(x):
+        return 0.5 * (1.0 + erf(x / np.sqrt(2.0)))
+
+    e_s2 = s * s * np.exp((2 * r + v * v) * t) * cdf(d1 + sq)
+    e_sk = s * np.exp(r * t) * cdf(d1)
+    e_k2 = cdf(d2)
+    want_m2 = e_s2 - 2 * k * e_sk + k * k * e_k2
+    assert abs(m2 - want_m2) / want_m2 < 0.01
+    assert abs(m1 - np.exp(r * t) * float(mcmath.bs_call(s, k, r, v, t))) < 0.05
+
+
+def test_basket_on_chip():
+    opt = BasketOption.default_reference(3)
+    res = engine.price_basket(opt, 1 << 20, KEY, _cfg())
+    from mctpu import reference
+    ora = reference.price_basket(opt, 1 << 18, seed=5)
+    se = np.hypot(float(res.std_error), ora.std_error)
+    assert _z(res.price, ora.price, se) < 4
+
+
+def test_cva_on_chip():
+    spec = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=25)
+    res = engine.price_cva(spec, 1 << 18, KEY, _cfg(num_blocks=16, rows=8))
+    want = float(mcva.closed_form(spec))
+    assert _z(res.cva, want, res.std_error) < 4
+
+
+def test_asian_on_chip():
+    geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                      average="geometric")
+    res = engine.price_asian(geo, 1 << 20, KEY, _cfg(num_blocks=16, rows=8))
+    want = float(masian.closed_form_geometric(geo))
+    assert _z(res.price, want, res.std_error) < 4
+
+
+def test_barrier_on_chip():
+    uo = BarrierOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                       barrier=130.0, n_obs=50, kind="up-and-out")
+    res = engine.price_barrier(uo, 1 << 20, KEY, _cfg(num_blocks=16, rows=8))
+    b_eff = float(mcmath.barrier_continuity_correction(
+        uo.barrier, uo.s, uo.v, uo.t, uo.n_obs, up=True))
+    want = float(mcmath.up_and_out_call(uo.s, uo.k, uo.r, uo.v, uo.t, b_eff))
+    assert abs(float(res.price) - want) < 4 * float(res.std_error) + 0.03
+
+
+def test_heston_on_chip():
+    hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+    res = engine.price_heston(hopt, 1 << 20, KEY,
+                              _cfg(num_blocks=16, rows=8), n_steps=100)
+    want = float(mheston.cf_call_price(hopt))
+    assert abs(float(res.price) - want) < 4 * float(res.std_error) + 0.05
