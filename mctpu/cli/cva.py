@@ -34,6 +34,10 @@ def main(argv=None):
                         "portfolio CVA instead of the single call)")
     p.add_argument("--weights", type=float, nargs="+", default=None,
                    help="portfolio position weights (negatives = short)")
+    p.add_argument("--wwr-b", type=float, default=0.0,
+                   help="wrong-way-risk loading b: hazard h = intensity * "
+                        "exp(b*z - b^2/2) with z the standardized log-"
+                        "return (b > 0 raises call-portfolio CVA)")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
@@ -48,12 +52,18 @@ def main(argv=None):
     common.print_option(opt)
     print()
 
-    portfolio = args.strikes is not None
+    portfolio = args.strikes is not None or args.wwr_b != 0.0
+    if args.strikes is None:
+        args_strikes, default_weights = [100.0], [1.0]
+    else:
+        args_strikes, default_weights = args.strikes, [1.0] * len(args.strikes)
+    if args.wwr_b != 0.0:
+        print(f"wrong-way risk: b={args.wwr_b}")
     if portfolio:
-        weights = args.weights if args.weights is not None else [1.0] * len(args.strikes)
-        if len(weights) != len(args.strikes):
+        weights = args.weights if args.weights is not None else default_weights
+        if len(weights) != len(args_strikes):
             p.error("--strikes and --weights must have the same length")
-        print(f"portfolio: strikes={args.strikes} weights={weights}")
+        print(f"portfolio: strikes={args_strikes} weights={weights}")
 
     ok = True
     for g in args.grids:
@@ -62,17 +72,19 @@ def main(argv=None):
             from mctpu.types import CvaPortfolioSpec
             port = CvaPortfolioSpec(
                 intensity=args.intensity, lgd=lgd, s=opt.s, r=opt.r,
-                v=opt.v, t=opt.t, strikes=np.asarray(args.strikes),
-                weights=np.asarray(weights), n_grid=g)
+                v=opt.v, t=opt.t, strikes=np.asarray(args_strikes),
+                weights=np.asarray(weights), wwr_b=args.wwr_b, n_grid=g)
             engine.price_cva_portfolio(port, n, key, cfg)  # compile
             res, dt = common.timed(engine.price_cva_portfolio, port, n, key, cfg)
-            if all(w >= 0 for w in weights):
+            if all(w >= 0 for w in weights) and args.wwr_b == 0.0:
                 want = float(mcmath.cva_portfolio_closed_form(
                     args.intensity, lgd, opt.s, opt.r, opt.v, opt.t,
-                    args.strikes, weights, g))
+                    args_strikes, weights, g))
                 z = abs(float(res.cva) - want) / float(res.std_error)
             else:
-                want, z = float("nan"), 0.0  # netting: no closed form
+                # netting / wrong-way risk: no closed form; cross-check the
+                # first grid against the independent NumPy oracle below.
+                want, z = float("nan"), 0.0
         else:
             spec = CvaSpec(intensity=args.intensity, lgd=lgd, option=opt,
                            n_grid=g)
@@ -88,11 +100,20 @@ def main(argv=None):
             ee = np.asarray(res.expected_exposure)
             with np.printoptions(precision=4, threshold=16):
                 print(f"  E[exposure] profile: {ee}")
-        if not args.skip_cpu and g == args.grids[0] and not portfolio:
-            eng = common.cpu_engine()
-            ora = eng.price_cva(spec, min(n, 1 << 16), seed=args.seed)
-            tag = "cpu native" if eng is not reference else "cpu oracle"
-            print(f"  {tag} (grid={g}): {ora.price:.6f} ± {ora.ci:.6f}")
+        if not args.skip_cpu and g == args.grids[0]:
+            if portfolio:
+                ora = reference.price_cva_portfolio(
+                    args.intensity, lgd, float(opt.s), float(opt.r),
+                    float(opt.v), float(opt.t), args_strikes, weights,
+                    n_grid=g, n_paths=min(n, 1 << 16), seed=args.seed,
+                    wwr_b=args.wwr_b)
+                print(f"  cpu oracle (grid={g}): {ora.price:.6f} "
+                      f"± {ora.ci:.6f}")
+            else:
+                eng = common.cpu_engine()
+                ora = eng.price_cva(spec, min(n, 1 << 16), seed=args.seed)
+                tag = "cpu native" if eng is not reference else "cpu oracle"
+                print(f"  {tag} (grid={g}): {ora.price:.6f} ± {ora.ci:.6f}")
     return 0 if ok else 1
 
 

@@ -132,6 +132,14 @@ class EngineConfig:
 _RUNNERS: dict[Any, Any] = {}
 
 
+def _concrete_zero(x) -> bool:
+    """True iff ``x`` is a concrete zero (static-branch decision value)."""
+    if isinstance(x, jax.core.Tracer):
+        raise ValueError("wwr_b must be a concrete value at the API "
+                         "boundary (it selects the compiled default leg)")
+    return float(jnp.asarray(x)) == 0.0
+
+
 def _shard_blocks(cfg: EngineConfig, num_blocks: int, partial_fn, args,
                   out_specs):
     """Run ``partial_fn(args, block_offset, n_local_blocks)`` over the mesh.
@@ -173,11 +181,13 @@ def _combine(partials):
 # factor) inside the jitted program.
 
 def _price_scalar(tag, kmod, unit_per_row: int, extra_key, opt, n_paths: int,
-                  key: jax.Array, cfg: EngineConfig, prep=None) -> McResult:
+                  key: jax.Array, cfg: EngineConfig, prep=None,
+                  plan_kwargs=()) -> McResult:
     backend = cfg.resolve_backend()
     blocks, rows = cfg.layout_for(n_paths, unit_per_row)
     plan = kmod.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                          cfg.dtype_str, cfg.precision.kahan)
+                          cfg.dtype_str, cfg.precision.kahan,
+                          **dict(plan_kwargs))
     cache_key = (tag, extra_key, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
@@ -225,14 +235,16 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     """
     opt.validate()
     anti = 2 if config.antithetic else 1
+    _, c, _ = kbasket.pack_factor(opt.n_assets)
 
     def prep(o):
         chol = mcmath.cholesky_lower(
             jnp.asarray(o.corr, mcest.wide_dtype()))
         return (chol,)
 
-    return _price_scalar("basket", kbasket, 2 * anti, opt.n_assets, opt,
-                         n_paths, key, config, prep=prep)
+    return _price_scalar("basket", kbasket, 2 * c * anti, opt.n_assets, opt,
+                         n_paths, key, config, prep=prep,
+                         plan_kwargs=(("n_assets", opt.n_assets),))
 
 
 def price_asian(opt: AsianOption, n_paths: int, key: jax.Array,
@@ -341,17 +353,20 @@ def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
     blocks, rows = cfg.layout_for(n_paths, kcva.LANES * anti)
     plan = kcva.make_plan(n_paths, blocks, rows, cfg.antithetic,
                           cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("cva", port.n_grid, port.n_options, plan, cfg._key())
+    # Static wrong-way-risk switch: wwr_b == 0 keeps the reference's
+    # deterministic default leg (and its exact numerics) compiled in.
+    wwr = not _concrete_zero(port.wwr_b)
+    cache_key = ("cva", port.n_grid, port.n_options, wwr, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
         def run(sp: CvaPortfolioSpec, k):
             if backend == "pallas":
                 fn = lambda a, off, nb: kcva.pallas_partials(
                     a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
-                    interpret=cfg.interpret)
+                    interpret=cfg.interpret, wwr=wwr)
             else:
                 fn = lambda a, off, nb: kcva.xla_partials(
-                    a[0], a[1], off, plan, nb)
+                    a[0], a[1], off, plan, nb, wwr=wwr)
             partials, ee_sums = _shard_blocks(
                 cfg, plan.num_blocks, fn, (sp, k),
                 (P(PATH_AXIS, None), P(PATH_AXIS, None)))

@@ -4,10 +4,18 @@ TPU-native rebuild of ``basketOptMonteCarlo`` (``MonteCarloKernel.cu:133-177``):
 per path, draw an asset vector of normals, correlate it with the Cholesky
 factor, take terminal GBM steps per asset and evaluate the weighted basket
 call.  The reference's serial per-asset loops (``brownianVect``,
-``MonteCarloKernel.cu:74-87``) become one MXU matmul per path tile: normals
-``(rows, A_pad) @ L^T (A_pad, A_pad)`` with the asset dimension padded to the
-128-lane boundary (runtime ``n_assets``, vs the reference's compile-time
-``N=3``).
+``MonteCarloKernel.cu:74-87``) become MXU matmuls over path tiles.
+
+Lane packing: small baskets would waste the 128-lane dimension (3 assets in
+128 lanes = 2.3% utilization), so ``c = 128 / a_tile`` independent paths are
+packed per lane row, with the Cholesky factor laid out block-diagonally
+(``c`` copies of the ``a_tile x a_tile`` block).  Correlation is then one
+``(rows, 128) @ (128, 128)`` matmul covering c paths at once, and the
+weighted basket sum is a second matmul with a block-structured ``(128, c)``
+weight selector — both MXU ops.  Baskets wider than 64 assets take one path
+per row with the asset dim padded to a lane multiple (tested to 100+ assets,
+the BASELINE.json scaling config).  Runtime ``n_assets`` throughout, vs the
+reference's compile-time ``N=3``.
 """
 from __future__ import annotations
 
@@ -26,60 +34,124 @@ from mctpu.kernels.common import (LANES, Plan, chunk_sums,
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BasketOption
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials", "pad_assets"]
-
-
-def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
-              dtype: str = "float32", kahan: bool = True) -> Plan:
-    # Each iteration draws two (rows, A_pad) normal tiles -> 2*rows paths.
-    units = 2 * rows
-    paths = units * (2 if antithetic else 1)
-    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic, dtype, kahan)
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_factor",
+           "pack_assets"]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pad_assets(opt: BasketOption, chol, dtype, lanes: int = LANES):
-    """Pad per-asset operands to the lane boundary with payoff-neutral zeros.
+# Full-f32 matmuls (multi-pass bf16 on the MXU): the DEFAULT precision
+# truncates inputs to bf16, and that *deterministic* rounding of the
+# Cholesky/weight entries is a multiplicative price bias, not noise —
+# measured +4% on the 3-asset reference basket (z=21 vs the oracle) and
+# +1.8% at 100 assets.  HIGHEST restores z ~ 1.  Mosaic lowers only DEFAULT
+# and HIGHEST (Precision.HIGH raises NotImplementedError), so there is no
+# cheaper accurate middle tier.  Module-level so benchmarks can A/B.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
-    Padded lanes have s0 = w = v = 0 and zero Cholesky rows, so they
-    contribute exactly 0 to the basket sum.  Returns 2-D row vectors
-    ``(1, A_pad)`` (TPU wants >=2-D) plus ``chol_t`` ``(A_pad, A_pad)`` laid
-    out so ``bt = z @ chol_t + d`` equals ``L @ z + d`` per path.
+
+def pack_factor(n_assets: int, lanes: int = LANES):
+    """``(a_tile, c, width)``: asset-tile span, paths packed per lane row,
+    and the lane width of the normal tile.
+
+    ``a_tile`` is the power-of-2 span one path's assets occupy; ``c`` paths
+    share a row when ``a_tile < lanes``.  Wide baskets (> lanes/2) take one
+    path per row with assets padded to a lane multiple.
+    """
+    a_tile = 1
+    while a_tile < n_assets:
+        a_tile *= 2
+    if a_tile >= lanes:
+        width = _round_up(n_assets, lanes)
+        return width, 1, width
+    return a_tile, lanes // a_tile, lanes
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True,
+              n_assets: int = 3) -> Plan:
+    # Each iteration draws two (rows, width) normal tiles; each row packs
+    # c paths -> 2 * rows * c paths per iteration.
+    _, c, _ = pack_factor(n_assets)
+    units = 2 * rows * c
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def pack_assets(opt: BasketOption, chol, dtype, lanes: int = LANES):
+    """Packed, payoff-neutral operand layout (see module docstring).
+
+    Returns row vectors ``s0/drift/vol/d`` of shape ``(1, width)`` tiled
+    ``c`` times (padded slots have ``s0 = vol = drift = 0`` so they add
+    exactly 0 to every basket), the block-diagonal transposed Cholesky
+    ``(width, width)`` laid out so ``bt = z @ chol_bd`` equals ``L @ z`` per
+    packed path, and the weight selector ``wsel (width, c)`` whose matmul
+    performs all ``c`` weighted basket sums at once.
     """
     a = opt.n_assets
-    ap = _round_up(max(a, 1), lanes)
+    a_tile, c, width = pack_factor(a, lanes)
 
-    def row(x):
-        return jnp.zeros((1, ap), dtype).at[0, :a].set(jnp.asarray(x, dtype))
+    def tile_row(x):
+        row = jnp.zeros((a_tile,), dtype).at[:a].set(jnp.asarray(x, dtype))
+        return jnp.tile(row, c).reshape(1, width)
 
-    chol_t = jnp.zeros((ap, ap), dtype).at[:a, :a].set(jnp.asarray(chol, dtype).T)
-    return {
-        "s0": row(opt.s),
-        "v": row(opt.v),
-        "w": row(opt.w),
-        "d": row(opt.d),
-        "chol_t": chol_t,
-    }
+    s0_row = tile_row(opt.s)
+    v_row = tile_row(opt.v)
+    t = jnp.asarray(opt.t, dtype)
+    r = jnp.asarray(opt.r, dtype)
+    # Padded slots are neutralized by s0 = 0 (payoff term s0*exp(...) == 0),
+    # so drift/vol rows need no masking of their own.
+    drift = (r - 0.5 * v_row * v_row) * t
+    vol = v_row * jnp.sqrt(t)
+    d_row = tile_row(opt.d)
+
+    block = jnp.zeros((a_tile, a_tile), dtype).at[:a, :a].set(
+        jnp.asarray(chol, dtype).T)
+    chol_bd = jnp.zeros((width, width), dtype)
+    w_col = jnp.zeros((a_tile,), dtype).at[:a].set(jnp.asarray(opt.w, dtype))
+    wsel = jnp.zeros((width, c), dtype)
+    for p in range(c):
+        chol_bd = jax.lax.dynamic_update_slice(chol_bd, block,
+                                               (p * a_tile, p * a_tile))
+        wsel = jax.lax.dynamic_update_slice(wsel, w_col[:, None],
+                                            (p * a_tile, p))
+
+    return {"s0": s0_row, "drift": drift, "vol": vol, "d": d_row,
+            "chol_bd": chol_bd, "wsel": wsel}
 
 
-def _payoff_tile(ops, k, r, t, z, antithetic: bool):
-    """Basket payoff of one (rows, A_pad) normal tile; pair-mean if antithetic.
+def _payoff_tile(ops, k, z, antithetic: bool, mxu: bool):
+    """Basket payoffs of one (rows, width) normal tile -> ``(rows, c)``;
+    pair-mean if antithetic.
 
     Mirrors ``brownianVect`` + ``basketPayoff`` (``MonteCarloKernel.cu:74-101``):
     ``bt = L z + d``; ``s_j = s0_j exp((r - v_j^2/2) t + v_j sqrt(t) bt_j)``;
     ``payoff = max(sum_j w_j s_j - k, 0)``.
+
+    ``mxu=True`` (Pallas kernel) computes all ``c`` per-path asset sums with
+    one ``wsel`` matmul; the XLA twin uses a reshape-sum instead — a batched
+    dot's reduction order may vary with the vmap batch size, which would
+    break the bitwise mesh-invariance contract the engine tests enforce.
     """
-    drift = (r - 0.5 * ops["v"] * ops["v"]) * t
-    vol = ops["v"] * jnp.sqrt(t)
+    c = ops["wsel"].shape[1]
+    a_tile = ops["chol_bd"].shape[0] // c
+
+    prec = MATMUL_PRECISION
 
     def pay(zz):
-        bt = jnp.dot(zz, ops["chol_t"], preferred_element_type=jnp.float32) + ops["d"]
-        s_t = ops["s0"] * jnp.exp(drift + vol * bt)
-        # keepdims: Mosaic wants >=2-D vectors; (rows, 1) stays tiled.
-        basket = jnp.sum(s_t * ops["w"], axis=-1, keepdims=True)
+        bt = jnp.dot(zz, ops["chol_bd"], precision=prec,
+                     preferred_element_type=jnp.float32) + ops["d"]
+        s_t = ops["s0"] * jnp.exp(ops["drift"] + ops["vol"] * bt)
+        if mxu:
+            basket = jnp.dot(s_t, ops["wsel"], precision=prec,
+                             preferred_element_type=jnp.float32)
+        else:
+            w_row = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
+            prod = s_t * w_row
+            basket = prod.reshape(prod.shape[0], c, a_tile).sum(axis=-1)
         return jnp.maximum(basket - k, 0.0)
 
     if antithetic:
@@ -96,18 +168,19 @@ def xla_partials(opt: BasketOption, chol, key: jax.Array, block_offset,
     """Per-block partial sums, shape ``(n_blocks, 2)``, via jax.random."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
-    ops = pad_assets(o, chol, dtype)
-    a_pad = ops["chol_t"].shape[0]
+    ops = pack_assets(o, chol, dtype)
+    width = ops["chol_bd"].shape[0]
 
     def block_fn(bkey):
         def body(i, carry):
             zk = jax.random.fold_in(bkey, i)
-            z = jax.random.normal(zk, (2 * plan.rows, a_pad), dtype)
-            p = _payoff_tile(ops, o.k, o.r, o.t, z, plan.antithetic)
+            z = jax.random.normal(zk, (2 * plan.rows, width), dtype)
+            p = _payoff_tile(ops, o.k, z, plan.antithetic, mxu=False)
             cs, cs2 = chunk_sums(p)
             return _accum_add(carry, cs, cs2, plan.kahan)
 
-        carry = jax.lax.fori_loop(0, plan.iters, body, _accum_init(dtype, plan.kahan))
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
         s, s2 = _accum_final(carry, plan.kahan)
         return jnp.stack([s, s2])
 
@@ -119,25 +192,27 @@ def xla_partials(opt: BasketOption, chol, key: jax.Array, block_offset,
 # Pallas TPU backend
 # ---------------------------------------------------------------------------
 
-def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, v_ref, w_ref, d_ref,
-                   lt_ref, out_ref, *, plan: Plan):
+def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
+                   d_ref, lt_ref, wsel_ref, out_ref, *, plan: Plan,
+                   mxu: bool = True):
     seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
-    k, r, t = scal_ref[0], scal_ref[1], scal_ref[2]
+    k = scal_ref[0]
     ops = {
         "s0": s0_ref[:],
-        "v": v_ref[:],
-        "w": w_ref[:],
+        "drift": drift_ref[:],
+        "vol": vol_ref[:],
         "d": d_ref[:],
-        "chol_t": lt_ref[:],
+        "chol_bd": lt_ref[:],
+        "wsel": wsel_ref[:],
     }
-    a_pad = lt_ref.shape[0]
+    width = lt_ref.shape[0]
 
     # Scalar accumulators with per-iteration reductions (see the measured
     # note in vanilla.py: small loop carries beat vector accumulators).
     def body(i, carry):
-        z1, z2 = draw_normal_pair((plan.rows, a_pad), i)
-        p1 = _payoff_tile(ops, k, r, t, z1, plan.antithetic)
-        p2 = _payoff_tile(ops, k, r, t, z2, plan.antithetic)
+        z1, z2 = draw_normal_pair((plan.rows, width), i)
+        p1 = _payoff_tile(ops, k, z1, plan.antithetic, mxu=mxu)
+        p2 = _payoff_tile(ops, k, z2, plan.antithetic, mxu=mxu)
         cs = jnp.sum(p1) + jnp.sum(p2)
         cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
         return _accum_add(carry, cs, cs2, plan.kahan)
@@ -162,14 +237,14 @@ def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,
 
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
     o = opt.astype(jnp.float32)
-    ops = pad_assets(o, chol, jnp.float32)
-    a_pad = ops["chol_t"].shape[0]
-    scal = jnp.stack([o.k, o.r, o.t])
+    ops = pack_assets(o, chol, jnp.float32)
+    width = ops["chol_bd"].shape[0]
+    c = ops["wsel"].shape[1]
+    scal = jnp.stack([o.k])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
     kernel = functools.partial(_basket_kernel, plan=plan)
-    paths_iter = 2 * plan.rows * (2 if plan.antithetic else 1)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -182,6 +257,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
@@ -189,9 +265,11 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=plan.iters * paths_iter * (2 * a_pad * a_pad + 6 * a_pad),
-            bytes_accessed=n_blocks * 8 + a_pad * a_pad * 4,
-            transcendentals=plan.iters * paths_iter * (2 * a_pad + 2),
+            flops=plan.iters * 2 * plan.rows * (2 * width * width
+                                                + 2 * width * c + 6 * width),
+            bytes_accessed=n_blocks * 8 + 2 * width * width * 4,
+            transcendentals=plan.iters * 2 * plan.rows * (2 * width + 2),
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, ops["s0"], ops["v"], ops["w"], ops["d"], ops["chol_t"])
+    )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
+      ops["d"], ops["chol_bd"], ops["wsel"])

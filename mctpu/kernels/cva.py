@@ -61,6 +61,34 @@ def node_constants(port: CvaPortfolioSpec, dtype):
     return dp, t_rem, drift.astype(dtype), vol.astype(dtype)
 
 
+def wwr_node_constants(port: CvaPortfolioSpec, dtype):
+    """Standardization constants of the wrong-way hazard per node.
+
+    ``z_j = (ln(S_j / S_0) - mu_j) / sig_j`` is standard normal under GBM;
+    returns ``(mu, inv_sig)`` arrays of shape ``(n_grid,)``.
+    """
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    t_j = t * j / g
+    mu = (port.r - 0.5 * port.v * port.v) * t_j
+    inv_sig = 1.0 / (port.v * jnp.sqrt(t_j))
+    return mu.astype(dtype), inv_sig.astype(dtype)
+
+
+def _wwr_hazard_step(s, surv, log_s0, mu_j, isig_j, lam, bw, dt):
+    """One wrong-way hazard step: new survival + default-mass at this node.
+
+    Hull & White (2012)-style intensity ``h = lam * exp(bw * z - bw^2/2)``
+    (unit-mean multiplier, so E[h] = lam marginally); ``bw > 0`` ties default
+    to high spots — wrong-way for call exposure.
+    """
+    zstd = (jnp.log(s) - log_s0 - mu_j) * isig_j
+    h = lam * jnp.exp(bw * zstd - 0.5 * bw * bw)
+    surv_new = surv * jnp.exp(-h * dt)
+    return surv_new, surv - surv_new
+
+
 def _exposure(s, strikes, weights, r, v, t_rem, n_options: int):
     """Netted portfolio exposure at one node.
 
@@ -85,31 +113,43 @@ def _exposure(s, strikes, weights, r, v, t_rem, n_options: int):
 # ---------------------------------------------------------------------------
 
 def xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
-                 plan: Plan, n_blocks: int):
+                 plan: Plan, n_blocks: int, wwr: bool = False):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))``.
 
     Second output is the per-block sum of exposures per node (for the
-    expected-exposure profile).
+    expected-exposure profile).  ``wwr`` switches the default leg from the
+    precomputed deterministic weights to the per-path wrong-way hazard walk
+    (see :class:`mctpu.types.CvaPortfolioSpec`); it must be set iff
+    ``port.wwr_b`` is nonzero.
     """
     dtype = plan.jdtype
     sp = port.astype(dtype)
     g = port.n_grid
     m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, dtype)
+    mu, isig = wwr_node_constants(sp, dtype)
+    log_s0 = jnp.log(jnp.asarray(sp.s, dtype))
+    dt = jnp.asarray(sp.t, dtype) / g
     shape = (plan.rows, LANES)
 
     def walk(z_seq, sgn):
         def body(j, carry):
-            s, acc, ee_sums = carry
+            s, surv, acc, ee_sums = carry
             s = s * jnp.exp(drift + vol * (sgn * z_seq[j]))
             ee = _exposure(s, sp.strikes, sp.weights, sp.r, sp.v, t_rem[j], m)
-            acc = acc + dp[j] * ee
+            if wwr:
+                surv, dp_j = _wwr_hazard_step(s, surv, log_s0, mu[j],
+                                              isig[j], sp.intensity,
+                                              sp.wwr_b, dt)
+            else:
+                dp_j = dp[j]
+            acc = acc + dp_j * ee
             ee_sums = ee_sums.at[j].add(jnp.sum(ee))
-            return (s, acc, ee_sums)
+            return (s, surv, acc, ee_sums)
 
-        init = (jnp.full(shape, sp.s, dtype), jnp.zeros(shape, dtype),
-                jnp.zeros((g,), dtype))
-        _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
+        init = (jnp.full(shape, sp.s, dtype), jnp.ones(shape, dtype),
+                jnp.zeros(shape, dtype), jnp.zeros((g,), dtype))
+        _, _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
         return sp.lgd * acc, ee_sums
 
     def block_fn(bkey):
@@ -143,10 +183,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
-                out_ref, ee_ref, prof_scratch, comp_scratch, *, plan: Plan,
-                n_grid: int, n_options: int):
+                mu_ref, isig_ref, out_ref, ee_ref, prof_scratch,
+                comp_scratch, *, plan: Plan, n_grid: int, n_options: int,
+                wwr: bool):
     s0, r, v, lgd = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     drift, vol = scal_ref[4], scal_ref[5]
+    lam, bw, dt, log_s0 = (scal_ref[6], scal_ref[7], scal_ref[8],
+                           scal_ref[9])
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
     g_pad = prof_scratch.shape[0]
@@ -161,10 +204,15 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
         sgn_half = 0.5 if plan.antithetic else 1.0
 
         def step(j, z, carry):
-            s, acc = carry
+            s, surv, acc = carry
             s = s * jnp.exp(drift + vol * (sgn * z))
             ee = _exposure(s, k_ref, w_ref, r, v, trem_ref[j], n_options)
-            acc = acc + dp_ref[j] * ee
+            if wwr:
+                surv, dp_j = _wwr_hazard_step(s, surv, log_s0, mu_ref[j],
+                                              isig_ref[j], lam, bw, dt)
+            else:
+                dp_j = dp_ref[j]
+            acc = acc + dp_j * ee
             # Exposure profile: accumulate the per-lane row sums at node j,
             # Kahan-compensated — over plan.iters * n_grid adds a plain f32
             # += loses digits the scalar (already-Kahan) CVA sum does not
@@ -178,10 +226,12 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
                 prof_scratch[pl.ds(j, 1), :] = t
             else:
                 prof_scratch[pl.ds(j, 1), :] += row
-            return (s, acc)
+            return (s, surv, acc)
 
-        init = (jnp.full(shape, s0, jnp.float32), jnp.zeros(shape, jnp.float32))
-        _, acc = walk_pairwise(shape, n_grid, step, init)
+        init = (jnp.full(shape, s0, jnp.float32),
+                jnp.ones(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
+        _, _, acc = walk_pairwise(shape, n_grid, step, init)
         return lgd * acc
 
     def body(i, carry):
@@ -204,31 +254,40 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
 
 
 def pallas_partials(port: CvaPortfolioSpec, seed, block_offset, plan: Plan,
-                    n_blocks: int, interpret: bool = False):
+                    n_blocks: int, interpret: bool = False,
+                    wwr: bool = False):
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         return _pallas_partials(port, seed, block_offset, plan, n_blocks,
-                                interpret)
+                                interpret, wwr)
 
 
-def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret):
+def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
+                     wwr=False):
     sp = port.astype(jnp.float32)
     g = port.n_grid
     m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, jnp.float32)
-    scal = jnp.stack([sp.s, sp.r, sp.v, sp.lgd, drift, vol])
+    mu, isig = wwr_node_constants(sp, jnp.float32)
+    scal = jnp.stack([sp.s, sp.r, sp.v, sp.lgd, drift, vol,
+                      sp.intensity, sp.wwr_b,
+                      jnp.asarray(sp.t, jnp.float32) / g,
+                      jnp.log(jnp.asarray(sp.s, jnp.float32))])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
     g_pad = _round_up(g, 8)
-    kernel = functools.partial(_cva_kernel, plan=plan, n_grid=g, n_options=m)
+    kernel = functools.partial(_cva_kernel, plan=plan, n_grid=g, n_options=m,
+                               wwr=wwr)
     paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
     out, ee = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -256,5 +315,5 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret):
             transcendentals=8 * plan.iters * paths_iter * g * m,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, sp.strikes, sp.weights, dp, t_rem)
+    )(seed_arr, off_arr, scal, sp.strikes, sp.weights, dp, t_rem, mu, isig)
     return out, ee[:, :g]

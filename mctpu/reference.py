@@ -155,8 +155,16 @@ def binomial_american(s, k, r, v, t, n_steps: int = 2000,
 
 
 def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
-                        n_grid: int, n_paths: int, seed: int = 0) -> OracleResult:
-    """Netted-portfolio CVA oracle: exposure = max(sum_m w_m BS_m, 0)."""
+                        n_grid: int, n_paths: int, seed: int = 0,
+                        wwr_b: float = 0.0) -> OracleResult:
+    """Netted-portfolio CVA oracle: exposure = max(sum_m w_m BS_m, 0).
+
+    ``wwr_b != 0`` switches on the wrong-way hazard
+    ``h_j = intensity * exp(wwr_b * z_j - wwr_b^2/2)`` (``z_j`` the
+    standardized log-return at node j), with per-path default masses
+    ``dp_j = surv_{j-1} - surv_j`` — the independent NumPy twin of the
+    engine's WWR mode (see ``mctpu.types.CvaPortfolioSpec``).
+    """
     rng = np.random.default_rng(seed)
     strikes = np.asarray(strikes, np.float64)
     weights = np.asarray(weights, np.float64)
@@ -164,6 +172,7 @@ def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
     j = np.arange(1, n_grid + 1)
     dp = np.exp(-intensity * dt * (j - 1)) - np.exp(-intensity * dt * j)
     s = np.full(n_paths, float(s0))
+    surv = np.ones(n_paths)
     acc = np.zeros(n_paths)
     drift = (r - 0.5 * v * v) * dt
     vol = v * np.sqrt(dt)
@@ -174,7 +183,17 @@ def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
         value = np.zeros(n_paths)
         for k, w in zip(strikes, weights):
             value += w * bs_call(s, k, r, v, t_rem)
-        acc += dp[jj - 1] * np.maximum(value, 0.0)
+        if wwr_b != 0.0:
+            t_j = t * jj / n_grid
+            zstd = ((np.log(s / float(s0)) - (r - 0.5 * v * v) * t_j)
+                    / (v * np.sqrt(t_j)))
+            h = intensity * np.exp(wwr_b * zstd - 0.5 * wwr_b * wwr_b)
+            surv_new = surv * np.exp(-h * dt)
+            dp_j = surv - surv_new
+            surv = surv_new
+        else:
+            dp_j = dp[jj - 1]
+        acc += dp_j * np.maximum(value, 0.0)
     return _estimate(lgd * acc, discount=1.0)
 
 

@@ -490,6 +490,14 @@ class CvaPortfolioSpec:
 
     ``s, r, v, t`` describe the single underlying; ``strikes``/``weights``
     are ``(M,)`` vectors.
+
+    Wrong-way risk (beyond the reference, which keeps default and exposure
+    independent): ``wwr_b != 0`` makes the hazard rate a function of the
+    path a la Hull & White (2012), ``h_j = intensity * exp(wwr_b * z_j -
+    wwr_b^2 / 2)`` with ``z_j`` the standardized log-return at node ``j``
+    (so ``E[h_j] = intensity`` marginally).  ``wwr_b > 0`` means default is
+    more likely when the underlying (and hence a call portfolio's exposure)
+    is high — wrong-way risk raising the CVA; ``wwr_b < 0`` is right-way.
     """
 
     intensity: Any
@@ -500,6 +508,7 @@ class CvaPortfolioSpec:
     t: Any
     strikes: Any  # (M,)
     weights: Any  # (M,)
+    wwr_b: Any = 0.0  # wrong-way-risk loading (see class docstring)
     n_grid: int = _static(default=50)
 
     @property
@@ -516,6 +525,7 @@ class CvaPortfolioSpec:
             t=jnp.asarray(self.t, dtype),
             strikes=jnp.asarray(self.strikes, dtype),
             weights=jnp.asarray(self.weights, dtype),
+            wwr_b=jnp.asarray(self.wwr_b, dtype),
             n_grid=self.n_grid,
         )
 
@@ -542,13 +552,14 @@ class CvaPortfolioSpec:
             raise ValueError("lgd must lie in [0, 1]")
 
     @staticmethod
-    def from_single(spec: "CvaSpec") -> "CvaPortfolioSpec":
+    def from_single(spec: "CvaSpec", wwr_b=0.0) -> "CvaPortfolioSpec":
         o = spec.option
         return CvaPortfolioSpec(
             intensity=spec.intensity, lgd=spec.lgd,
             s=o.s, r=o.r, v=o.v, t=o.t,
             strikes=np.reshape(np.asarray(o.k, np.float64), (1,)),
             weights=np.ones((1,)),
+            wwr_b=wwr_b,
             n_grid=spec.n_grid,
         )
 

@@ -81,3 +81,64 @@ def test_validation():
     with pytest.raises(ValueError, match="weights"):
         CvaPortfolioSpec(strikes=np.ones(2), weights=np.ones(3),
                          n_grid=10, **BASE).validate()
+
+
+class TestWrongWayRisk:
+    SPEC = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=25)
+
+    def test_b_zero_is_exactly_the_independent_model(self):
+        base = engine.price_cva(self.SPEC, 1 << 15, KEY, CFG)
+        port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.0)
+        res = engine.price_cva_portfolio(port, 1 << 15, KEY, CFG)
+        assert float(base.cva) == float(res.cva)
+
+    def test_wrong_way_raises_cva_right_way_lowers(self):
+        # Call exposure rises with the spot; a hazard that also rises with
+        # the spot (b > 0) must increase the CVA, b < 0 must decrease it.
+        # Same key = common random numbers, so tiny MC noise.
+        mk = lambda b: engine.price_cva_portfolio(
+            CvaPortfolioSpec.from_single(self.SPEC, wwr_b=b),
+            1 << 16, KEY, CFG)
+        mid, up, down = mk(0.0), mk(1.0), mk(-1.0)
+        assert float(up.cva) > float(mid.cva) + 2 * float(mid.std_error)
+        assert float(down.cva) < float(mid.cva) - 2 * float(mid.std_error)
+
+    def test_matches_numpy_oracle(self):
+        port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.8)
+        res = engine.price_cva_portfolio(port, 1 << 16, KEY, CFG)
+        ora = reference.price_cva_portfolio(
+            0.03, 0.6, 100.0, 0.05, 0.2, 1.0, [100.0], [1.0],
+            n_grid=25, n_paths=1 << 16, seed=17, wwr_b=0.8)
+        se = np.hypot(float(res.std_error), ora.std_error)
+        assert abs(float(res.cva) - ora.price) < 4 * se
+
+    def test_pallas_interpret_twin(self):
+        port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.8)
+        cfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                  interpret=True)
+        res = engine.price_cva_portfolio(port, 1 << 14, KEY, cfg)
+        ora = reference.price_cva_portfolio(
+            0.03, 0.6, 100.0, 0.05, 0.2, 1.0, [100.0], [1.0],
+            n_grid=25, n_paths=1 << 16, seed=17, wwr_b=0.8)
+        se = np.hypot(float(res.std_error), ora.std_error)
+        assert abs(float(res.cva) - ora.price) < 4 * se
+
+    def test_shard_invariant(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mctpu.parallel import path_mesh
+        port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.8)
+        base = engine.price_cva_portfolio(port, 1 << 15, KEY, CFG)
+        cfg8 = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                   mesh=path_mesh(devs[:8]))
+        shard = engine.price_cva_portfolio(port, 1 << 15, KEY, cfg8)
+        assert float(base.cva) == float(shard.cva)
+
+    def test_traced_wwr_b_rejected(self):
+        port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.8)
+        with pytest.raises(ValueError, match="concrete"):
+            jax.jit(lambda p: engine.price_cva_portfolio(
+                p, 1 << 12, KEY, CFG))(port)

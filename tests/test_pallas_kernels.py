@@ -216,3 +216,52 @@ class TestMeshInterpret:
         shard = engine.price_vanilla(OPT, 1 << 14, KEY,
                                      _cfg(num_blocks=8, mesh=mesh))
         assert float(base.price) == float(shard.price)
+
+
+class TestBasketPacking:
+    def test_pack_factor(self):
+        from mctpu.kernels.basket import pack_factor
+        assert pack_factor(1) == (1, 128, 128)
+        assert pack_factor(3) == (4, 32, 128)
+        assert pack_factor(10) == (16, 8, 128)
+        assert pack_factor(64) == (64, 2, 128)
+        assert pack_factor(65) == (128, 1, 128)
+        assert pack_factor(100) == (128, 1, 128)
+        assert pack_factor(130) == (256, 1, 256)
+
+    def test_packed_layout_reproduces_per_path_math(self):
+        import jax.numpy as jnp
+
+        from mctpu import math as mcmath
+        from mctpu.kernels.basket import pack_assets, pack_factor
+        opt = BasketOption.default_reference(3)
+        dtype = jnp.float64
+        chol = mcmath.cholesky_lower(jnp.asarray(opt.corr, dtype))
+        ops = pack_assets(opt.astype(dtype), chol, dtype)
+        a_tile, c, width = pack_factor(3)
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.standard_normal((5, width)), dtype)
+        bt = z @ ops["chol_bd"] + ops["d"]
+        s_t = ops["s0"] * jnp.exp(ops["drift"] + ops["vol"] * bt)
+        basket = np.asarray(s_t @ ops["wsel"])  # (5, c)
+        # Reference per-path math on the unpacked slices.
+        chol_np = np.asarray(chol)
+        w = np.asarray(opt.w)
+        s0 = np.asarray(opt.s)
+        v = np.asarray(opt.v)
+        d = np.asarray(opt.d)
+        for row in range(5):
+            for p in range(c):
+                zp = np.asarray(z)[row, p * a_tile:p * a_tile + 3]
+                btp = chol_np @ zp + d
+                stp = s0 * np.exp((opt.r - 0.5 * v * v) * opt.t
+                                  + v * np.sqrt(opt.t) * btp)
+                np.testing.assert_allclose(basket[row, p], w @ stp,
+                                           rtol=1e-12)
+
+    def test_wide_basket_fallback_100_assets(self):
+        opt = BasketOption.default_reference(100)
+        res = engine.price_basket(opt, 1 << 13, KEY, _cfg(num_blocks=2))
+        ora = reference.price_basket(opt, 1 << 15, seed=9)
+        se = np.hypot(float(res.std_error), ora.std_error)
+        assert _z(res.price, ora.price, se) < 4
