@@ -16,9 +16,11 @@ See SURVEY.md at the repo root for the complete layer map of the reference
 and how each component maps here.
 """
 from mctpu.engine import (EngineConfig, price_asian, price_barrier,
-                          price_basket, price_cva, price_cva_portfolio,
-                          price_heston, price_vanilla)
+                          price_basket, price_basket_asian,
+                          price_basket_barrier, price_cva,
+                          price_cva_portfolio, price_heston, price_vanilla)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
+                         BasketAsianOption, BasketBarrierOption,
                          BasketOption, HestonOption,
                          CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
                          Precision, VanillaOption)
@@ -32,6 +34,8 @@ __all__ = [
     "EngineConfig",
     "price_vanilla",
     "price_basket",
+    "price_basket_asian",
+    "price_basket_barrier",
     "price_asian",
     "price_barrier",
     "price_heston",
@@ -40,6 +44,8 @@ __all__ = [
     "price_cva_portfolio",
     "VanillaOption",
     "BasketOption",
+    "BasketAsianOption",
+    "BasketBarrierOption",
     "AsianOption",
     "BarrierOption",
     "HestonOption",

@@ -19,8 +19,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     common.add_engine_args(p, default_mult=1)
     p.add_argument("--product",
-                   choices=["asian", "barrier", "american", "heston"],
+                   choices=["asian", "barrier", "american", "heston",
+                            "basket-asian", "basket-barrier"],
                    default="asian")
+    p.add_argument("--assets", type=int, default=3,
+                   help="basket size for the basket-* products")
     p.add_argument("--spot", type=float, default=100.0)
     p.add_argument("--strike", type=float, default=100.0)
     p.add_argument("--rate", type=float, default=0.05)
@@ -73,6 +76,30 @@ def main(argv=None):
                 beff))
             print(f"BGK-corrected closed form: {want:.6f} "
                   f"(continuous barrier {args.barrier} -> {beff:.3f})")
+        return 0
+
+    if args.product in ("basket-asian", "basket-barrier"):
+        from mctpu.types import (BasketAsianOption, BasketBarrierOption,
+                                 BasketOption)
+        bk = (BasketOption.default_reference(args.assets)
+              if args.assets <= 3 else
+              BasketOption.equicorrelated(args.assets))
+        if args.product == "basket-asian":
+            opt = BasketAsianOption(bk, n_obs=args.obs)
+            fn, orafn = engine.price_basket_asian, reference.price_basket_asian
+        else:
+            opt = BasketBarrierOption(bk, barrier=args.barrier,
+                                      n_obs=args.obs, kind=args.kind)
+            fn, orafn = (engine.price_basket_barrier,
+                         reference.price_basket_barrier)
+        fn(opt, n, key, cfg)  # compile
+        res, dt = common.timed(fn, opt, n, key, cfg)
+        common.print_result(f"{args.product} ({args.assets} assets)",
+                            res.price, res.ci, dt,
+                            res.n_paths * args.obs * args.assets,
+                            extra="  (asset-steps/s)")
+        ora = orafn(opt, min(n, 1 << 15), seed=args.seed)
+        print(f"numpy oracle: {ora.price:.6f} ± {ora.ci:.6f}")
         return 0
 
     if args.product == "heston":

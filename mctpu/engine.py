@@ -51,8 +51,8 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
                          McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
-           "price_barrier", "price_heston", "price_cva",
-           "price_cva_portfolio"]
+           "price_barrier", "price_basket_asian", "price_basket_barrier",
+           "price_heston", "price_cva", "price_cva_portfolio"]
 
 
 def _default_backend() -> str:
@@ -271,6 +271,64 @@ def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
     anti = 2 if config.antithetic else 1
     return _price_scalar("barrier", kbarrier, kbarrier.LANES * anti,
                          (opt.n_obs, opt.kind), opt, n_paths, key, config)
+
+
+# ---------------------------------------------------------------------------
+# Multi-asset walk products (basket-Asian / basket-barrier)
+# ---------------------------------------------------------------------------
+
+def _multi_walk_shim(**walk_kwargs):
+    """Adapt :mod:`mctpu.kernels.multi_walk` to the `_price_scalar` kernel
+    protocol by baking the product's static walk parameters in."""
+    import functools as _ft
+    import types as _types
+
+    from mctpu.kernels import multi_walk as kmulti
+    return _types.SimpleNamespace(
+        make_plan=kmulti.make_plan,
+        pallas_partials=_ft.partial(kmulti.pallas_partials, **walk_kwargs),
+        xla_partials=_ft.partial(kmulti.xla_partials, **walk_kwargs),
+    )
+
+
+def _prep_chol(o):
+    return (mcmath.cholesky_lower(jnp.asarray(o.corr, mcest.wide_dtype())),)
+
+
+def price_basket_asian(opt, n_paths: int, key: jax.Array,
+                       config: EngineConfig = EngineConfig()) -> McResult:
+    """Arithmetic-average Asian call on a correlated basket value.
+
+    Beyond the reference: composes the basket kernel's packed correlation
+    matmuls with the Asian running-average walk
+    (:mod:`mctpu.kernels.multi_walk`).
+    """
+    opt.validate()
+    bk = opt.basket
+    anti = 2 if config.antithetic else 1
+    _, c, _ = kbasket.pack_factor(bk.n_assets)
+    shim = _multi_walk_shim(product="asian", n_obs=opt.n_obs)
+    return _price_scalar("basket_asian", shim, c * anti,
+                         (opt.n_obs, bk.n_assets), bk, n_paths, key, config,
+                         prep=_prep_chol,
+                         plan_kwargs=(("n_assets", bk.n_assets),))
+
+
+def price_basket_barrier(opt, n_paths: int, key: jax.Array,
+                         config: EngineConfig = EngineConfig()) -> McResult:
+    """Knock-out call on a correlated basket value (discrete monitoring)."""
+    opt.validate()
+    bk = opt.basket
+    anti = 2 if config.antithetic else 1
+    _, c, _ = kbasket.pack_factor(bk.n_assets)
+    up = opt.kind == "up-and-out"
+    barrier = float(opt.barrier)
+    shim = _multi_walk_shim(product="barrier", n_obs=opt.n_obs,
+                            barrier=barrier, up=up)
+    return _price_scalar("basket_barrier", shim, c * anti,
+                         (opt.n_obs, bk.n_assets, barrier, opt.kind), bk,
+                         n_paths, key, config, prep=_prep_chol,
+                         plan_kwargs=(("n_assets", bk.n_assets),))
 
 
 # ---------------------------------------------------------------------------

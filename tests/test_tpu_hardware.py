@@ -106,3 +106,57 @@ def test_heston_on_chip():
                               _cfg(num_blocks=16, rows=8), n_steps=100)
     want = float(mheston.cf_call_price(hopt))
     assert abs(float(res.price) - want) < 4 * float(res.std_error) + 0.05
+
+
+def test_lsm_american_put_on_chip():
+    import jax.numpy as jnp
+
+    from mctpu import lsm, reference
+    from mctpu.types import AmericanOption
+    opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                         n_steps=100, payoff="put")
+    res = lsm.price_american(opt, 1 << 20, KEY, dtype=jnp.float32)
+    # Matching-dates Bermudan lattice is the honest target; LSM is a lower
+    # bound (frozen out-of-sample rule), so allow the small rule bias.
+    crr100 = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                         n_steps=100, payoff="put")
+    assert abs(float(res.price) - crr100) < 4 * float(res.std_error) + 0.02
+
+
+def test_basket_asian_on_chip():
+    from mctpu import reference
+    from mctpu.types import BasketAsianOption
+    opt = BasketAsianOption(BasketOption.default_reference(3), n_obs=12)
+    res = engine.price_basket_asian(opt, 1 << 18, KEY,
+                                    _cfg(num_blocks=16, rows=8))
+    ora = reference.price_basket_asian(opt, 1 << 16, seed=7)
+    se = np.hypot(float(res.std_error), ora.std_error)
+    assert _z(res.price, ora.price, se) < 4
+
+
+def test_basket_barrier_on_chip():
+    from mctpu import reference
+    from mctpu.types import BasketBarrierOption
+    opt = BasketBarrierOption(BasketOption.default_reference(3),
+                              barrier=120.0, n_obs=12)
+    res = engine.price_basket_barrier(opt, 1 << 18, KEY,
+                                      _cfg(num_blocks=16, rows=8))
+    ora = reference.price_basket_barrier(opt, 1 << 16, seed=8)
+    se = np.hypot(float(res.std_error), ora.std_error)
+    assert _z(res.price, ora.price, se) < 4
+
+
+def test_cva_wwr_on_chip():
+    from mctpu import reference
+    from mctpu.types import CvaPortfolioSpec
+    spec = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=25)
+    port = CvaPortfolioSpec.from_single(spec, wwr_b=0.8)
+    res = engine.price_cva_portfolio(port, 1 << 18, KEY,
+                                     _cfg(num_blocks=16, rows=8))
+    ora = reference.price_cva_portfolio(
+        0.03, 0.6, 100.0, 0.05, 0.2, 1.0, [100.0], [1.0],
+        n_grid=25, n_paths=1 << 16, seed=17, wwr_b=0.8)
+    se = np.hypot(float(res.std_error), ora.std_error)
+    assert abs(float(res.cva) - ora.price) < 4 * se
