@@ -212,6 +212,57 @@ void mc_basket(const double* s0, const double* v, const double* w,
     finish(sums, n_paths, std::exp(-r * t), out);
 }
 
+// Discretely-monitored Asian call: running (log-)average walk per path.
+// geometric != 0 averages log-spots (exact closed form exists for testing).
+void mc_asian(double s0, double k, double r, double v, double t,
+              int32_t n_obs, int32_t geometric, int64_t n_paths,
+              uint64_t seed, int antithetic, double* out) {
+    if (n_obs < 1 || n_obs > 65536) { out[0] = out[1] = out[2] = -1.0; return; }
+    const double dt = t / n_obs;
+    const double mu = (r - 0.5 * v * v) * dt;
+    const double sig = v * std::sqrt(dt);
+    auto walk = [&](const double* z, double sign) {
+        double s = s0, acc = 0.0;
+        for (int j = 0; j < n_obs; ++j) {
+            s *= std::exp(mu + sig * sign * z[j]);
+            acc += geometric ? std::log(s) : s;
+        }
+        const double avg = geometric ? std::exp(acc / n_obs) : acc / n_obs;
+        return std::max(avg - k, 0.0);
+    };
+    const int64_t units = antithetic ? n_paths / 2 : n_paths;
+    Sums sums = run_parallel(units, seed, [&](NormalGen& g) {
+        double z[4096];
+        std::vector<double> heap;  // n_obs > 4096 falls back to heap (rare)
+        double* zp = z;
+        if (n_obs > 4096) { heap.resize(n_obs); zp = heap.data(); }
+        for (int j = 0; j < n_obs; ++j) zp[j] = g.next();
+        if (!antithetic) return walk(zp, 1.0);
+        return 0.5 * (walk(zp, 1.0) + walk(zp, -1.0));
+    });
+    finish(sums, units, std::exp(-r * t), out);
+}
+
+// Discretely-monitored knock-out barrier call; up != 0 -> up-and-out.
+void mc_barrier(double s0, double k, double r, double v, double t,
+                double barrier, int32_t n_obs, int32_t up,
+                int64_t n_paths, uint64_t seed, double* out) {
+    if (n_obs < 1 || n_obs > 1 << 20) { out[0] = out[1] = out[2] = -1.0; return; }
+    const double dt = t / n_obs;
+    const double mu = (r - 0.5 * v * v) * dt;
+    const double sig = v * std::sqrt(dt);
+    Sums sums = run_parallel(n_paths, seed, [&](NormalGen& g) {
+        double s = s0;
+        bool alive = true;
+        for (int j = 0; j < n_obs; ++j) {
+            s *= std::exp(mu + sig * g.next());
+            alive &= up ? (s < barrier) : (s > barrier);
+        }
+        return alive ? std::max(s - k, 0.0) : 0.0;
+    });
+    finish(sums, n_paths, std::exp(-r * t), out);
+}
+
 // CVA of a call: grid walk per path (cvaCallOptMC, MonteCarloKernel.cu:242-263)
 // with the normalized final-node semantics (intrinsic exposure at t == T).
 // ee_profile (length n_grid, may be null) receives E[exposure] per node.
@@ -291,6 +342,6 @@ double mc_bs_call(double s, double k, double r, double v, double t) {
     return bs_call(s, k, r, v, t);
 }
 
-int32_t mc_abi_version(void) { return 2; }
+int32_t mc_abi_version(void) { return 3; }
 
 }  // extern "C"

@@ -82,11 +82,13 @@ def _load():
                             ctypes.c_uint64)
         dp = ctypes.POINTER(ctypes.c_double)
         lib.mc_abi_version.restype = i32
-        if lib.mc_abi_version() != 2:
+        if lib.mc_abi_version() != 3:
             raise RuntimeError("native engine ABI mismatch")
         lib.mc_vanilla.argtypes = [d, d, d, d, d, i64, u64, i32, i32, dp]
         lib.mc_basket.argtypes = [dp, dp, dp, dp, dp, i32, d, d, d, i64, u64, dp]
         lib.mc_cva.argtypes = [d, d, d, d, d, d, d, i32, i64, u64, dp, dp]
+        lib.mc_asian.argtypes = [d, d, d, d, d, i32, i32, i64, u64, i32, dp]
+        lib.mc_barrier.argtypes = [d, d, d, d, d, d, i32, i32, i64, u64, dp]
         lib.mc_cholesky.argtypes = [dp, i32, dp]
         lib.mc_bs_call.argtypes = [d, d, d, d, d]
         lib.mc_bs_call.restype = d
@@ -133,6 +135,33 @@ def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> NativeResult
                   _ptr(out))
     if out[0] == -1.0 and out[1] == -1.0:
         raise ValueError("native basket engine supports at most 1024 assets")
+    return NativeResult(out[0], out[1], out[2], n_paths)
+
+
+def price_asian(opt, n_paths: int, seed: int = 0,
+                antithetic: bool = False) -> NativeResult:
+    """Native twin of :func:`mctpu.engine.price_asian` (AsianOption)."""
+    lib = _load()
+    out = np.zeros(3)
+    lib.mc_asian(float(opt.s), float(opt.k), float(opt.r), float(opt.v),
+                 float(opt.t), int(opt.n_obs),
+                 int(opt.average == "geometric"), n_paths, seed,
+                 int(antithetic), _ptr(out))
+    if out[0] == -1.0 and out[1] == -1.0:
+        raise ValueError("native asian engine: n_obs out of range")
+    n = n_paths // 2 if antithetic else n_paths
+    return NativeResult(out[0], out[1], out[2], n)
+
+
+def price_barrier(opt, n_paths: int, seed: int = 0) -> NativeResult:
+    """Native twin of :func:`mctpu.engine.price_barrier` (BarrierOption)."""
+    lib = _load()
+    out = np.zeros(3)
+    lib.mc_barrier(float(opt.s), float(opt.k), float(opt.r), float(opt.v),
+                   float(opt.t), float(opt.barrier), int(opt.n_obs),
+                   int(opt.kind == "up-and-out"), n_paths, seed, _ptr(out))
+    if out[0] == -1.0 and out[1] == -1.0:
+        raise ValueError("native barrier engine: n_obs out of range")
     return NativeResult(out[0], out[1], out[2], n_paths)
 
 

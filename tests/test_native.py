@@ -110,3 +110,48 @@ def test_native_put():
     res = native.price_vanilla(put, 1 << 20, seed=4)
     want = float(mcmath.bs_put(100.0, 100.0, 0.048790, 0.2, 1.0))
     assert abs(res.price - want) < 3 * res.std_error
+
+
+def test_native_asian_vs_geometric_closed_form():
+    from mctpu import math as mcmath
+    from mctpu.types import AsianOption
+    opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                      average="geometric")
+    res = native.price_asian(opt, 1 << 18, seed=3)
+    want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2, 1.0,
+                                             12))
+    assert abs(res.price - want) < 4 * res.std_error
+
+
+def test_native_asian_antithetic_tightens():
+    from mctpu.types import AsianOption
+    opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12)
+    plain = native.price_asian(opt, 1 << 17, seed=4)
+    anti = native.price_asian(opt, 1 << 17, seed=4, antithetic=True)
+    assert anti.std_error < plain.std_error
+
+
+def test_native_barrier_vs_bgk_closed_form():
+    from mctpu import math as mcmath
+    from mctpu.types import BarrierOption
+    opt = BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
+                        n_obs=50, kind="up-and-out")
+    res = native.price_barrier(opt, 1 << 18, seed=5)
+    beff = float(mcmath.barrier_continuity_correction(
+        130.0, 100.0, 0.2, 1.0, 50, up=True))
+    want = float(mcmath.up_and_out_call(100.0, 100.0, 0.05, 0.2, 1.0, beff))
+    assert abs(res.price - want) < 4 * res.std_error + 0.03
+
+
+def test_native_asian_vs_engine_twin():
+    import jax
+
+    from mctpu import engine
+    from mctpu.types import AsianOption
+    opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12)
+    nat = native.price_asian(opt, 1 << 17, seed=6)
+    eng = engine.price_asian(opt, 1 << 17, jax.random.key(6),
+                             engine.EngineConfig(num_blocks=8, rows=8,
+                                                 backend="xla"))
+    se = np.hypot(nat.std_error, float(eng.std_error))
+    assert abs(nat.price - float(eng.price)) < 4 * se
