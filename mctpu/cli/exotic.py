@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--kind", choices=["up-and-out", "down-and-out"],
                    default="up-and-out")
     p.add_argument("--payoff", choices=["put", "call"], default="put")
+    p.add_argument("--scheme", choices=["euler", "qe"], default="euler",
+                   help="heston discretization (qe = Andersen 2008, "
+                        "effectively unbiased at coarse grids)")
     args = p.parse_args(argv)
 
     n = common.n_paths(args)
@@ -108,10 +111,11 @@ def main(argv=None):
         opt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
                            t=args.maturity, v0=args.vol**2, kappa=2.0,
                            theta=args.vol**2, xi=0.3, rho=-0.7)
-        engine.price_heston(opt, n, key, cfg, n_steps=args.obs)  # compile
+        engine.price_heston(opt, n, key, cfg, n_steps=args.obs,
+                            scheme=args.scheme)  # compile
         res, dt = common.timed(engine.price_heston, opt, n, key, cfg,
-                               n_steps=args.obs)
-        common.print_result("heston", res.price, res.ci, dt,
+                               n_steps=args.obs, scheme=args.scheme)
+        common.print_result(f"heston/{args.scheme}", res.price, res.ci, dt,
                             res.n_paths * args.obs, extra="  (path-steps/s)")
         print(f"characteristic-function price: "
               f"{float(mheston.cf_call_price(opt)):.6f}  "

@@ -337,32 +337,39 @@ def price_basket_barrier(opt, n_paths: int, key: jax.Array,
 
 def price_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                  config: EngineConfig = EngineConfig(),
-                 n_steps: int = 100) -> McResult:
-    """European call under Heston stochastic volatility (full-truncation
-    Euler over ``n_steps``; discretization bias is O(dt)).
+                 n_steps: int = 100, scheme: str = "euler") -> McResult:
+    """European call under Heston stochastic volatility.
+
+    ``scheme``: ``"euler"`` (full-truncation Euler; O(dt) bias) or ``"qe"``
+    (Andersen 2008 quadratic-exponential with martingale-style K0..K4
+    log-spot discretization; effectively unbiased even at coarse grids —
+    measured z ~ 0.1 vs the characteristic-function price at 16 steps,
+    where Euler carries ~0.1 absolute bias).
 
     A second dynamics family beyond the reference's GBM; anchored by the
     characteristic-function pricer
     (:func:`mctpu.models.heston.cf_call_price`).
     """
     opt.validate()
+    if scheme not in ("euler", "qe"):
+        raise ValueError("scheme must be 'euler' or 'qe'")
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
     blocks, rows = cfg.layout_for(n_paths, kheston.LANES * anti)
     plan = kheston.make_plan(n_paths, blocks, rows, cfg.antithetic,
                              cfg.dtype_str, cfg.precision.kahan)
-    cache_key = ("heston", n_steps, plan, cfg._key())
+    cache_key = ("heston", n_steps, scheme, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
         def run(o, k):
             if backend == "pallas":
                 fn = lambda a, off, nb: kheston.pallas_partials(
                     a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n_steps,
-                    interpret=cfg.interpret)
+                    interpret=cfg.interpret, scheme=scheme)
             else:
                 fn = lambda a, off, nb: kheston.xla_partials(
-                    a[0], a[1], off, plan, nb, n_steps)
+                    a[0], a[1], off, plan, nb, n_steps, scheme=scheme)
             partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
                                      P(PATH_AXIS, None))
             sum_p, sum_p2 = _combine(partials)

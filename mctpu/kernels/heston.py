@@ -21,14 +21,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mctpu import math as mcmath
 from mctpu import rng as mcrng
 from mctpu.kernels.common import (LANES, Plan, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+from mctpu.models import heston as mheston
 from mctpu.types import HestonOption
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials"]
+
+# Order of the QE constant vector passed to the kernel (SMEM scalars).
+_QE_KEYS = ("e", "c1", "c2", "r_dt", "k0", "k1", "k2", "k3", "k4", "theta")
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -55,8 +60,12 @@ def _heston_step(s, v, z_v, z_perp, k_dt, th, xi, rho_c, rho_s, r_dt, sqdt):
 # ---------------------------------------------------------------------------
 
 def xla_partials(opt: HestonOption, key: jax.Array, block_offset, plan: Plan,
-                 n_blocks: int, n_steps: int):
-    """Per-block partial sums, shape ``(n_blocks, 2)``."""
+                 n_blocks: int, n_steps: int, scheme: str = "euler"):
+    """Per-block partial sums, shape ``(n_blocks, 2)``.
+
+    ``scheme``: "euler" (full truncation, O(dt) bias) or "qe" (Andersen's
+    quadratic-exponential — effectively unbiased at coarse grids).
+    """
     dtype = plan.jdtype
     o = opt.astype(dtype)
     dt = o.t / n_steps
@@ -65,9 +74,21 @@ def xla_partials(opt: HestonOption, key: jax.Array, block_offset, plan: Plan,
     r_dt = o.r * dt
     rho_c = o.rho
     rho_s = jnp.sqrt(1.0 - o.rho * o.rho)
+    qe_c = mheston.qe_constants(opt, n_steps, dtype) if scheme == "qe" else None
     shape = (plan.rows, LANES)
 
     def walk(z_seq, sgn):
+        if scheme == "qe":
+            def body(j, carry):
+                x, v = carry
+                return mheston.qe_step(x, v, sgn * z_seq[j, 0],
+                                       sgn * z_seq[j, 1], qe_c,
+                                       mcmath.norm_cdf)
+
+            init = (jnp.zeros(shape, dtype), jnp.full(shape, o.v0, dtype))
+            x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+            return jnp.maximum(o.s * jnp.exp(x) - o.k, 0.0)
+
         def body(j, carry):
             s, v = carry
             return _heston_step(s, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1],
@@ -100,12 +121,13 @@ def xla_partials(opt: HestonOption, key: jax.Array, block_offset, plan: Plan,
 # Pallas TPU backend
 # ---------------------------------------------------------------------------
 
-def _heston_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
-                   n_steps: int):
+def _heston_kernel(seed_ref, off_ref, scal_ref, qe_ref, out_ref, *,
+                   plan: Plan, n_steps: int, scheme: str):
     s0, k, v0 = scal_ref[0], scal_ref[1], scal_ref[2]
     k_dt, th, xi = scal_ref[3], scal_ref[4], scal_ref[5]
     rho_c, rho_s = scal_ref[6], scal_ref[7]
     r_dt, sqdt = scal_ref[8], scal_ref[9]
+    qe_c = {name: qe_ref[i] for i, name in enumerate(_QE_KEYS)}
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
@@ -113,6 +135,18 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
         # Re-seed per (block, iter): antithetic mirror replays the stream.
         seed_prng(seed_ref[0],
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        if scheme == "qe":
+            def body(j, carry):
+                x, v = carry
+                z_v, z_s = draw_normal_pair(shape, j)
+                return mheston.qe_step(x, v, sgn * z_v, sgn * z_s, qe_c,
+                                       mcmath.norm_cdf_hastings)
+
+            init = (jnp.zeros(shape, jnp.float32),
+                    jnp.full(shape, v0, jnp.float32))
+            x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+            return jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
 
         def body(j, carry):
             s, v = carry
@@ -140,17 +174,18 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
 
 
 def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
-                    n_blocks: int, n_steps: int, interpret: bool = False):
+                    n_blocks: int, n_steps: int, interpret: bool = False,
+                    scheme: str = "euler"):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
     # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
-                                n_steps, interpret)
+                                n_steps, interpret, scheme)
 
 
 def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
-                     interpret):
+                     interpret, scheme="euler"):
     o = opt.astype(jnp.float32)
     dt = o.t / n_steps
     scal = jnp.stack([
@@ -159,15 +194,20 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
         o.rho, jnp.sqrt(1.0 - o.rho * o.rho),
         o.r * dt, jnp.sqrt(dt),
     ])
+    qe_c = mheston.qe_constants(opt, n_steps, jnp.float32)
+    qe = jnp.stack([jnp.asarray(qe_c[name], jnp.float32)
+                    for name in _QE_KEYS])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
-    kernel = functools.partial(_heston_kernel, plan=plan, n_steps=n_steps)
+    kernel = functools.partial(_heston_kernel, plan=plan, n_steps=n_steps,
+                               scheme=scheme)
     paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -183,4 +223,4 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
             transcendentals=6 * plan.iters * paths_iter * n_steps,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal)
+    )(seed_arr, off_arr, scal, qe)

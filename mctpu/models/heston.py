@@ -86,3 +86,67 @@ def step_constants(opt: HestonOption, n_steps: int, dtype):
     import jax.numpy as jnp
     dt = jnp.asarray(opt.t, dtype) / n_steps
     return (dt, jnp.sqrt(dt).astype(dtype))
+
+
+def qe_constants(opt: HestonOption, n_steps: int, dtype):
+    """Per-step constants of the Andersen (2008) quadratic-exponential
+    scheme with the gamma1 = gamma2 = 1/2 central drift weighting.
+
+    Returns a dict of scalars; pure host math, shared by the XLA twin and
+    the Pallas kernel (both consume it as SMEM scalars).
+    """
+    import jax.numpy as jnp
+
+    kappa, theta, xi, rho, r, t = (
+        jnp.asarray(x, dtype) for x in (opt.kappa, opt.theta, opt.xi,
+                                        opt.rho, opt.r, opt.t))
+    dt = t / n_steps
+    e = jnp.exp(-kappa * dt)
+    g1 = g2 = 0.5
+    k_ratio = kappa * rho / xi - 0.5
+    return {
+        "e": e,
+        "c1": xi * xi * e * (1.0 - e) / kappa,          # * v  -> s2 part 1
+        "c2": theta * xi * xi * (1.0 - e) ** 2 / (2.0 * kappa),
+        "r_dt": r * dt,
+        "k0": -rho * kappa * theta * dt / xi,
+        "k1": g1 * dt * k_ratio - rho / xi,
+        "k2": g2 * dt * k_ratio + rho / xi,
+        "k3": g1 * dt * (1.0 - rho * rho),
+        "k4": g2 * dt * (1.0 - rho * rho),
+        "theta": theta,
+    }
+
+
+def qe_step(x, v, z_v, z_s, c, norm_cdf):
+    """One QE step: ``(x, v) -> (x', v')`` with ``x = ln(S/S0)``.
+
+    Variance: moment-matched quadratic ``a (b + Zv)^2`` for ``psi <= 1.5``,
+    exponential-mass-at-zero for ``psi > 1.5`` (Andersen 2008 §3.2.3-3.2.4);
+    the uniform for the exponential branch is ``Phi(Zv)`` so both branches
+    consume the same draw.  Log-spot: the K0..K4 discretization (§4.2).
+    Pure jnp — runs identically in the Pallas kernel and the XLA twin.
+    """
+    import jax.numpy as jnp
+
+    m = c["theta"] + (v - c["theta"]) * c["e"]
+    s2 = v * c["c1"] + c["c2"]
+    psi = s2 / (m * m)
+    # Quadratic branch (psi <= 1.5)
+    two_over = 2.0 / psi
+    b2 = jnp.maximum(
+        two_over - 1.0 + jnp.sqrt(two_over)
+        * jnp.sqrt(jnp.maximum(two_over - 1.0, 0.0)), 0.0)
+    a = m / (1.0 + b2)
+    v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
+    # Exponential branch (psi > 1.5)
+    p = (psi - 1.0) / (psi + 1.0)
+    beta = (1.0 - p) / jnp.maximum(m, 1e-30)
+    u = jnp.clip(norm_cdf(z_v), 0.0, 1.0 - 1e-7)
+    v_exp = jnp.where(u <= p, 0.0,
+                      jnp.log((1.0 - p) / jnp.maximum(1.0 - u, 1e-30)) / beta)
+    v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
+    x_new = (x + c["r_dt"] + c["k0"] + c["k1"] * v + c["k2"] * v_new
+             + jnp.sqrt(jnp.maximum(c["k3"] * v + c["k4"] * v_new, 0.0))
+             * z_s)
+    return x_new, v_new

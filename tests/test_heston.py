@@ -82,3 +82,52 @@ class TestEngine:
         with pytest.raises(ValueError, match="variance"):
             HestonOption(100.0, 100.0, 0.05, 1.0, -0.1, 2.0, 0.04, 0.3,
                          0.0).validate()
+
+
+class TestQeScheme:
+    STEEP = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                         kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+
+    def test_qe_unbiased_at_coarse_grid(self):
+        # 16 steps: Euler carries ~0.075 absolute bias on this config; QE
+        # must land within plain MC error of the CF price.
+        res = engine.price_heston(self.STEEP, 1 << 18, KEY, CFG, n_steps=16,
+                                  scheme="qe")
+        cf = float(mheston.cf_call_price(self.STEEP))
+        assert abs(float(res.price) - cf) < 4 * float(res.std_error)
+
+    def test_qe_beats_euler_bias(self):
+        cf = float(mheston.cf_call_price(self.STEEP))
+        qe = engine.price_heston(self.STEEP, 1 << 18, KEY, CFG, n_steps=16,
+                                 scheme="qe")
+        eu = engine.price_heston(self.STEEP, 1 << 18, KEY, CFG, n_steps=16,
+                                 scheme="euler")
+        assert abs(float(qe.price) - cf) < abs(float(eu.price) - cf)
+        # and the Euler bias is actually visible at this MC error
+        assert abs(float(eu.price) - cf) > 2 * float(eu.std_error)
+
+    def test_qe_pallas_interpret_twin(self):
+        icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                   interpret=True)
+        res = engine.price_heston(self.STEEP, 1 << 15, KEY, icfg, n_steps=16,
+                                  scheme="qe")
+        cf = float(mheston.cf_call_price(self.STEEP))
+        assert abs(float(res.price) - cf) < 4 * float(res.std_error)
+
+    def test_qe_shard_invariant(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mctpu.parallel import path_mesh
+        base = engine.price_heston(self.STEEP, 1 << 15, KEY, CFG, n_steps=8,
+                                   scheme="qe")
+        cfg8 = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                   mesh=path_mesh(devs[:8]))
+        shard = engine.price_heston(self.STEEP, 1 << 15, KEY, cfg8,
+                                    n_steps=8, scheme="qe")
+        assert float(base.price) == float(shard.price)
+
+    def test_bad_scheme_rejected(self):
+        with pytest.raises(ValueError, match="scheme"):
+            engine.price_heston(self.STEEP, 1 << 12, KEY, CFG,
+                                scheme="milstein")

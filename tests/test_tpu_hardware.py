@@ -160,3 +160,15 @@ def test_cva_wwr_on_chip():
         n_grid=25, n_paths=1 << 16, seed=17, wwr_b=0.8)
     se = np.hypot(float(res.std_error), ora.std_error)
     assert abs(float(res.cva) - ora.price) < 4 * se
+
+
+def test_heston_qe_on_chip():
+    hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+    # QE at a coarse 16-step grid must hit the CF price with NO bias
+    # allowance — the whole point of the scheme.
+    res = engine.price_heston(hopt, 1 << 20, KEY,
+                              _cfg(num_blocks=16, rows=8), n_steps=16,
+                              scheme="qe")
+    want = float(mheston.cf_call_price(hopt))
+    assert _z(res.price, want, res.std_error) < 4
