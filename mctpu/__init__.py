@@ -17,12 +17,13 @@ and how each component maps here.
 """
 from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_basket_asian,
-                          price_basket_barrier, price_cva,
+                          price_basket_barrier, price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_vanilla)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
                          BasketOption, HestonOption,
-                         CvaPortfolioSpec, CvaResult, CvaSpec, McResult,
+                         CvaMultiSpec, CvaPortfolioSpec, CvaResult,
+                         CvaSpec, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
 from mctpu import greeks, lsm, qmc, sobol, variance  # noqa: F401
@@ -42,6 +43,7 @@ __all__ = [
     "price_american",
     "price_cva",
     "price_cva_portfolio",
+    "price_cva_multi",
     "VanillaOption",
     "BasketOption",
     "BasketAsianOption",
@@ -52,6 +54,7 @@ __all__ = [
     "AmericanOption",
     "CvaSpec",
     "CvaPortfolioSpec",
+    "CvaMultiSpec",
     "McResult",
     "CvaResult",
     "Precision",

@@ -52,7 +52,8 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_basket_asian", "price_basket_barrier",
-           "price_heston", "price_cva", "price_cva_portfolio"]
+           "price_heston", "price_cva", "price_cva_portfolio",
+           "price_cva_multi"]
 
 
 def _default_backend() -> str:
@@ -401,6 +402,61 @@ def price_cva(spec: CvaSpec, n_paths: int, key: jax.Array,
     spec.validate()
     return price_cva_portfolio(CvaPortfolioSpec.from_single(spec), n_paths,
                                key, config)
+
+
+def price_cva_multi(spec, n_paths: int, key: jax.Array,
+                    config: EngineConfig = EngineConfig()) -> CvaResult:
+    """CVA of a netting set of calls on M *correlated underlyings*.
+
+    The production generalization of :func:`price_cva_portfolio` (which nets
+    options on one underlying): see :class:`mctpu.types.CvaMultiSpec`.
+    All-long weights admit the exact closed form
+    :func:`mctpu.math.cva_multi_closed_form`.
+    """
+    from mctpu.kernels import cva_multi as kmulti
+
+    spec.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    _, c, _ = kbasket.pack_factor(spec.n_underlyings)
+    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    plan = kmulti.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                            cfg.dtype_str, cfg.precision.kahan,
+                            n_underlyings=spec.n_underlyings)
+    cache_key = ("cva_multi", spec.n_grid, spec.n_underlyings, plan,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(sp, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(sp.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda a, off, nb: kmulti.pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kmulti.xla_partials(
+                    a[0], a[1], a[2], off, plan, nb)
+            partials, ee_sums = _shard_blocks(
+                cfg, plan.num_blocks, fn, (sp, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None)))
+            sum_p, sum_p2 = _combine(partials)
+            wide = mcest.wide_dtype()
+            ee_profile = pairwise_tree_sum(jnp.asarray(ee_sums, wide), axis=0)
+            return sum_p, sum_p2, ee_profile
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2, ee_profile = runner(spec, key)
+    n = plan.total_units
+    res = mcest.estimate(sum_p, sum_p2, n, discount=1.0,
+                         n_paths=plan.total_paths)
+    dp = mcmath.default_leg_weights(spec.intensity, spec.t, spec.n_grid,
+                                    dtype=mcest.wide_dtype())
+    return CvaResult(cva=res.price, ci=res.ci, std_error=res.std_error,
+                     expected_exposure=ee_profile / plan.total_units,
+                     default_leg=dp, n=n, n_paths=plan.total_paths)
 
 
 def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,

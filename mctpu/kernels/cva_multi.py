@@ -1,0 +1,299 @@
+"""Fused multi-underlying CVA kernel: netting set over correlated GBMs.
+
+Composes the lane-packed correlated walk (``mctpu/kernels/basket.py``
+machinery: ``c`` paths per 128-lane row, block-diagonal Cholesky) with the
+CVA exposure grid (``mctpu/kernels/cva.py``): option ``m`` is a call on
+underlying ``m``; at node ``j`` every packed path re-prices all its options
+with the Hastings-CDF Black-Scholes on the VPU (per-lane strikes/vols), the
+signed position values net through one indicator matmul, and the positive
+part feeds the default leg ``lgd * sum_j dp_j * max(netted_j, 0)``.
+
+Beyond the reference (single underlying, single option); the exposure
+profile per node is accumulated in Kahan-compensated SMEM scalars.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import math as mcmath
+from mctpu import rng as mcrng
+from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
+from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise)
+from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+from mctpu.types import CvaMultiSpec
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec"]
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True,
+              n_underlyings: int = 2) -> Plan:
+    _, c, _ = pack_factor(n_underlyings)
+    units = rows * c
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_spec(spec: CvaMultiSpec, chol, dtype, lanes: int = LANES):
+    """Packed per-lane operands for the netting-set walk.
+
+    Lane layout mirrors :func:`mctpu.kernels.basket.pack_assets`: ``c``
+    paths per row, each owning an ``a_tile`` span of lanes holding its M
+    underlyings.  ``mask`` marks real (non-padding) lanes so padded lanes
+    contribute exactly 0 to the netted value; ``isel (width, c)`` is the
+    indicator matmul that sums each path's signed position values.
+    """
+    m = spec.n_underlyings
+    a_tile, c, width = pack_factor(m, lanes)
+
+    def tile_row(x, fill=0.0):
+        row = jnp.full((a_tile,), fill, dtype).at[:m].set(
+            jnp.asarray(x, dtype))
+        return jnp.tile(row, c).reshape(1, width)
+
+    g = spec.n_grid
+    dt = jnp.asarray(spec.t, dtype) / g
+    v_row = tile_row(spec.v, fill=1.0)  # pad vol 1: keeps BS math finite
+    drift = (jnp.asarray(spec.r, dtype) - 0.5 * v_row * v_row) * dt
+    vol = v_row * jnp.sqrt(dt)
+
+    block = jnp.zeros((a_tile, a_tile), dtype).at[:m, :m].set(
+        jnp.asarray(chol, dtype).T)
+    chol_bd = jnp.zeros((width, width), dtype)
+    isel = jnp.zeros((width, c), dtype)
+    ones = jnp.zeros((a_tile,), dtype).at[:m].set(1.0)
+    for p in range(c):
+        chol_bd = jax.lax.dynamic_update_slice(chol_bd, block,
+                                               (p * a_tile, p * a_tile))
+        isel = jax.lax.dynamic_update_slice(isel, ones[:, None],
+                                            (p * a_tile, p))
+
+    return {
+        "s0": tile_row(spec.s, fill=1.0),  # pad spot 1: log() stays finite
+        "k": tile_row(spec.strikes, fill=1.0),
+        "w": tile_row(spec.weights, fill=0.0),  # pad weight 0: nets to 0
+        "v": v_row,
+        "drift": drift,
+        "vol": vol,
+        "chol_bd": chol_bd,
+        "isel": isel,
+    }
+
+
+def _netted_exposure(s, ops, r, t_rem, mxu: bool):
+    """Netted positive exposure ``(rows, c)`` at one node.
+
+    Per lane: signed position value ``w * BS(s, k, v, t_rem)`` (intrinsic at
+    the final node); per path: indicator matmul over its lane span, then the
+    positive part.
+    """
+    t_safe = jnp.maximum(t_rem, 1e-12)
+    bs = mcmath.bs_call_hastings(s, ops["k"], r, ops["v"], t_safe)
+    val = ops["w"] * jnp.where(t_rem > 0, bs,
+                               jnp.maximum(s - ops["k"], 0.0))
+    if mxu:
+        net = jnp.dot(val, ops["isel"], precision=MATMUL_PRECISION,
+                      preferred_element_type=jnp.float32)
+    else:
+        c = ops["isel"].shape[1]
+        a_tile = ops["chol_bd"].shape[0] // c
+        net = val.reshape(val.shape[0], c, a_tile).sum(axis=-1)
+    return jnp.maximum(net, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def xla_partials(spec: CvaMultiSpec, chol, key: jax.Array, block_offset,
+                 plan: Plan, n_blocks: int):
+    """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))``."""
+    dtype = plan.jdtype
+    sp = spec.astype(dtype)
+    g = spec.n_grid
+    ops = pack_spec(sp, chol, dtype)
+    width = ops["chol_bd"].shape[0]
+    dp = mcmath.default_leg_weights(sp.intensity, sp.t, g, dtype=dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    t_rem = jnp.asarray(sp.t, dtype) * (g - j) / g
+    shape = (plan.rows, width)
+
+    def walk(z_seq, sgn):
+        def body(jj, carry):
+            s, acc, ee_sums = carry
+            bt = jnp.dot(sgn * z_seq[jj], ops["chol_bd"],
+                         precision=MATMUL_PRECISION,
+                         preferred_element_type=jnp.float32)
+            s = s * jnp.exp(ops["drift"] + ops["vol"] * bt)
+            ee = _netted_exposure(s, ops, sp.r, t_rem[jj], mxu=False)
+            acc = acc + dp[jj] * ee
+            ee_sums = ee_sums.at[jj].add(jnp.sum(ee))
+            return (s, acc, ee_sums)
+
+        init = (jnp.broadcast_to(ops["s0"], shape),
+                jnp.zeros((plan.rows, ops["isel"].shape[1]), dtype),
+                jnp.zeros((g,), dtype))
+        _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
+        return sp.lgd * acc, ee_sums
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            cva_tile, ee_sums = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                cva_m, ee_m = walk(z_seq, jnp.asarray(-1.0, dtype))
+                cva_tile = 0.5 * (cva_tile + cva_m)
+                ee_sums = 0.5 * (ee_sums + ee_m)
+            cs, cs2 = chunk_sums(cva_tile)
+            acc, ee_acc = carry
+            return (_accum_add(acc, cs, cs2, plan.kahan), ee_acc + ee_sums)
+
+        init = (_accum_init(dtype, plan.kahan), jnp.zeros((g,), dtype))
+        acc, ee_acc = jax.lax.fori_loop(0, plan.iters, body, init)
+        s, s2 = _accum_final(acc, plan.kahan)
+        return jnp.stack([s, s2]), ee_acc
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend
+# ---------------------------------------------------------------------------
+
+def _cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref,
+                      s0_ref, k_ref, w_ref, v_ref, drift_ref, vol_ref,
+                      lt_ref, isel_ref, out_ref, ee_ref, prof_ref, comp_ref,
+                      *, plan: Plan, n_grid: int):
+    r, lgd = scal_ref[0], scal_ref[1]
+    ops = {
+        "s0": s0_ref[:], "k": k_ref[:], "w": w_ref[:], "v": v_ref[:],
+        "drift": drift_ref[:], "vol": vol_ref[:],
+        "chol_bd": lt_ref[:], "isel": isel_ref[:],
+    }
+    width = lt_ref.shape[0]
+    c = isel_ref.shape[1]
+    shape = (plan.rows, width)
+    b = pl.program_id(0)
+    g_pad = prof_ref.shape[0]
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        sgn_half = 0.5 if plan.antithetic else 1.0
+
+        def step(j, z, carry):
+            s, acc = carry
+            bt = jnp.dot(sgn * z, ops["chol_bd"],
+                         precision=MATMUL_PRECISION,
+                         preferred_element_type=jnp.float32)
+            s = s * jnp.exp(ops["drift"] + ops["vol"] * bt)
+            ee = _netted_exposure(s, ops, r, trem_ref[j], mxu=True)
+            acc = acc + dp_ref[j] * ee
+            # Kahan-compensated scalar profile accumulation in SMEM.
+            total = sgn_half * jnp.sum(ee)
+            y = total - comp_ref[j]
+            t_new = prof_ref[j] + y
+            comp_ref[j] = (t_new - prof_ref[j]) - y
+            prof_ref[j] = t_new
+            return (s, acc)
+
+        init = (jnp.broadcast_to(ops["s0"], shape),
+                jnp.zeros((plan.rows, c), jnp.float32))
+        _, acc = walk_pairwise(shape, n_grid, step, init)
+        return lgd * acc
+
+    def body(i, carry):
+        if plan.antithetic:
+            cva_tile = 0.5 * (walk(i, 1.0) + walk(i, -1.0))
+        else:
+            cva_tile = walk(i, 1.0)
+        cs, cs2 = chunk_sums(cva_tile)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    def zero_prof(j, _):
+        prof_ref[j] = 0.0
+        comp_ref[j] = 0.0
+        return 0
+
+    jax.lax.fori_loop(0, g_pad, zero_prof, 0)
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+    def write_prof(j, _):
+        ee_ref[b, j] = prof_ref[j] + comp_ref[j]
+        return 0
+
+    jax.lax.fori_loop(0, g_pad, write_prof, 0)
+
+
+def pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset, plan: Plan,
+                    n_blocks: int, interpret: bool = False):
+    """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        return _pallas_partials(spec, chol, seed, block_offset, plan,
+                                n_blocks, interpret)
+
+
+def _pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
+                     interpret):
+    sp = spec.astype(jnp.float32)
+    g = spec.n_grid
+    ops = pack_spec(sp, chol, jnp.float32)
+    width = ops["chol_bd"].shape[0]
+    c = ops["isel"].shape[1]
+    dp = mcmath.default_leg_weights(sp.intensity, sp.t, g, jnp.float32)
+    j = jnp.arange(1, g + 1, dtype=jnp.float32)
+    t_rem = jnp.asarray(sp.t, jnp.float32) * (g - j) / g
+    scal = jnp.stack([sp.r, sp.lgd])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+    g_pad = _round_up(g, 8)
+
+    kernel = functools.partial(_cva_multi_kernel, plan=plan, n_grid=g)
+    paths_iter = plan.rows * c * (2 if plan.antithetic else 1)
+    out, ee = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((g_pad,), jnp.float32),
+                        pltpu.SMEM((g_pad,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.iters * plan.rows * g * (2 * width * width
+                                                + 20 * width),
+            bytes_accessed=n_blocks * (2 + g) * 4,
+            transcendentals=plan.iters * paths_iter * g * 8,
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal, dp, t_rem, ops["s0"], ops["k"], ops["w"],
+      ops["v"], ops["drift"], ops["vol"], ops["chol_bd"], ops["isel"])
+    return out, ee[:, :g]

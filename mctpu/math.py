@@ -22,6 +22,7 @@ __all__ = [
     "gbm_terminal",
     "cva_closed_form",
     "cva_portfolio_closed_form",
+    "cva_multi_closed_form",
     "default_leg_weights",
     "wide_dtype",
 ]
@@ -316,3 +317,29 @@ def cva_portfolio_closed_form(intensity, lgd, s, r, v, t, strikes, weights,
     tj = jnp.asarray(t, dtype) / n_grid * jnp.arange(1, n_grid + 1, dtype=dtype)
     return jnp.asarray(lgd, dtype) * c0 * jnp.sum(
         dp * jnp.exp(jnp.asarray(r, dtype) * tj))
+
+
+def cva_multi_closed_form(intensity, lgd, s, v, strikes, weights, r, t,
+                          n_grid: int, dtype=None):
+    """Exact CVA expectation for an all-long netting set over M correlated
+    underlyings.
+
+    With non-negative weights the netting never binds, and the discounted BS
+    value of each option is a martingale *in its own underlying*, so
+    correlation drops out of the expectation entirely:
+
+        CVA = lgd * (sum_m w_m C_0(s_m, k_m, v_m)) * sum_j dp_j e^{r t_j}
+
+    (per-underlying version of :func:`cva_portfolio_closed_form`).
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    s = jnp.asarray(s, dtype)
+    v = jnp.asarray(v, dtype)
+    strikes = jnp.asarray(strikes, dtype)
+    weights = jnp.asarray(weights, dtype)
+    c0 = jnp.sum(weights * bs_call(s, strikes, r, v, t))
+    dp = default_leg_weights(intensity, t, n_grid, dtype=dtype)
+    t_j = jnp.asarray(t, dtype) * jnp.arange(1, n_grid + 1, dtype=dtype) / n_grid
+    growth = jnp.sum(dp * jnp.exp(jnp.asarray(r, dtype) * t_j))
+    return jnp.asarray(lgd, dtype) * c0 * growth

@@ -243,6 +243,36 @@ def price_basket_barrier(opt, n_paths: int, seed: int = 0) -> OracleResult:
     return _estimate(pay, np.exp(-float(bk.r) * float(bk.t)))
 
 
+def price_cva_multi(spec, n_paths: int, seed: int = 0) -> OracleResult:
+    """NumPy twin of :func:`mctpu.engine.price_cva_multi` (CvaMultiSpec):
+    netting set of calls on M correlated underlyings."""
+    rng = np.random.default_rng(seed)
+    m = spec.n_underlyings
+    s0 = np.asarray(spec.s, np.float64)
+    v = np.asarray(spec.v, np.float64)
+    strikes = np.asarray(spec.strikes, np.float64)
+    weights = np.asarray(spec.weights, np.float64)
+    r, t = float(spec.r), float(spec.t)
+    lam, lgd, g = float(spec.intensity), float(spec.lgd), int(spec.n_grid)
+    chol = cholesky_psd(np.asarray(spec.corr, np.float64))
+    dt = t / g
+    j = np.arange(1, g + 1)
+    dp = np.exp(-lam * dt * (j - 1)) - np.exp(-lam * dt * j)
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    s = np.tile(s0, (n_paths, 1))
+    acc = np.zeros(n_paths)
+    for jj in range(1, g + 1):
+        z = rng.standard_normal((n_paths, m))
+        s = s * np.exp(drift + vol * (z @ chol.T))
+        t_rem = t * (g - jj) / g
+        value = np.zeros(n_paths)
+        for i in range(m):
+            value += weights[i] * bs_call(s[:, i], strikes[i], r, v[i], t_rem)
+        acc += dp[jj - 1] * np.maximum(value, 0.0)
+    return _estimate(lgd * acc, discount=1.0)
+
+
 def price_cva(spec: CvaSpec, n_paths: int, seed: int = 0) -> OracleResult:
     """Twin of ``cvaMonteCarlo`` (``MonteCarloHost.c:233-278``).
 

@@ -32,6 +32,7 @@ __all__ = [
     "BasketBarrierOption",
     "CvaSpec",
     "CvaPortfolioSpec",
+    "CvaMultiSpec",
     "McResult",
     "CvaResult",
 ]
@@ -623,6 +624,74 @@ class CvaPortfolioSpec:
             wwr_b=wwr_b,
             n_grid=spec.n_grid,
         )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class CvaMultiSpec:
+    """CVA of a netting set of calls on M *correlated underlyings*.
+
+    The production generalization of :class:`CvaPortfolioSpec` (which nets
+    options on one underlying): option ``m`` is a call struck at
+    ``strikes[m]`` on underlying ``m``; the underlyings follow correlated
+    GBMs (``corr``), and the exposure at each grid node is the netted
+    positive part ``max(sum_m weights[m] * BS(S_m, strikes[m], T - t_j), 0)``
+    — short positions offset long ones across underlyings.
+
+    All-long weights admit an exact closed form
+    (:func:`mctpu.math.cva_multi_closed_form`, per-underlying martingale).
+    """
+
+    intensity: Any
+    lgd: Any
+    s: Any  # (M,) spots
+    v: Any  # (M,) vols
+    corr: Any  # (M, M)
+    r: Any
+    t: Any
+    strikes: Any  # (M,)
+    weights: Any  # (M,)
+    n_grid: int = _static(default=50)
+
+    @property
+    def n_underlyings(self) -> int:
+        return int(np.shape(self.s)[0])
+
+    def astype(self, dtype) -> "CvaMultiSpec":
+        return CvaMultiSpec(
+            intensity=jnp.asarray(self.intensity, dtype),
+            lgd=jnp.asarray(self.lgd, dtype),
+            s=jnp.asarray(self.s, dtype),
+            v=jnp.asarray(self.v, dtype),
+            corr=jnp.asarray(self.corr, dtype),
+            r=jnp.asarray(self.r, dtype),
+            t=jnp.asarray(self.t, dtype),
+            strikes=jnp.asarray(self.strikes, dtype),
+            weights=jnp.asarray(self.weights, dtype),
+            n_grid=self.n_grid,
+        )
+
+    def validate(self) -> None:
+        m = self.n_underlyings
+        for name, x in (("v", self.v), ("strikes", self.strikes),
+                        ("weights", self.weights)):
+            if np.shape(x) != (m,):
+                raise ValueError(f"{name} must have shape ({m},)")
+        if np.shape(self.corr) != (m, m):
+            raise ValueError(f"corr must have shape ({m},{m})")
+        if self.n_grid < 1:
+            raise ValueError("n_grid must be >= 1")
+        if not _concrete(self.intensity, self.lgd, self.s, self.v, self.t,
+                         self.strikes):
+            return
+        if (np.asarray(self.s) <= 0).any():
+            raise ValueError("spots must be positive")
+        if (np.asarray(self.strikes) <= 0).any():
+            raise ValueError("strikes must be positive")
+        if float(self.intensity) < 0:
+            raise ValueError("default intensity must be non-negative")
+        if not 0.0 <= float(self.lgd) <= 1.0:
+            raise ValueError("lgd must lie in [0, 1]")
 
 
 @_register_pytree

@@ -172,3 +172,18 @@ def test_heston_qe_on_chip():
                               scheme="qe")
     want = float(mheston.cf_call_price(hopt))
     assert _z(res.price, want, res.std_error) < 4
+
+
+def test_cva_multi_on_chip():
+    from mctpu import math as mm
+    from mctpu.types import CvaMultiSpec
+    corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6, s=[100.0, 95.0],
+                        v=[0.2, 0.3], corr=corr, r=0.05, t=1.0,
+                        strikes=[100.0, 90.0], weights=[0.5, 0.5], n_grid=25)
+    res = engine.price_cva_multi(spec, 1 << 18, KEY,
+                                 _cfg(num_blocks=16, rows=8))
+    want = float(mm.cva_multi_closed_form(
+        0.03, 0.6, spec.s, spec.v, spec.strikes, spec.weights, 0.05, 1.0,
+        25))
+    assert _z(res.cva, want, res.std_error) < 4
