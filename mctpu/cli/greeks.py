@@ -25,12 +25,51 @@ def main(argv=None):
     p.add_argument("--vol", type=float, default=0.2)
     p.add_argument("--maturity", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--product", choices=["vanilla", "asian", "heston"],
+                   default="vanilla")
+    p.add_argument("--obs", type=int, default=12,
+                   help="observation dates (asian) / steps (heston)")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
                         v=args.vol, t=args.maturity)
     key = jax.random.key(args.seed)
     common.print_option(opt)
+
+    if args.product == "asian":
+        from mctpu.types import AsianOption
+        aopt = AsianOption(args.spot, args.strike, args.rate, args.vol,
+                           args.maturity, n_obs=args.obs,
+                           average="geometric")
+        mc, dt = common.timed(greeks.asian_greeks, aopt, args.paths, key)
+        cf_fn = lambda s, v, r: mcmath.geometric_asian_call(
+            s, args.strike, r, v, args.maturity, args.obs)
+        d = jax.grad(cf_fn, argnums=(0, 1, 2))(args.spot, args.vol,
+                                               args.rate)
+        cf = {"price": cf_fn(args.spot, args.vol, args.rate),
+              "delta": d[0], "vega": d[1], "rho": d[2]}
+        print(f"\ngeometric asian ({args.obs} obs), paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'closed form':>12}")
+        for name in ("price", "delta", "vega", "rho"):
+            print(f"{name:>6} | {float(mc[name]):12.6f} | "
+                  f"{float(cf[name]):12.6f}")
+        return 0
+
+    if args.product == "heston":
+        from mctpu.models import heston as mheston
+        from mctpu.types import HestonOption
+        hopt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
+                            t=args.maturity, v0=args.vol ** 2, kappa=2.0,
+                            theta=args.vol ** 2, xi=0.3, rho=-0.7)
+        mc, dt = common.timed(greeks.heston_greeks, hopt, args.paths, key,
+                              n_steps=args.obs, scheme="qe")
+        print(f"\nheston QE ({args.obs} steps), paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms")
+        print(f"cf price: {float(mheston.cf_call_price(hopt)):.6f}")
+        for name in ("price", "delta", "dv0", "dxi"):
+            print(f"{name:>6} | {float(mc[name]):12.6f}")
+        return 0
 
     mc, dt = common.timed(greeks.vanilla_greeks, opt, args.paths, key)
     gamma = greeks.bump_and_revalue(

@@ -28,7 +28,8 @@ from mctpu import math as mcmath
 from mctpu.models import basket as mbasket
 from mctpu.types import BasketOption, VanillaOption
 
-__all__ = ["vanilla_greeks", "basket_delta", "bump_and_revalue"]
+__all__ = ["vanilla_greeks", "basket_delta", "asian_greeks",
+           "heston_greeks", "barrier_delta_crn", "bump_and_revalue"]
 
 
 def _vanilla_price(s, k, r, v, t, z, antithetic: bool):
@@ -108,3 +109,140 @@ def bump_and_revalue(price_fn: Callable[..., jax.Array], x0, eps: float,
         return (up - dn) / (2 * eps)
     mid = price_fn(x0)
     return (up - 2 * mid + dn) / (eps * eps)
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_obs",
+                                             "geometric"))
+def _asian_greeks_impl(s, k, r, v, t, key, n_paths: int, n_obs: int,
+                       geometric: bool):
+    dtype = mcmath.wide_dtype()
+    z = jax.random.normal(key, (n_obs, n_paths), dtype)
+
+    def price(s0, r_, v_):
+        dt = jnp.asarray(t, dtype) / n_obs
+        drift = (r_ - 0.5 * v_ * v_) * dt
+        vol = v_ * jnp.sqrt(dt)
+
+        def step(carry, zj):
+            spot, acc = carry
+            spot = spot * jnp.exp(drift + vol * zj)
+            acc = acc + (jnp.log(spot) if geometric else spot)
+            return (spot, acc), None
+
+        init = (jnp.full((n_paths,), s0, dtype),
+                jnp.zeros((n_paths,), dtype))
+        (_, acc), _ = jax.lax.scan(step, init, z)
+        avg = jnp.exp(acc / n_obs) if geometric else acc / n_obs
+        pay = jnp.maximum(avg - k, 0.0)
+        return jnp.exp(-r_ * jnp.asarray(t, dtype)) * jnp.mean(pay)
+
+    args = (jnp.asarray(s, dtype), jnp.asarray(r, dtype),
+            jnp.asarray(v, dtype))
+    p, (delta, rho, vega) = jax.value_and_grad(price, argnums=(0, 1, 2))(*args)
+    return p, delta, vega, rho
+
+
+def asian_greeks(opt, n_paths: int, key: jax.Array) -> dict:
+    """Pathwise MC Greeks of the Asian call: price, delta, vega, rho.
+
+    The average payoff is a.e. differentiable (kink has measure zero), so
+    pathwise autodiff is unbiased — same mechanism as
+    :func:`vanilla_greeks`, differentiated *through the walk* (one
+    ``lax.scan`` reverse pass).  Validated against the exact geometric
+    closed form's derivatives in ``tests/test_greeks.py``.
+    """
+    opt.validate()
+    return dict(zip(
+        ("price", "delta", "vega", "rho"),
+        _asian_greeks_impl(opt.s, opt.k, opt.r, opt.v, opt.t, key, n_paths,
+                           opt.n_obs, opt.average == "geometric")))
+
+
+@functools.partial(jax.jit, static_argnames=("n_paths", "n_steps", "scheme"))
+def _heston_greeks_impl(s, k, r, t, v0, kappa, theta, xi, rho_sv, key,
+                        n_paths: int, n_steps: int, scheme: str):
+    from mctpu.models import heston as mheston
+    from mctpu.types import HestonOption
+
+    dtype = mcmath.wide_dtype()
+    z = jax.random.normal(key, (n_steps, 2, n_paths), dtype)
+
+    def price(s0, v0_, xi_):
+        opt = HestonOption(s=s0, k=k, r=r, t=t, v0=v0_, kappa=kappa,
+                           theta=theta, xi=xi_, rho=rho_sv)
+        if scheme == "qe":
+            c = mheston.qe_constants(opt, n_steps, dtype)
+            x = jnp.zeros((n_paths,), dtype)
+            v = jnp.full((n_paths,), v0_, dtype)
+
+            def step(carry, zj):
+                return mheston.qe_step(carry[0], carry[1], zj[0], zj[1], c,
+                                       mcmath.norm_cdf), None
+
+            (x, _), _ = jax.lax.scan(step, (x, v), z)
+            st = s0 * jnp.exp(x)
+        else:
+            dt = jnp.asarray(t, dtype) / n_steps
+            sqdt = jnp.sqrt(dt)
+            rho_c = jnp.asarray(rho_sv, dtype)
+            rho_s = jnp.sqrt(1.0 - rho_c * rho_c)
+
+            def step(carry, zj):
+                st_, v = carry
+                vp = jnp.maximum(v, 0.0)
+                sq_v = jnp.sqrt(vp) * sqdt
+                z_s = rho_c * zj[0] + rho_s * zj[1]
+                st_ = st_ * jnp.exp(r * dt - 0.5 * vp * dt + sq_v * z_s)
+                v = v + kappa * (theta - vp) * dt + xi_ * sq_v * zj[0]
+                return (st_, v), None
+
+            init = (jnp.full((n_paths,), s0, dtype),
+                    jnp.full((n_paths,), v0_, dtype))
+            (st, _), _ = jax.lax.scan(step, init, z)
+        pay = jnp.maximum(st - k, 0.0)
+        return jnp.exp(-jnp.asarray(r, dtype) * jnp.asarray(t, dtype)) \
+            * jnp.mean(pay)
+
+    args = (jnp.asarray(s, dtype), jnp.asarray(v0, dtype),
+            jnp.asarray(xi, dtype))
+    p, (delta, dv0, dxi) = jax.value_and_grad(price, argnums=(0, 1, 2))(*args)
+    return p, delta, dv0, dxi
+
+
+def heston_greeks(opt, n_paths: int, key: jax.Array, n_steps: int = 100,
+                  scheme: str = "euler") -> dict:
+    """Pathwise Heston Greeks: price, delta, d/d(v0), d/d(xi).
+
+    Autodiff through the full stochastic-vol walk (Euler or QE — branch
+    selection via ``where`` is autodiff-safe).  Validated against central
+    differences of the characteristic-function price.
+    """
+    opt.validate()
+    p, delta, dv0, dxi = _heston_greeks_impl(
+        opt.s, opt.k, opt.r, opt.t, opt.v0, opt.kappa, opt.theta, opt.xi,
+        opt.rho, key, n_paths, n_steps, scheme)
+    return {"price": p, "delta": delta, "dv0": dv0, "dxi": dxi}
+
+
+def barrier_delta_crn(opt, n_paths: int, key: jax.Array,
+                      eps: float = 0.5) -> jax.Array:
+    """Barrier-call delta by common-random-number central differences.
+
+    Pathwise autodiff is *biased* for barrier payoffs: the knockout
+    indicator is discontinuous in the spot, and its derivative (a surface
+    Dirac term) autodiffs to zero.  CRN bump-and-revalue prices identical
+    paths at ``s ± eps`` (counter-based RNG), so the estimator converges to
+    the true delta with the MC noise cancelling to first order.
+    """
+    import dataclasses as _dc
+
+    from mctpu import engine
+
+    opt.validate()
+    cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla")
+
+    def price(s0):
+        o = _dc.replace(opt, s=float(s0))
+        return float(engine.price_barrier(o, n_paths, key, cfg).price)
+
+    return bump_and_revalue(price, float(opt.s), eps, order=1)

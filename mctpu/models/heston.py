@@ -132,21 +132,28 @@ def qe_step(x, v, z_v, z_s, c, norm_cdf):
     m = c["theta"] + (v - c["theta"]) * c["e"]
     s2 = v * c["c1"] + c["c2"]
     psi = s2 / (m * m)
-    # Quadratic branch (psi <= 1.5)
+    quad = psi <= 1.5
+    # Quadratic branch (psi <= 1.5).  The unselected branch's sqrt(0) has an
+    # infinite derivative that would poison grads through `where` (pathwise
+    # Greeks autodiff through this step), so feed it a safe placeholder.
     two_over = 2.0 / psi
-    b2 = jnp.maximum(
-        two_over - 1.0 + jnp.sqrt(two_over)
-        * jnp.sqrt(jnp.maximum(two_over - 1.0, 0.0)), 0.0)
+    quad_arg = jnp.where(quad, jnp.maximum(two_over - 1.0, 0.0), 1.0)
+    b2 = jnp.where(quad,
+                   two_over - 1.0 + jnp.sqrt(two_over) * jnp.sqrt(quad_arg),
+                   0.0)
     a = m / (1.0 + b2)
     v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
     # Exponential branch (psi > 1.5)
     p = (psi - 1.0) / (psi + 1.0)
     beta = (1.0 - p) / jnp.maximum(m, 1e-30)
     u = jnp.clip(norm_cdf(z_v), 0.0, 1.0 - 1e-7)
-    v_exp = jnp.where(u <= p, 0.0,
-                      jnp.log((1.0 - p) / jnp.maximum(1.0 - u, 1e-30)) / beta)
-    v_new = jnp.where(psi <= 1.5, v_quad, v_exp)
+    log_arg = jnp.where(u <= p, 1.0,
+                        (1.0 - p) / jnp.maximum(1.0 - u, 1e-30))
+    v_exp = jnp.where(u <= p, 0.0, jnp.log(log_arg) / beta)
+    v_new = jnp.where(quad, v_quad, v_exp)
+    # 1e-20 floor: sqrt'(0) is infinite and v = v' = 0 is reachable (the
+    # exponential branch puts mass at zero); the value change is ~1e-10.
     x_new = (x + c["r_dt"] + c["k0"] + c["k1"] * v + c["k2"] * v_new
-             + jnp.sqrt(jnp.maximum(c["k3"] * v + c["k4"] * v_new, 0.0))
+             + jnp.sqrt(jnp.maximum(c["k3"] * v + c["k4"] * v_new, 1e-20))
              * z_s)
     return x_new, v_new
