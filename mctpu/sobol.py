@@ -27,6 +27,7 @@ from mctpu.models import basket as mbasket
 from mctpu.types import BasketOption, McResult, VanillaOption
 
 __all__ = ["sobol_points", "price_vanilla_sobol", "price_basket_sobol",
+           "price_asian_sobol", "bridge_paths", "brownian_bridge_plan",
            "MAX_DIM"]
 
 _DATA = Path(__file__).resolve().parent / "data" / "sobol_directions_128x30.npy"
@@ -128,6 +129,129 @@ def price_basket_sobol(opt: BasketOption, n_points: int, key: jax.Array,
     chol = mcmath.cholesky_lower(jnp.asarray(o.corr, dtype))
     price, se = _basket_sobol(o, chol, key, n_points, opt.n_assets,
                               replicates)
+    return McResult(price=price, ci=1.96 * se, std_error=se,
+                    sum_p=price * n_points * replicates,
+                    sum_p2=jnp.zeros_like(price),
+                    n=replicates, n_paths=n_points * replicates)
+
+
+# ---------------------------------------------------------------------------
+# Brownian-bridge path construction (QMC for path-dependent payoffs)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def brownian_bridge_plan(m: int):
+    """Bisection order and coefficients for a Brownian bridge over m uniform
+    steps (Glasserman §3.1): draw k fills time index ``out[k]`` as
+
+        W_out = ca * W_left + cb * W_right + sd * z_k
+
+    with ``left = -1`` meaning the t=0 anchor (W=0).  Draw 0 is the terminal
+    point.  The bridge maps the best (lowest) Sobol dimensions to the
+    largest-variance components of the path — the standard trick that keeps
+    the effective dimension low for path-dependent payoffs.
+    Times are in units of the step (t_j = j+1 for index j); coefficients are
+    scale-free except ``sd`` which is in sqrt(step) units.
+    """
+    left = np.zeros(m, np.int32)
+    right = np.zeros(m, np.int32)
+    out = np.zeros(m, np.int32)
+    ca = np.zeros(m)
+    cb = np.zeros(m)
+    sd = np.zeros(m)
+    # draw 0: terminal W at time m (index m-1), unconditional.
+    out[0] = m - 1
+    left[0] = -1
+    right[0] = -1
+    ca[0] = 0.0
+    cb[0] = 0.0
+    sd[0] = np.sqrt(m)
+    # Bisect intervals (a, b) with W known at time-index a and b (a may be
+    # the -1 anchor at t=0).
+    queue = [(-1, m - 1)]
+    k = 1
+    while queue:
+        a, b = queue.pop(0)
+        if b - a < 2:
+            continue
+        c = (a + b + 1) // 2
+        ta, tc, tb = a + 1.0, c + 1.0, b + 1.0  # times in step units
+        out[k] = c
+        left[k] = a
+        right[k] = b
+        ca[k] = (tb - tc) / (tb - ta)
+        cb[k] = (tc - ta) / (tb - ta)
+        sd[k] = np.sqrt((tc - ta) * (tb - tc) / (tb - ta))
+        k += 1
+        queue.append((a, c))
+        queue.append((c, b))
+    assert k == m, (k, m)
+    return left, right, out, ca, cb, sd
+
+
+def bridge_paths(z, t_total, dtype):
+    """Brownian motion W at m uniform times from normals ``z (n, m)``.
+
+    Returns ``w (m, n)`` with ``Cov[W_i, W_j] = min(t_i, t_j)``,
+    ``t_j = (j+1) t_total / m``; draw order follows
+    :func:`brownian_bridge_plan` so ``z[:, 0]`` (the best Sobol dim) drives
+    the terminal point.
+    """
+    n, m = z.shape
+    left, right, out, ca, cb, sd = brownian_bridge_plan(m)
+    step_scale = jnp.sqrt(jnp.asarray(t_total, dtype) / m)
+    w = [None] * m
+    w[int(out[0])] = jnp.asarray(sd[0], dtype) * step_scale * z[:, 0]
+    for k in range(1, m):
+        wa = 0.0 if left[k] < 0 else w[int(left[k])]
+        wb = w[int(right[k])]
+        w[int(out[k])] = (jnp.asarray(ca[k], dtype) * wa
+                          + jnp.asarray(cb[k], dtype) * wb
+                          + jnp.asarray(sd[k], dtype) * step_scale
+                          * z[:, k])
+    return jnp.stack(w)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_obs", "geometric",
+                                             "replicates"))
+def _asian_sobol(s, k, r, v, t, key, n: int, n_obs: int, geometric: bool,
+                 replicates: int):
+    dtype = mcmath.wide_dtype()
+    shifts = jax.random.bits(key, (replicates, n_obs), dtype=jnp.uint32)
+    t_j = jnp.asarray(t, dtype) * jnp.arange(1, n_obs + 1, dtype=dtype) / n_obs
+
+    def one(shift):
+        z = _clip_ndtri(sobol_points(n, n_obs, shift, dtype), dtype)
+        w = bridge_paths(z, t, dtype)  # (n_obs, n)
+        log_s = jnp.log(s) + (r - 0.5 * v * v) * t_j[:, None] + v * w
+        if geometric:
+            avg = jnp.exp(jnp.mean(log_s, axis=0))
+        else:
+            avg = jnp.mean(jnp.exp(log_s), axis=0)
+        pay = jnp.maximum(avg - k, 0.0)
+        return jnp.exp(-r * t) * jnp.mean(pay)
+
+    return _replicate_estimate(jax.vmap(one)(shifts))
+
+
+def price_asian_sobol(opt, n_points: int, key: jax.Array,
+                      replicates: int = 16) -> McResult:
+    """Sobol-RQMC Asian call via Brownian-bridge path construction.
+
+    The bridge assigns the lowest Sobol dimensions to the coarsest path
+    structure (terminal, then midpoints), keeping the integrand's effective
+    dimension low — the standard recipe for QMC on path-dependent payoffs
+    (net dimension = ``n_obs``, <= 128).
+    """
+    opt.validate()
+    if opt.n_obs > MAX_DIM:
+        raise ValueError(f"sobol asian supports n_obs <= {MAX_DIM}")
+    dtype = mcmath.wide_dtype()
+    price, se = _asian_sobol(
+        jnp.asarray(opt.s, dtype), jnp.asarray(opt.k, dtype),
+        jnp.asarray(opt.r, dtype), jnp.asarray(opt.v, dtype),
+        jnp.asarray(opt.t, dtype), key, n_points, opt.n_obs,
+        opt.average == "geometric", replicates)
     return McResult(price=price, ci=1.96 * se, std_error=se,
                     sum_p=price * n_points * replicates,
                     sum_p2=jnp.zeros_like(price),

@@ -66,3 +66,55 @@ def test_basket_sobol_matches_mc():
                                   engine.EngineConfig(num_blocks=8, rows=8,
                                                       backend="xla"))
     assert float(res.ci) < float(mc_same.ci) / 2
+
+
+class TestBrownianBridgeAsian:
+    GEO = __import__("mctpu.types", fromlist=["AsianOption"]).AsianOption(
+        100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12, average="geometric")
+
+    def test_bridge_covariance_is_brownian(self):
+        # With iid normal inputs the constructed path must have
+        # Cov[W_i, W_j] = min(t_i, t_j) — validates order + coefficients.
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.standard_normal((100000, 10)))
+        w = np.asarray(sobol.bridge_paths(z, 2.0, jnp.float64))
+        t = 2.0 * np.arange(1, 11) / 10
+        cov = w @ w.T / z.shape[0]
+        np.testing.assert_allclose(cov, np.minimum.outer(t, t), atol=0.02)
+
+    def test_bridge_plan_covers_all_indices(self):
+        for m in (1, 2, 3, 7, 12, 50, 128):
+            _, _, out, _, _, _ = sobol.brownian_bridge_plan(m)
+            assert sorted(out.tolist()) == list(range(m))
+
+    def test_geometric_matches_closed_form(self):
+        res = sobol.price_asian_sobol(self.GEO, 1 << 13, jax.random.key(5))
+        want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 12))
+        assert abs(float(res.price) - want) < 5 * float(res.std_error)
+
+    def test_beats_plain_mc_by_an_order_of_magnitude(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        res = sobol.price_asian_sobol(self.GEO, 1 << 13, jax.random.key(5))
+        mc = engine.price_asian(self.GEO, (1 << 13) * 16, jax.random.key(5),
+                                engine.EngineConfig(num_blocks=8, rows=8,
+                                                    backend="xla"))
+        assert float(res.ci) < float(mc.ci) / 10
+
+    def test_arithmetic_within_geometric_vanilla_bracket(self):
+        from mctpu.types import AsianOption
+        ari = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                          average="arithmetic")
+        res = sobol.price_asian_sobol(ari, 1 << 13, jax.random.key(6))
+        geo = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                1.0, 12))
+        vanilla = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert geo < float(res.price) < vanilla
+
+    def test_too_many_obs_rejected(self):
+        from mctpu.types import AsianOption
+        with pytest.raises(ValueError, match="n_obs"):
+            sobol.price_asian_sobol(
+                AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=200),
+                1 << 10, jax.random.key(0))
