@@ -62,7 +62,10 @@ def sobol_points(n: int, dim: int, shift_bits: jax.Array | None = None,
     if shift_bits is not None:
         acc = acc ^ (jnp.asarray(shift_bits, jnp.uint32)[None, :]
                      >> jnp.uint32(32 - _BITS))
-    return (acc.astype(jnp.float64) * (1.0 / (1 << _BITS))).astype(dtype)
+    # Convert at the requested dtype: values live in [0, 1) where dtype
+    # resolution is the binding limit anyway (requesting f64 with x64 off
+    # would only emit a downgrade warning, not extra precision).
+    return acc.astype(dtype) * jnp.asarray(1.0 / (1 << _BITS), dtype)
 
 
 def _replicate_estimate(values):

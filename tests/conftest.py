@@ -36,12 +36,8 @@ def devices():
 
 
 def pytest_collection_modifyitems(config, items):
-    run_slow = os.environ.get("RUN_SLOW", "") == "1"
-    skip_slow = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
     has_tpu = jax.default_backend() == "tpu"
     skip_tpu = pytest.mark.skip(reason="requires a real TPU device")
     for item in items:
-        if "slow" in item.keywords and not run_slow:
-            item.add_marker(skip_slow)
         if "tpu" in item.keywords and not has_tpu:
             item.add_marker(skip_tpu)
