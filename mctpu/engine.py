@@ -16,6 +16,12 @@ functions; the CPU/GPU split becomes backend-transparent):
 * :func:`price_basket`   (``dev_basketOpt`` / ``host_basketOpt``)
 * :func:`price_cva`      (``dev_cvaEquityOption`` / ``host_cvaEquityOption``)
 
+plus the beyond-reference families sharing the same pipeline:
+:func:`price_asian`, :func:`price_barrier`, :func:`price_basket_asian`,
+:func:`price_basket_barrier`, :func:`price_heston` (Euler/QE),
+:func:`price_cva_portfolio` (netting + wrong-way risk) and
+:func:`price_cva_multi` (netting over correlated underlyings).
+
 Multi-chip scaling is data parallelism over simulation blocks: a 1-D
 ``jax.sharding.Mesh`` with axis ``"paths"`` (see :mod:`mctpu.parallel`).
 Results are bitwise identical for mesh sizes up to the ``layout_for`` block
