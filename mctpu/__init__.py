@@ -18,9 +18,11 @@ and how each component maps here.
 from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_basket_asian,
                           price_basket_barrier, price_cva, price_cva_multi,
-                          price_cva_portfolio, price_heston, price_vanilla)
+                          price_cva_portfolio, price_heston, price_lookback,
+                          price_vanilla)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
+                         LookbackOption,
                          BasketOption, HestonOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult,
                          CvaSpec, McResult,
@@ -39,6 +41,7 @@ __all__ = [
     "price_basket_barrier",
     "price_asian",
     "price_barrier",
+    "price_lookback",
     "price_heston",
     "price_american",
     "price_cva",
@@ -50,6 +53,7 @@ __all__ = [
     "BasketBarrierOption",
     "AsianOption",
     "BarrierOption",
+    "LookbackOption",
     "HestonOption",
     "AmericanOption",
     "CvaSpec",

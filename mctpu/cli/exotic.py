@@ -20,7 +20,7 @@ def main(argv=None):
     common.add_engine_args(p, default_mult=1)
     p.add_argument("--product",
                    choices=["asian", "barrier", "american", "heston",
-                            "basket-asian", "basket-barrier"],
+                            "lookback", "basket-asian", "basket-barrier"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -79,6 +79,23 @@ def main(argv=None):
                 beff))
             print(f"BGK-corrected closed form: {want:.6f} "
                   f"(continuous barrier {args.barrier} -> {beff:.3f})")
+        return 0
+
+    if args.product == "lookback":
+        from mctpu.types import LookbackOption
+        opt = LookbackOption(s=args.spot, r=args.rate, v=args.vol,
+                             t=args.maturity, k=args.strike, n_obs=args.obs,
+                             kind="floating", payoff=args.payoff)
+        engine.price_lookback(opt, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_lookback, opt, n, key, cfg)
+        common.print_result(f"lookback floating {args.payoff}", res.price,
+                            res.ci, dt, res.n_paths * args.obs,
+                            extra="  (path-steps/s)")
+        if args.payoff == "call":
+            cf = float(mcmath.lookback_floating_call(
+                args.spot, args.rate, args.vol, args.maturity))
+            print(f"continuous GSG upper bound: {cf:.6f} "
+                  f"(discrete gap shrinks O(1/sqrt(n_obs)))")
         return 0
 
     if args.product in ("basket-asian", "basket-barrier"):

@@ -57,7 +57,8 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
                          McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
-           "price_barrier", "price_basket_asian", "price_basket_barrier",
+           "price_barrier", "price_lookback",
+           "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi"]
 
@@ -278,6 +279,23 @@ def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
     anti = 2 if config.antithetic else 1
     return _price_scalar("barrier", kbarrier, kbarrier.LANES * anti,
                          (opt.n_obs, opt.kind), opt, n_paths, key, config)
+
+
+def price_lookback(opt, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig()) -> McResult:
+    """Discretely-monitored lookback option (floating or fixed strike).
+
+    New product family beyond the reference; the discrete floating call
+    approaches the continuous Goldman-Sosin-Gatto value from below as
+    ``n_obs`` grows (:func:`mctpu.math.lookback_floating_call`).
+    """
+    from mctpu.kernels import lookback as klookback
+
+    opt.validate()
+    anti = 2 if config.antithetic else 1
+    return _price_scalar("lookback", klookback, klookback.LANES * anti,
+                         (opt.n_obs, opt.kind, opt.payoff), opt, n_paths,
+                         key, config)
 
 
 # ---------------------------------------------------------------------------

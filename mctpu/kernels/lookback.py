@@ -1,0 +1,191 @@
+"""Fused lookback-option Monte Carlo kernel (running-extreme walk).
+
+Walk skeleton shared with the barrier kernel: a ``fori_loop`` over the
+observation grid carries the spot tile plus the running extreme.  Payoffs:
+
+* ``floating`` call: ``S_T - min_j S_j``  (put: ``max_j S_j - S_T``)
+* ``fixed`` call:    ``max(max_j S_j - K, 0)``  (put: ``max(K - min_j, 0)``)
+
+New product family beyond the reference; the continuous-monitoring
+Goldman-Sosin-Gatto price (:func:`mctpu.math.lookback_floating_call`) is an
+upper bound the discrete price approaches from below as ``n_obs`` grows.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import rng as mcrng
+from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise)
+from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True) -> Plan:
+    units = rows * LANES
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def _payoff(s, ext, k, kind: str, put: bool):
+    """Terminal lookback payoff from spot + running extreme."""
+    if kind == "floating":
+        # ext = running min for a call, running max for a put
+        return (ext - s) if put else (s - ext)
+    if put:
+        return jnp.maximum(k - ext, 0.0)  # ext = running min
+    return jnp.maximum(ext - k, 0.0)      # ext = running max
+
+
+def _tracks_min(kind: str, put: bool) -> bool:
+    return (kind == "floating") != put  # floating call / fixed put -> min
+
+
+def _walk_tile(s0, k, drift, vol, z_at, n_obs: int, kind: str, put: bool,
+               sgn, shape, dtype):
+    """XLA-backend walk from pre-drawn normals ``z_at(j)``."""
+    use_min = _tracks_min(kind, put)
+
+    def body(j, carry):
+        s, ext = carry
+        s = s * jnp.exp(drift + vol * (sgn * z_at(j)))
+        ext = jnp.minimum(ext, s) if use_min else jnp.maximum(ext, s)
+        return (s, ext)
+
+    init = (jnp.full(shape, s0, dtype), jnp.full(shape, s0, dtype))
+    s, ext = jax.lax.fori_loop(0, n_obs, body, init)
+    return _payoff(s, ext, k, kind, put)
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def xla_partials(opt, key: jax.Array, block_offset, plan: Plan,
+                 n_blocks: int):
+    """Per-block partial sums, shape ``(n_blocks, 2)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    g = opt.n_obs
+    put = opt.payoff == "put"
+    dt = o.t / g
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    shape = (plan.rows, LANES)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            pay = _walk_tile(o.s, o.k, drift, vol, lambda j: z_seq[j], g,
+                             opt.kind, put, jnp.asarray(1.0, dtype), shape,
+                             dtype)
+            if plan.antithetic:
+                pay_m = _walk_tile(o.s, o.k, drift, vol, lambda j: z_seq[j],
+                                   g, opt.kind, put,
+                                   jnp.asarray(-1.0, dtype), shape, dtype)
+                pay = 0.5 * (pay + pay_m)
+            cs, cs2 = chunk_sums(pay)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend
+# ---------------------------------------------------------------------------
+
+def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
+                     n_obs: int, kind: str, put: bool):
+    s0, k = scal_ref[0], scal_ref[1]
+    drift, vol = scal_ref[2], scal_ref[3]
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    use_min = _tracks_min(kind, put)
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, z, carry):
+            s, ext = carry
+            s = s * jnp.exp(drift + vol * (sgn * z))
+            ext = jnp.minimum(ext, s) if use_min else jnp.maximum(ext, s)
+            return (s, ext)
+
+        init = (jnp.full(shape, s0, jnp.float32),
+                jnp.full(shape, s0, jnp.float32))
+        s, ext = walk_pairwise(shape, n_obs, step, init)
+        return _payoff(s, ext, k, kind, put)
+
+    def body(i, carry):
+        pay = walk(i, 1.0)
+        if plan.antithetic:
+            pay = 0.5 * (pay + walk(i, -1.0))
+        cs, cs2 = chunk_sums(pay)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
+def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
+                    interpret: bool = False):
+    """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    # Mosaic has no i64/f64: trace with x64 semantics off (see vanilla.py).
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
+                                interpret)
+
+
+def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
+    o = opt.astype(jnp.float32)
+    dt = o.t / opt.n_obs
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    scal = jnp.stack([o.s, jnp.asarray(o.k, jnp.float32), drift, vol])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_lookback_kernel, plan=plan, n_obs=opt.n_obs,
+                               kind=opt.kind, put=opt.payoff == "put")
+    paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * plan.iters * paths_iter * opt.n_obs,
+            bytes_accessed=n_blocks * 8,
+            transcendentals=3 * plan.iters * paths_iter * opt.n_obs,
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal)

@@ -23,6 +23,7 @@ __all__ = [
     "cva_closed_form",
     "cva_portfolio_closed_form",
     "cva_multi_closed_form",
+    "lookback_floating_call",
     "default_leg_weights",
     "wide_dtype",
 ]
@@ -343,3 +344,28 @@ def cva_multi_closed_form(intensity, lgd, s, v, strikes, weights, r, t,
     t_j = jnp.asarray(t, dtype) * jnp.arange(1, n_grid + 1, dtype=dtype) / n_grid
     growth = jnp.sum(dp * jnp.exp(jnp.asarray(r, dtype) * t_j))
     return jnp.asarray(lgd, dtype) * c0 * growth
+
+
+def lookback_floating_call(s, r, v, t, m=None, dtype=None):
+    """Continuously-monitored floating-strike lookback call
+    (Goldman-Sosin-Gatto 1979): pays ``S_T - min_{u<=T} S_u``.
+
+    ``m`` is the running minimum so far (= ``s`` for a fresh issue).  Used
+    as the continuous-limit oracle for the discrete lookback MC engine —
+    discrete monitoring samples a higher minimum, so the discrete price
+    approaches this value FROM BELOW as ``n_obs`` grows.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    s, r, v, t = (jnp.asarray(x, dtype) for x in (s, r, v, t))
+    m = s if m is None else jnp.asarray(m, dtype)
+    sq = v * jnp.sqrt(t)
+    a1 = (jnp.log(s / m) + (r + 0.5 * v * v) * t) / sq
+    a2 = a1 - sq
+    a3 = (jnp.log(s / m) + (-r + 0.5 * v * v) * t) / sq
+    q = 2.0 * r / (v * v)
+    disc = jnp.exp(-r * t)
+    return (s * norm_cdf(a1) - m * disc * norm_cdf(a2)
+            + s * disc * (1.0 / q)
+            * ((s / m) ** (-q) * norm_cdf(-a3)
+               - jnp.exp(r * t) * norm_cdf(-a1)))

@@ -243,6 +243,29 @@ def price_basket_barrier(opt, n_paths: int, seed: int = 0) -> OracleResult:
     return _estimate(pay, np.exp(-float(bk.r) * float(bk.t)))
 
 
+def price_lookback(opt, n_paths: int, seed: int = 0) -> OracleResult:
+    """NumPy twin of :func:`mctpu.engine.price_lookback` (LookbackOption)."""
+    rng = np.random.default_rng(seed)
+    s0, r, v, t = (float(x) for x in (opt.s, opt.r, opt.v, opt.t))
+    k, g = float(opt.k), int(opt.n_obs)
+    dt = t / g
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    s = np.full(n_paths, s0)
+    ext = np.full(n_paths, s0)
+    use_min = (opt.kind == "floating") != (opt.payoff == "put")
+    for _ in range(g):
+        s = s * np.exp(drift + vol * rng.standard_normal(n_paths))
+        ext = np.minimum(ext, s) if use_min else np.maximum(ext, s)
+    if opt.kind == "floating":
+        pay = (ext - s) if opt.payoff == "put" else (s - ext)
+    elif opt.payoff == "put":
+        pay = np.maximum(k - ext, 0.0)
+    else:
+        pay = np.maximum(ext - k, 0.0)
+    return _estimate(pay, np.exp(-r * t))
+
+
 def price_cva_multi(spec, n_paths: int, seed: int = 0) -> OracleResult:
     """NumPy twin of :func:`mctpu.engine.price_cva_multi` (CvaMultiSpec):
     netting set of calls on M correlated underlyings."""

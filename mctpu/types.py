@@ -28,6 +28,7 @@ __all__ = [
     "VanillaOption",
     "BasketOption",
     "AsianOption",
+    "LookbackOption",
     "BasketAsianOption",
     "BasketBarrierOption",
     "CvaSpec",
@@ -255,6 +256,53 @@ class BasketOption:
             r=0.048790164,
             t=1.0,
         )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class LookbackOption:
+    """Discretely-monitored lookback option on the running extreme.
+
+    ``floating``: call pays ``S_T - min_j S_j`` (put: ``max_j S_j - S_T``) —
+    never out of the money.  ``fixed``: call pays ``max(max_j S_j - k, 0)``
+    (put: ``max(k - min_j S_j, 0)``).  The continuous-monitoring
+    Goldman-Sosin-Gatto value (:func:`mctpu.math.lookback_floating_call`)
+    upper-bounds the discrete floating call.
+    """
+
+    s: Any
+    r: Any
+    v: Any
+    t: Any
+    k: Any = 0.0  # strike (fixed kind only)
+    n_obs: int = _static(default=50)
+    kind: str = _static(default="floating")
+    payoff: str = _static(default="call")
+
+    def astype(self, dtype) -> "LookbackOption":
+        return LookbackOption(
+            s=jnp.asarray(self.s, dtype), r=jnp.asarray(self.r, dtype),
+            v=jnp.asarray(self.v, dtype), t=jnp.asarray(self.t, dtype),
+            k=jnp.asarray(self.k, dtype), n_obs=self.n_obs, kind=self.kind,
+            payoff=self.payoff)
+
+    def validate(self) -> None:
+        if self.kind not in ("floating", "fixed"):
+            raise ValueError("kind must be 'floating' or 'fixed'")
+        if self.payoff not in ("call", "put"):
+            raise ValueError("payoff must be 'call' or 'put'")
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        if not _concrete(self.s, self.v, self.t, self.k):
+            return
+        if float(self.s) <= 0:
+            raise ValueError("spot must be positive")
+        if self.kind == "fixed" and float(self.k) <= 0:
+            raise ValueError("fixed-strike lookback needs a positive strike")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
 
 
 @_register_pytree

@@ -187,3 +187,16 @@ def test_cva_multi_on_chip():
         0.03, 0.6, spec.s, spec.v, spec.strikes, spec.weights, 0.05, 1.0,
         25))
     assert _z(res.cva, want, res.std_error) < 4
+
+
+def test_lookback_on_chip():
+    from mctpu import reference
+    from mctpu.types import LookbackOption
+    opt = LookbackOption(s=100.0, r=0.05, v=0.2, t=1.0, n_obs=50)
+    res = engine.price_lookback(opt, 1 << 20, KEY, _cfg(num_blocks=16,
+                                                        rows=8))
+    ora = reference.price_lookback(opt, 1 << 16, seed=9)
+    se = np.hypot(float(res.std_error), ora.std_error)
+    assert _z(res.price, ora.price, se) < 4
+    cf = float(mcmath.lookback_floating_call(100.0, 0.05, 0.2, 1.0))
+    assert float(res.price) < cf  # discrete monitoring is below continuous
