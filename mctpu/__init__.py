@@ -19,7 +19,7 @@ from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_basket_asian,
                           price_basket_barrier, price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_lookback,
-                          price_vanilla)
+                          price_vanilla, price_vanilla_ladder)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
                          LookbackOption,
@@ -36,6 +36,7 @@ __version__ = "0.1.0"
 __all__ = [
     "EngineConfig",
     "price_vanilla",
+    "price_vanilla_ladder",
     "price_basket",
     "price_basket_asian",
     "price_basket_barrier",

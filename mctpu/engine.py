@@ -57,7 +57,7 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
                          McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
-           "price_barrier", "price_lookback",
+           "price_barrier", "price_lookback", "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi"]
@@ -279,6 +279,60 @@ def price_barrier(opt: BarrierOption, n_paths: int, key: jax.Array,
     anti = 2 if config.antithetic else 1
     return _price_scalar("barrier", kbarrier, kbarrier.LANES * anti,
                          (opt.n_obs, opt.kind), opt, n_paths, key, config)
+
+
+def price_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
+                         key: jax.Array,
+                         config: EngineConfig = EngineConfig()) -> McResult:
+    """Price a whole strike ladder from ONE path sweep.
+
+    Returns a vector-valued :class:`McResult` (``price``/``ci``/
+    ``std_error`` have shape ``(K,)``).  Every strike reuses the same
+    terminal draws, so ladder differences (call spreads, butterflies) are
+    arbitrage-consistent up to MC noise — the production pattern for
+    smile/surface pricing.  ``opt.k`` is ignored; ``strikes`` must be
+    concrete (they are compiled into the kernel).
+    """
+    from mctpu.kernels import ladder as kladder
+
+    opt.validate()
+    strikes = jnp.asarray(strikes)
+    n_k = int(strikes.shape[0])
+    if not 1 <= n_k <= kladder.MAX_STRIKES:
+        raise ValueError(f"strikes must have 1..{kladder.MAX_STRIKES} "
+                         f"entries, got {n_k}")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kladder.LANES * anti)
+    plan = kladder.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
+    k_key = tuple(float(x) for x in strikes)
+    cache_key = ("ladder", k_key, opt.kind, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        ks = jnp.asarray(strikes, jnp.float32)
+
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kladder.pallas_partials(
+                    a[0], ks, mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kladder.xla_partials(
+                    a[0], ks, a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total[:, 0], total[:, 1], disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2, disc = runner(opt, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
 
 
 def price_lookback(opt, n_paths: int, key: jax.Array,

@@ -200,3 +200,15 @@ def test_lookback_on_chip():
     assert _z(res.price, ora.price, se) < 4
     cf = float(mcmath.lookback_floating_call(100.0, 0.05, 0.2, 1.0))
     assert float(res.price) < cf  # discrete monitoring is below continuous
+
+
+def test_strike_ladder_on_chip():
+    ks = np.array([70.0, 85.0, 100.0, 115.0, 130.0])
+    res = engine.price_vanilla_ladder(OPT, ks, 1 << 21, KEY,
+                                      _cfg(num_blocks=16, rows=32))
+    bs = np.array([float(mcmath.bs_call(100.0, k, 0.048790, 0.2, 1.0))
+                   for k in ks])
+    z = np.abs(np.asarray(res.price) - bs) / np.asarray(res.std_error)
+    assert (z < 4).all()
+    p = np.asarray(res.price)
+    assert (p[:-2] - 2 * p[1:-1] + p[2:] >= -1e-6).all()
