@@ -24,7 +24,8 @@ from mctpu import math as mcmath
 from mctpu.models import basket as mbasket
 from mctpu.types import AsianOption, BasketOption, McResult, VanillaOption
 
-__all__ = ["price_vanilla_cv", "price_basket_cv", "price_asian_cv"]
+__all__ = ["price_vanilla_cv", "price_basket_cv", "price_asian_cv",
+           "price_vanilla_is", "optimal_tilt"]
 
 
 def _cv_estimate(pay, ctrl, ctrl_mean, pilot: int, discount):
@@ -140,3 +141,67 @@ def price_basket_cv(opt: BasketOption, n_paths: int, key: jax.Array,
     return McResult(price=price, ci=1.96 * se, std_error=se,
                     sum_p=price * n, sum_p2=jnp.zeros_like(price),
                     n=n_paths - pilot, n_paths=n_paths)
+
+
+# ---------------------------------------------------------------------------
+# Importance sampling (exponential tilting)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_paths",))
+def _vanilla_is(s, k, r, v, t, theta, key, n_paths: int):
+    dtype = mcmath.wide_dtype()
+    z = jax.random.normal(key, (n_paths,), dtype)
+    mu = (r - 0.5 * v * v) * t
+    sig = v * jnp.sqrt(t)
+    zt = z + theta  # sample under the tilted measure N(theta, 1)
+    lr = jnp.exp(-theta * zt + 0.5 * theta * theta)  # dP/dQ weight
+    st = s * jnp.exp(mu + sig * zt)
+    pay = jnp.maximum(st - k, 0.0) * lr
+    disc = jnp.exp(-r * t)
+    n = jnp.asarray(n_paths, dtype)
+    sum_p = jnp.sum(pay)
+    sum_p2 = jnp.sum(pay * pay)
+    mean = disc * sum_p / n
+    var = jnp.maximum(n * sum_p2 - sum_p * sum_p, 0.0) / (n * (n - 1.0))
+    se = disc * jnp.sqrt(var / n)
+    return mean, se, sum_p, sum_p2
+
+
+def optimal_tilt(opt: VanillaOption) -> float:
+    """Drift shift that centers the sampler on the strike.
+
+    Under the tilted measure ``z ~ N(theta, 1)`` the spot's median lands on
+    ``K`` when ``theta = (ln(K/S) - (r - v^2/2) T) / (v sqrt(T))`` — the
+    standard heuristic (near-optimal for OTM calls, where nearly every
+    untilted path wastes its draw on a zero payoff).
+    """
+    import numpy as np
+
+    s, k, r, v, t = (float(x) for x in (opt.s, opt.k, opt.r, opt.v, opt.t))
+    return max((np.log(k / s) - (r - 0.5 * v * v) * t) / (v * np.sqrt(t)),
+               0.0)
+
+
+def price_vanilla_is(opt: VanillaOption, n_paths: int, key: jax.Array,
+                     theta: float | None = None) -> McResult:
+    """Importance-sampled European call (exponential tilting).
+
+    Samples ``z ~ N(theta, 1)`` and reweights payoffs by the likelihood
+    ratio ``exp(-theta z + theta^2/2)`` — unbiased for any ``theta``, and
+    for deep out-of-the-money strikes (where plain MC wastes almost every
+    path on a zero payoff) the variance drops by orders of magnitude.
+    ``theta`` defaults to :func:`optimal_tilt`.
+    """
+    opt.validate()
+    if getattr(opt, "kind", "call") != "call":
+        raise ValueError("importance sampling implemented for calls "
+                         "(OTM puts: tilt negative via put-call parity)")
+    if theta is None:
+        theta = optimal_tilt(opt)
+    dtype = mcmath.wide_dtype()
+    mean, se, sum_p, sum_p2 = _vanilla_is(
+        jnp.asarray(opt.s, dtype), jnp.asarray(opt.k, dtype),
+        jnp.asarray(opt.r, dtype), jnp.asarray(opt.v, dtype),
+        jnp.asarray(opt.t, dtype), jnp.asarray(theta, dtype), key, n_paths)
+    return McResult(price=mean, ci=1.96 * se, std_error=se,
+                    sum_p=sum_p, sum_p2=sum_p2, n=n_paths, n_paths=n_paths)
