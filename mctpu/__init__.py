@@ -29,7 +29,7 @@ from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
 from mctpu import greeks, lsm, qmc, sobol, variance  # noqa: F401
-from mctpu.lsm import price_american
+from mctpu.lsm import price_american, price_american_heston
 
 __version__ = "0.1.0"
 
@@ -45,6 +45,7 @@ __all__ = [
     "price_lookback",
     "price_heston",
     "price_american",
+    "price_american_heston",
     "price_cva",
     "price_cva_portfolio",
     "price_cva_multi",

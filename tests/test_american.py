@@ -107,3 +107,51 @@ class TestLsm:
         crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
                                           n_steps=2000, payoff="put")
         assert abs(float(res.price) - crr) < 4 * float(res.std_error) + 0.03
+
+
+class TestAmericanHeston:
+    HOPT = None  # set lazily (HestonOption import)
+
+    @staticmethod
+    def _opt(**kw):
+        from mctpu.types import HestonOption
+        base = dict(s=100.0, k=100.0, r=0.05, t=1.0, v0=0.04, kappa=1.5,
+                    theta=0.04, xi=0.5, rho=-0.7)
+        base.update(kw)
+        return HestonOption(**base)
+
+    def test_early_exercise_premium_positive(self):
+        from mctpu.models import heston as mheston
+        opt = self._opt()
+        res = lsm.price_american_heston(opt, 1 << 17, jax.random.key(12),
+                                        n_steps=50, scheme="qe")
+        eur_put = (float(mheston.cf_call_price(opt)) - 100.0
+                   + 100.0 * np.exp(-0.05))
+        assert float(res.price) > eur_put + 3 * float(res.std_error)
+
+    def test_xi_zero_limit_is_gbm_american(self):
+        # xi -> 0 with v0 = theta: deterministic variance = BS dynamics at
+        # vol sqrt(v0); the matching-dates lattice is the oracle.
+        opt = self._opt(xi=1e-4, rho=0.0, kappa=2.0)
+        res = lsm.price_american_heston(opt, 1 << 17, jax.random.key(13),
+                                        n_steps=50, scheme="qe")
+        crr = reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                          n_steps=50, payoff="put")
+        # CRR-50 itself carries O(1/n) lattice error ~0.01
+        assert abs(float(res.price) - crr) < 4 * float(res.std_error) + 0.02
+
+    def test_deep_itm_exercises_immediately(self):
+        opt = self._opt(s=50.0, r=0.10)
+        res = lsm.price_american_heston(opt, 1 << 15, jax.random.key(14),
+                                        n_steps=25, scheme="qe")
+        assert float(res.price) == pytest.approx(50.0, abs=0.5)
+
+    def test_euler_and_qe_agree(self):
+        opt = self._opt()
+        qe = lsm.price_american_heston(opt, 1 << 16, jax.random.key(15),
+                                       n_steps=50, scheme="qe")
+        eu = lsm.price_american_heston(opt, 1 << 16, jax.random.key(16),
+                                       n_steps=50, scheme="euler")
+        se = np.hypot(float(qe.std_error), float(eu.std_error))
+        # Euler carries O(dt) bias at 50 steps; allow it on top of MC error
+        assert abs(float(qe.price) - float(eu.price)) < 4 * se + 0.05
