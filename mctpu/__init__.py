@@ -19,10 +19,11 @@ from mctpu.engine import (EngineConfig, price_asian, price_barrier,
                           price_basket, price_basket_asian,
                           price_basket_barrier, price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_lookback,
-                          price_vanilla, price_vanilla_ladder)
+                          price_rainbow, price_vanilla,
+                          price_vanilla_ladder)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
-                         LookbackOption,
+                         LookbackOption, RainbowOption,
                          BasketOption, HestonOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult,
                          CvaSpec, McResult,
@@ -43,6 +44,7 @@ __all__ = [
     "price_asian",
     "price_barrier",
     "price_lookback",
+    "price_rainbow",
     "price_heston",
     "price_american",
     "price_american_heston",
@@ -56,6 +58,7 @@ __all__ = [
     "AsianOption",
     "BarrierOption",
     "LookbackOption",
+    "RainbowOption",
     "HestonOption",
     "AmericanOption",
     "CvaSpec",

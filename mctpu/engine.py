@@ -57,7 +57,8 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
                          McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
-           "price_barrier", "price_lookback", "price_vanilla_ladder",
+           "price_barrier", "price_lookback", "price_rainbow",
+           "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi"]
@@ -333,6 +334,25 @@ def price_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
     sum_p, sum_p2, disc = runner(opt, key)
     return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
                           n_paths=plan.total_paths)
+
+
+def price_rainbow(opt, n_paths: int, key: jax.Array,
+                  config: EngineConfig = EngineConfig()) -> McResult:
+    """European call on the MAX/MIN of correlated underlyings (rainbow).
+
+    New product family beyond the reference; two-asset prices are gated
+    against the exact Stulz closed form, any size against the k = 0
+    martingale identity and the NumPy oracle.
+    """
+    from mctpu.kernels import rainbow as krainbow
+
+    opt.validate()
+    anti = 2 if config.antithetic else 1
+    _, c, _ = kbasket.pack_factor(opt.n_assets)
+    return _price_scalar("rainbow", krainbow, 2 * c * anti,
+                         (opt.n_assets, opt.kind), opt, n_paths, key,
+                         config, prep=_prep_chol,
+                         plan_kwargs=(("n_assets", opt.n_assets),))
 
 
 def price_lookback(opt, n_paths: int, key: jax.Array,

@@ -1,0 +1,228 @@
+"""Fused rainbow-option kernel: calls on the MAX/MIN of correlated assets.
+
+Terminal sampling with the basket kernel's lane packing (``c = 128/a_tile``
+paths per row, block-diagonal Cholesky matmul); the per-path extreme across
+each ``a_tile`` lane span is a log2(a_tile) butterfly of ``jnp.roll`` maxima
+on the VPU — after ``shift = 1, 2, ..., a_tile/2`` rounds, the lane at each
+segment HEAD holds the extreme of exactly its own span (interior lanes see
+cross-segment contamination and are masked out of the reduction).
+
+Padding is extreme-neutral: padded spots are 0 for ``max`` and +inf for
+``min``.  Oracle: the Stulz (1982) two-asset closed form
+(:func:`mctpu.math.rainbow_max_call` / ``rainbow_min_call``) plus the exact
+``k = 0`` martingale identity ``price_max + price_min = S1 + S2``.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import rng as mcrng
+from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
+from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+                                  draw_normal_pair, interpret_arg,
+                                  prng_emulation, seed_prng)
+from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_rainbow"]
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True,
+              n_assets: int = 2) -> Plan:
+    _, c, _ = pack_factor(n_assets)
+    units = 2 * rows * c  # two normal tiles per iteration
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def pack_rainbow(opt, chol, dtype, lanes: int = LANES):
+    """Packed operands; padded lanes are extreme-neutral (0 / +inf)."""
+    a = opt.n_assets
+    a_tile, c, width = pack_factor(a, lanes)
+    use_min = opt.kind == "min"
+    pad_spot = np.inf if use_min else 0.0
+
+    def tile_row(x, fill):
+        row = jnp.full((a_tile,), fill, dtype).at[:a].set(
+            jnp.asarray(x, dtype))
+        return jnp.tile(row, c).reshape(1, width)
+
+    v_row = tile_row(opt.v, 1.0)
+    t = jnp.asarray(opt.t, dtype)
+    r = jnp.asarray(opt.r, dtype)
+    drift = (r - 0.5 * v_row * v_row) * t
+    # Padded drift 0 keeps exp() finite; the spot fill does the neutralizing.
+    drift = jnp.where(jnp.isfinite(tile_row(opt.s, pad_spot))
+                      & (tile_row(opt.s, 0.0) > 0), drift, 0.0)
+
+    block = jnp.zeros((a_tile, a_tile), dtype).at[:a, :a].set(
+        jnp.asarray(chol, dtype).T)
+    chol_bd = jnp.zeros((width, width), dtype)
+    for p in range(c):
+        chol_bd = jax.lax.dynamic_update_slice(chol_bd, block,
+                                               (p * a_tile, p * a_tile))
+    head = jnp.zeros((width,), dtype)
+    head = head.at[jnp.arange(c) * a_tile].set(1.0).reshape(1, width)
+    return {
+        "s0": tile_row(opt.s, pad_spot),
+        "drift": drift,
+        "vol": v_row * jnp.sqrt(t),
+        "chol_bd": chol_bd,
+        "head": head,
+        "a_tile": a_tile,
+        "c": c,
+    }
+
+
+def _segment_extreme(x, a_tile: int, use_min: bool):
+    """Lane-butterfly extreme: head lanes end with their span's extreme."""
+    op = jnp.minimum if use_min else jnp.maximum
+    m = x
+    shift = 1
+    while shift < a_tile:
+        m = op(m, jnp.roll(m, -shift, axis=-1))
+        shift *= 2
+    return m
+
+
+def _payoff_tile(ops, k, z, antithetic: bool, use_min: bool, mxu: bool):
+    """Rainbow payoffs at head lanes of one (rows, width) tile."""
+    a_tile = ops["a_tile"]
+
+    def pay(zz):
+        bt = jnp.dot(zz, ops["chol_bd"], precision=MATMUL_PRECISION,
+                     preferred_element_type=jnp.float32)
+        s_t = ops["s0"] * jnp.exp(ops["drift"] + ops["vol"] * bt)
+        if mxu:
+            ext = _segment_extreme(s_t, a_tile, use_min)
+        else:
+            # XLA twin: deterministic reshape extreme (roll order under vmap
+            # batching is fine, but reshape is simpler off-chip)
+            c = ops["c"]
+            seg = s_t.reshape(s_t.shape[0], c, a_tile)
+            red = seg.min(axis=-1) if use_min else seg.max(axis=-1)
+            # re-expand to lanes at heads to share the masked-sum epilogue
+            ext = jnp.zeros_like(s_t)
+            ext = jax.lax.dynamic_update_slice(
+                ext.reshape(s_t.shape[0], c, a_tile),
+                red[:, :, None], (0, 0, 0)).reshape(s_t.shape)
+        # where, not multiply: interior lanes can hold inf (min-kind pad /
+        # cross-segment contamination) and inf * 0 would be NaN.
+        return jnp.where(ops["head"] > 0, jnp.maximum(ext - k, 0.0), 0.0)
+
+    if antithetic:
+        return 0.5 * (pay(z) + pay(-z))
+    return pay(z)
+
+
+# ---------------------------------------------------------------------------
+# XLA backend
+# ---------------------------------------------------------------------------
+
+def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
+                 n_blocks: int):
+    """Per-block partial sums, shape ``(n_blocks, 2)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    ops = pack_rainbow(o, chol, dtype)
+    width = ops["chol_bd"].shape[0]
+    use_min = opt.kind == "min"
+
+    def block_fn(bkey):
+        def body(i, carry):
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2 * plan.rows, width), dtype)
+            p = _payoff_tile(ops, o.k, z, plan.antithetic, use_min,
+                             mxu=False)
+            cs, cs2 = chunk_sums(p)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend
+# ---------------------------------------------------------------------------
+
+def _rainbow_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
+                    lt_ref, head_ref, out_ref, *, plan: Plan, a_tile: int,
+                    c: int, use_min: bool):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    k = scal_ref[0]
+    ops = {
+        "s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "chol_bd": lt_ref[:], "head": head_ref[:],
+        "a_tile": a_tile, "c": c,
+    }
+    width = lt_ref.shape[0]
+
+    def body(i, carry):
+        z1, z2 = draw_normal_pair((plan.rows, width), i)
+        p1 = _payoff_tile(ops, k, z1, plan.antithetic, use_min, mxu=True)
+        p2 = _payoff_tile(ops, k, z2, plan.antithetic, use_min, mxu=True)
+        cs = jnp.sum(p1) + jnp.sum(p2)
+        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    b = pl.program_id(0)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
+def pallas_partials(opt, chol, seed, block_offset, plan: Plan,
+                    n_blocks: int, interpret: bool = False):
+    """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        return _pallas_partials(opt, chol, seed, block_offset, plan,
+                                n_blocks, interpret)
+
+
+def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
+                     interpret):
+    o = opt.astype(jnp.float32)
+    ops = pack_rainbow(o, chol, jnp.float32)
+    width = ops["chol_bd"].shape[0]
+    scal = jnp.stack([jnp.asarray(o.k, jnp.float32)])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_rainbow_kernel, plan=plan,
+                               a_tile=ops["a_tile"], c=ops["c"],
+                               use_min=opt.kind == "min")
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.iters * 2 * plan.rows * (2 * width * width
+                                                + 8 * width),
+            bytes_accessed=n_blocks * 8 + width * width * 4,
+            transcendentals=plan.iters * 2 * plan.rows * (2 * width + 2),
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
+      ops["chol_bd"], ops["head"])

@@ -24,6 +24,9 @@ __all__ = [
     "cva_portfolio_closed_form",
     "cva_multi_closed_form",
     "lookback_floating_call",
+    "bivariate_norm_cdf",
+    "rainbow_min_call",
+    "rainbow_max_call",
     "default_leg_weights",
     "wide_dtype",
 ]
@@ -369,3 +372,62 @@ def lookback_floating_call(s, r, v, t, m=None, dtype=None):
             + s * disc * (1.0 / q)
             * ((s / m) ** (-q) * norm_cdf(-a3)
                - jnp.exp(r * t) * norm_cdf(-a1)))
+
+
+def bivariate_norm_cdf(a, b, rho, n_nodes: int = 256, dtype=None):
+    """P(X <= a, Y <= b) for standard bivariate normals with correlation rho.
+
+    Computed by Gauss-Legendre quadrature of
+    ``int_-8^a phi(x) Phi((b - rho x)/sqrt(1-rho^2)) dx`` — accurate to
+    ~1e-9 at 256 nodes, plenty for closed-form oracles.  Pure jnp.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    import numpy as _np
+
+    x_np, w_np = _np.polynomial.legendre.leggauss(n_nodes)
+    a = jnp.asarray(a, dtype)
+    b = jnp.asarray(b, dtype)
+    rho = jnp.asarray(rho, dtype)
+    lo = jnp.asarray(-8.0, dtype)
+    half = (a - lo) / 2.0
+    mid = (a + lo) / 2.0
+    x = mid + half * jnp.asarray(x_np, dtype)
+    w = half * jnp.asarray(w_np, dtype)
+    phi = jnp.exp(-0.5 * x * x) * jnp.asarray(0.3989422804014327, dtype)
+    denom = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 1e-12))
+    inner = norm_cdf((b - rho * x) / denom)
+    return jnp.sum(w * phi * inner)
+
+
+def rainbow_min_call(s1, s2, k, r, v1, v2, rho, t, dtype=None):
+    """European call on the MIN of two correlated GBMs (Stulz 1982).
+
+    ``C_min = S1 M(y1, -d; rho1) + S2 M(y2, d - s sqrt(T); rho2)
+              - K e^{-rT} M(y1 - v1 sqrt(T), y2 - v2 sqrt(T); rho)``
+    with ``s^2 = v1^2 + v2^2 - 2 rho v1 v2``.  The call on the MAX follows
+    from ``C_max = C1 + C2 - C_min``.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    s1, s2, k, r, v1, v2, rho, t = (jnp.asarray(x, dtype)
+                                    for x in (s1, s2, k, r, v1, v2, rho, t))
+    sq1 = v1 * jnp.sqrt(t)
+    sq2 = v2 * jnp.sqrt(t)
+    sig = jnp.sqrt(v1 * v1 + v2 * v2 - 2.0 * rho * v1 * v2)
+    sqs = sig * jnp.sqrt(t)
+    d = (jnp.log(s1 / s2) + 0.5 * sig * sig * t) / sqs
+    y1 = (jnp.log(s1 / k) + (r + 0.5 * v1 * v1) * t) / sq1
+    y2 = (jnp.log(s2 / k) + (r + 0.5 * v2 * v2) * t) / sq2
+    rho1 = (rho * v2 - v1) / sig
+    rho2 = (rho * v1 - v2) / sig
+    m = bivariate_norm_cdf
+    return (s1 * m(y1, -d, rho1) + s2 * m(y2, d - sqs, rho2)
+            - k * jnp.exp(-r * t) * m(y1 - sq1, y2 - sq2, rho))
+
+
+def rainbow_max_call(s1, s2, k, r, v1, v2, rho, t, dtype=None):
+    """European call on the MAX of two correlated GBMs (Stulz 1982):
+    ``C_max = C1 + C2 - C_min``."""
+    return (bs_call(s1, k, r, v1, t) + bs_call(s2, k, r, v2, t)
+            - rainbow_min_call(s1, s2, k, r, v1, v2, rho, t, dtype=dtype))

@@ -266,6 +266,20 @@ def price_lookback(opt, n_paths: int, seed: int = 0) -> OracleResult:
     return _estimate(pay, np.exp(-r * t))
 
 
+def price_rainbow(opt, n_paths: int, seed: int = 0) -> OracleResult:
+    """NumPy twin of :func:`mctpu.engine.price_rainbow` (RainbowOption)."""
+    rng = np.random.default_rng(seed)
+    m = opt.n_assets
+    s0 = np.asarray(opt.s, np.float64)
+    v = np.asarray(opt.v, np.float64)
+    k, r, t = float(opt.k), float(opt.r), float(opt.t)
+    chol = cholesky_psd(np.asarray(opt.corr, np.float64))
+    z = rng.standard_normal((n_paths, m))
+    st = s0 * np.exp((r - 0.5 * v * v) * t + v * np.sqrt(t) * (z @ chol.T))
+    ext = st.min(axis=1) if opt.kind == "min" else st.max(axis=1)
+    return _estimate(np.maximum(ext - k, 0.0), np.exp(-r * t))
+
+
 def price_cva_multi(spec, n_paths: int, seed: int = 0) -> OracleResult:
     """NumPy twin of :func:`mctpu.engine.price_cva_multi` (CvaMultiSpec):
     netting set of calls on M correlated underlyings."""

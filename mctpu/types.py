@@ -29,6 +29,7 @@ __all__ = [
     "BasketOption",
     "AsianOption",
     "LookbackOption",
+    "RainbowOption",
     "BasketAsianOption",
     "BasketBarrierOption",
     "CvaSpec",
@@ -256,6 +257,54 @@ class BasketOption:
             r=0.048790164,
             t=1.0,
         )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class RainbowOption:
+    """European call on the MAX or MIN of correlated GBM underlyings.
+
+    Two-asset prices have the exact Stulz (1982) closed form
+    (:func:`mctpu.math.rainbow_max_call` / ``rainbow_min_call``); any size
+    satisfies the ``k = 0`` martingale identity
+    ``price_max + price_min = sum of forwards`` for M = 2.
+    """
+
+    s: Any  # (M,) spots
+    v: Any  # (M,) vols
+    corr: Any  # (M, M)
+    k: Any
+    r: Any
+    t: Any
+    kind: str = _static(default="max")
+
+    @property
+    def n_assets(self) -> int:
+        return int(np.shape(self.s)[0])
+
+    def astype(self, dtype) -> "RainbowOption":
+        return RainbowOption(
+            s=jnp.asarray(self.s, dtype), v=jnp.asarray(self.v, dtype),
+            corr=jnp.asarray(self.corr, dtype), k=jnp.asarray(self.k, dtype),
+            r=jnp.asarray(self.r, dtype), t=jnp.asarray(self.t, dtype),
+            kind=self.kind)
+
+    def validate(self) -> None:
+        if self.kind not in ("max", "min"):
+            raise ValueError("kind must be 'max' or 'min'")
+        m = self.n_assets
+        if np.shape(self.v) != (m,):
+            raise ValueError(f"v must have shape ({m},)")
+        if np.shape(self.corr) != (m, m):
+            raise ValueError(f"corr must have shape ({m},{m})")
+        if not _concrete(self.s, self.v, self.k, self.t):
+            return
+        if (np.asarray(self.s) <= 0).any():
+            raise ValueError("spots must be positive")
+        if float(self.k) < 0:
+            raise ValueError("strike must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
 
 
 @_register_pytree

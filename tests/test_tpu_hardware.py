@@ -212,3 +212,16 @@ def test_strike_ladder_on_chip():
     assert (z < 4).all()
     p = np.asarray(res.price)
     assert (p[:-2] - 2 * p[1:-1] + p[2:] >= -1e-6).all()
+
+
+def test_rainbow_on_chip():
+    from mctpu import math as mm
+    from mctpu.types import RainbowOption
+    corr = np.array([[1.0, 0.3], [0.3, 1.0]])
+    opt = RainbowOption(s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=corr, k=100.0, r=0.05, t=1.0, kind="max")
+    res = engine.price_rainbow(opt, 1 << 20, KEY, _cfg(num_blocks=16,
+                                                       rows=32))
+    cf = float(mm.rainbow_max_call(100.0, 95.0, 100.0, 0.05, 0.2, 0.3,
+                                   0.3, 1.0))
+    assert _z(res.price, cf, res.std_error) < 4
