@@ -20,7 +20,8 @@ def main(argv=None):
     common.add_engine_args(p, default_mult=1)
     p.add_argument("--product",
                    choices=["asian", "barrier", "american", "heston",
-                            "lookback", "basket-asian", "basket-barrier"],
+                            "lookback", "rainbow", "basket-asian",
+                            "basket-barrier"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -79,6 +80,29 @@ def main(argv=None):
                 beff))
             print(f"BGK-corrected closed form: {want:.6f} "
                   f"(continuous barrier {args.barrier} -> {beff:.3f})")
+        return 0
+
+    if args.product == "rainbow":
+        import numpy as np
+
+        from mctpu.types import RainbowOption
+        corr = np.full((args.assets, args.assets), 0.3)
+        np.fill_diagonal(corr, 1.0)
+        vols = np.where(np.arange(args.assets) % 2 == 0, args.vol,
+                        args.vol * 1.5)
+        opt = RainbowOption(s=np.full(args.assets, args.spot), v=vols,
+                            corr=corr, k=args.strike, r=args.rate,
+                            t=args.maturity, kind="max")
+        engine.price_rainbow(opt, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_rainbow, opt, n, key, cfg)
+        common.print_result(f"rainbow max-of-{args.assets}", res.price,
+                            res.ci, dt, res.n_paths * args.assets,
+                            extra="  (asset-draws/s)")
+        if args.assets == 2:
+            cf = float(mcmath.rainbow_max_call(
+                args.spot, args.spot, args.strike, args.rate, vols[0],
+                vols[1], 0.3, args.maturity))
+            print(f"Stulz closed form: {cf:.6f}")
         return 0
 
     if args.product == "lookback":
