@@ -46,15 +46,12 @@ def _spots(s0, mu, sig, z, antithetic: bool):
 
 def _ladder_sums(spot_tiles, k_m, put: bool):
     """(sum, sum2) of the strike-``m`` payoff over the iteration's tiles."""
-    cs = cs2 = 0.0
-    inv = 1.0 / len(spot_tiles) if len(spot_tiles) > 1 else 1.0
     if len(spot_tiles) > 1:
         # antithetic: the i.i.d. unit is the pair mean
         pair = 0.0
         for st in spot_tiles:
-            pay = jnp.maximum((k_m - st) if put else (st - k_m), 0.0)
-            pair = pair + pay
-        pair = pair * inv
+            pair = pair + jnp.maximum((k_m - st) if put else (st - k_m), 0.0)
+        pair = pair / len(spot_tiles)
         return jnp.sum(pair), jnp.sum(pair * pair)
     st = spot_tiles[0]
     pay = jnp.maximum((k_m - st) if put else (st - k_m), 0.0)

@@ -59,12 +59,12 @@ def _step_ops(opt, chol, dtype, n_obs: int):
     }
 
 
-def _walk(ops, z_of_step, n_obs: int, monitor, init_extra, mxu: bool):
-    """Drive the packed walk; ``monitor(basket, extra) -> extra``.
+def _make_step(ops, monitor, mxu: bool):
+    """One packed walk step: ``(s, extra) -> (s', monitor(basket', extra))``.
 
-    ``z_of_step(j)`` yields the (rows, width) normal tile of step ``j``
-    (already sign-flipped for antithetic mirrors).  Returns the monitor's
-    final state.
+    ``mxu=True`` (Pallas) does the per-path basket sums with the ``wsel``
+    matmul; the XLA twin uses a reshape-sum (see basket.py on why batched
+    dots would break bitwise mesh invariance).
     """
     prec = MATMUL_PRECISION
 
@@ -84,7 +84,7 @@ def _walk(ops, z_of_step, n_obs: int, monitor, init_extra, mxu: bool):
             basket = prod.reshape(prod.shape[0], c, width // c).sum(axis=-1)
         return (s, monitor(basket, extra))
 
-    return step, init_extra
+    return step
 
 
 def _monitor_fns(product: str, n_obs: int, k, barrier, up: bool):
@@ -136,7 +136,7 @@ def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
     shape_c = (plan.rows, c)
 
     def walk(z_seq, sgn):
-        step, _ = _walk(ops, None, n_obs, monitor, None, mxu=False)
+        step = _make_step(ops, monitor, mxu=False)
 
         def body(j, carry):
             return step(j, sgn * z_seq[j], carry)
@@ -183,7 +183,7 @@ def _mw_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
     shape = (plan.rows, width)
     shape_c = (plan.rows, c)
     monitor, init_extra, payoff = _monitor_fns(product, n_obs, k, barrier, up)
-    step, _ = _walk(ops, None, n_obs, monitor, None, mxu=True)
+    step = _make_step(ops, monitor, mxu=True)
 
     def walk(i, sgn):
         # Re-seed per (block, iter): antithetic mirror replays the stream.

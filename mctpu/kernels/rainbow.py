@@ -103,20 +103,15 @@ def _payoff_tile(ops, k, z, antithetic: bool, use_min: bool, mxu: bool):
         s_t = ops["s0"] * jnp.exp(ops["drift"] + ops["vol"] * bt)
         if mxu:
             ext = _segment_extreme(s_t, a_tile, use_min)
-        else:
-            # XLA twin: deterministic reshape extreme (roll order under vmap
-            # batching is fine, but reshape is simpler off-chip)
-            c = ops["c"]
-            seg = s_t.reshape(s_t.shape[0], c, a_tile)
-            red = seg.min(axis=-1) if use_min else seg.max(axis=-1)
-            # re-expand to lanes at heads to share the masked-sum epilogue
-            ext = jnp.zeros_like(s_t)
-            ext = jax.lax.dynamic_update_slice(
-                ext.reshape(s_t.shape[0], c, a_tile),
-                red[:, :, None], (0, 0, 0)).reshape(s_t.shape)
-        # where, not multiply: interior lanes can hold inf (min-kind pad /
-        # cross-segment contamination) and inf * 0 would be NaN.
-        return jnp.where(ops["head"] > 0, jnp.maximum(ext - k, 0.0), 0.0)
+            # where, not multiply: interior lanes can hold inf (min-kind
+            # pad / cross-segment contamination) and inf * 0 would be NaN.
+            return jnp.where(ops["head"] > 0,
+                             jnp.maximum(ext - k, 0.0), 0.0)
+        # XLA twin: deterministic reshape extreme over (rows, c, a_tile);
+        # payoffs come out at shape (rows, c) directly.
+        seg = s_t.reshape(s_t.shape[0], ops["c"], a_tile)
+        red = seg.min(axis=-1) if use_min else seg.max(axis=-1)
+        return jnp.maximum(red - k, 0.0)
 
     if antithetic:
         return 0.5 * (pay(z) + pay(-z))
