@@ -15,7 +15,8 @@ and CVA of a call under Black-Scholes), designed TPU-first:
 See SURVEY.md at the repo root for the complete layer map of the reference
 and how each component maps here.
 """
-from mctpu.engine import (EngineConfig, price_asian, price_barrier,
+from mctpu.engine import (EngineConfig, fair_variance_strike,
+                          price_asian, price_barrier,
                           price_basket, price_basket_asian,
                           price_basket_barrier, price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_lookback,
@@ -51,6 +52,7 @@ __all__ = [
     "price_cva",
     "price_cva_portfolio",
     "price_cva_multi",
+    "fair_variance_strike",
     "VanillaOption",
     "BasketOption",
     "BasketAsianOption",

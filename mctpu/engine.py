@@ -58,6 +58,7 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
+           "fair_variance_strike",
            "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
@@ -333,6 +334,51 @@ def price_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
         _RUNNERS[cache_key] = runner
     sum_p, sum_p2, disc = runner(opt, key)
     return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
+
+
+def fair_variance_strike(opt, n_paths: int, key: jax.Array,
+                         config: EngineConfig = EngineConfig(),
+                         n_obs: int = 252) -> McResult:
+    """Fair strike of a variance swap: ``E[(1/T) sum ln(S_j/S_{j-1})^2]``.
+
+    ``opt`` selects the dynamics: a :class:`VanillaOption` prices under GBM
+    (exact discrete oracle ``v^2 + (r - v^2/2)^2 T/n``), a
+    :class:`HestonOption` under stochastic vol (continuous fair strike
+    ``theta + (v0 - theta)(1 - e^{-kT})/(kT)``, approached as n grows).
+    Returned in variance units (undiscounted — a fair strike, not a price).
+    """
+    from mctpu.kernels import varswap as kvarswap
+
+    opt.validate()
+    dynamics = "heston" if isinstance(opt, HestonOption) else "gbm"
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kvarswap.LANES * anti)
+    plan = kvarswap.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                              cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("varswap", dynamics, n_obs, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kvarswap.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    n_obs=n_obs, dynamics=dynamics,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kvarswap.xla_partials(
+                    a[0], a[1], off, plan, nb, n_obs=n_obs,
+                    dynamics=dynamics)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            return _combine(partials)
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2 = runner(opt, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=1.0,
                           n_paths=plan.total_paths)
 
 

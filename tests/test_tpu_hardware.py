@@ -225,3 +225,10 @@ def test_rainbow_on_chip():
     cf = float(mm.rainbow_max_call(100.0, 95.0, 100.0, 0.05, 0.2, 0.3,
                                    0.3, 1.0))
     assert _z(res.price, cf, res.std_error) < 4
+
+
+def test_variance_swap_on_chip():
+    res = engine.fair_variance_strike(OPT, 1 << 20, KEY,
+                                      _cfg(num_blocks=16, rows=8), n_obs=252)
+    want = 0.2 ** 2 + (0.048790 - 0.02) ** 2 / 252
+    assert _z(res.price, want, res.std_error) < 4
