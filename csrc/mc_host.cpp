@@ -233,9 +233,14 @@ void mc_asian(double s0, double k, double r, double v, double t,
     const int64_t units = antithetic ? n_paths / 2 : n_paths;
     Sums sums = run_parallel(units, seed, [&](NormalGen& g) {
         double z[4096];
-        std::vector<double> heap;  // n_obs > 4096 falls back to heap (rare)
+        // n_obs > 4096 uses a per-thread heap buffer, allocated once per
+        // thread rather than once per path (the lambda runs per unit).
+        static thread_local std::vector<double> heap;
         double* zp = z;
-        if (n_obs > 4096) { heap.resize(n_obs); zp = heap.data(); }
+        if (n_obs > 4096) {
+            if (heap.size() < static_cast<size_t>(n_obs)) heap.resize(n_obs);
+            zp = heap.data();
+        }
         for (int j = 0; j < n_obs; ++j) zp[j] = g.next();
         if (!antithetic) return walk(zp, 1.0);
         return 0.5 * (walk(zp, 1.0) + walk(zp, -1.0));

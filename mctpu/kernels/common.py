@@ -108,7 +108,12 @@ def _random_bits_u32(shape, ctr):
     base = _mix32(_EMU_SEED
                   ^ (jnp.asarray(ctr, jnp.int32).astype(jnp.uint32)
                      * jnp.uint32(0x9E3779B9)))
-    return _mix32(idx * jnp.uint32(0x9E3779B9) + base)
+    # Two-round hash with the draw key folded in BETWEEN rounds: a single
+    # round of mix(idx*G + base) is a bijection of an affine lattice, so
+    # two draws whose base values differ by a small multiple of G would
+    # share long runs of identical bits (correlated tiles).  Avalanche on
+    # idx first, then fold base, then avalanche again.
+    return _mix32(_mix32(idx * jnp.uint32(0x9E3779B9)) ^ base)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -194,9 +194,14 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
         o.rho, jnp.sqrt(1.0 - o.rho * o.rho),
         o.r * dt, jnp.sqrt(dt),
     ])
-    qe_c = mheston.qe_constants(opt, n_steps, jnp.float32)
-    qe = jnp.stack([jnp.asarray(qe_c[name], jnp.float32)
-                    for name in _QE_KEYS])
+    if scheme == "qe":
+        qe_c = mheston.qe_constants(opt, n_steps, jnp.float32)
+        qe = jnp.stack([jnp.asarray(qe_c[name], jnp.float32)
+                        for name in _QE_KEYS])
+    else:
+        # Euler never reads these; don't compute them (kappa or xi may be
+        # 0, which would bake NaN/inf into a dead operand) and ship zeros.
+        qe = jnp.zeros((len(_QE_KEYS),), jnp.float32)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 

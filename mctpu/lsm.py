@@ -109,6 +109,11 @@ def _price_forward(s0, k, r, v, t, beta, key, n_paths: int, n_steps: int,
     """Forward-only pricing pass under the frozen rule; O(n_paths) memory."""
     s0, k, r, v, t = (jnp.asarray(x, dtype) for x in (s0, k, r, v, t))
     beta = jnp.asarray(beta, dtype)
+    if beta.shape[0] == 0:
+        # n_steps == 1: no exercise dates; the decide branch is never
+        # EXECUTED but lax.cond traces it, and slicing a (0, B) array
+        # crashes at trace time — give it one dummy row.
+        beta = jnp.zeros((1, _BASIS), dtype)
     dt = t / n_steps
     drift = (r - 0.5 * v * v) * dt
     vol = v * jnp.sqrt(dt)
@@ -270,21 +275,51 @@ def _fit_heston_rule(opt, key, n_pilot: int, n_steps: int, kind: str,
                                              "scheme", "dtype"))
 def _price_heston_forward(opt, beta, key, n_paths: int, n_steps: int,
                           kind: str, scheme: str, dtype=jnp.float64):
+    """Forward-only pricing under the frozen rule; O(n_paths) memory.
+
+    Normals are drawn per step from a counter key inside the scan — the
+    (n_steps, n_paths) state matrices are never materialized (only the
+    small pilot pass does that), matching the GBM engine's contract.
+    """
+    from mctpu import math as _m
+    from mctpu.models import heston as mheston
+
     o = opt.astype(dtype)
-    spots, vars_ = _heston_paths(o, key, n_paths, n_steps, dtype, scheme)
+    beta = jnp.asarray(beta, dtype)
+    if beta.shape[0] == 0:
+        beta = jnp.zeros((1, _HBASIS), dtype)  # n_steps == 1 (see above)
     k = jnp.asarray(o.k, dtype)
     r = jnp.asarray(o.r, dtype)
     t = jnp.asarray(o.t, dtype)
     dt = t / n_steps
+    if scheme == "qe":
+        qe_c = mheston.qe_constants(o, n_steps, dtype)
+    else:
+        sqdt = jnp.sqrt(dt)
+        rho_c = jnp.asarray(o.rho, dtype)
+        rho_s = jnp.sqrt(1.0 - rho_c * rho_c)
 
-    def step(carry, inp):
-        cf, alive = carry
-        j, s, v = inp
-        df = jnp.exp(-r * dt * (j + 1.0))
+    def advance(s_or_x, v, zj):
+        if scheme == "qe":
+            return mheston.qe_step(s_or_x, v, zj[0], zj[1], qe_c,
+                                   _m.norm_cdf)
+        vp = jnp.maximum(v, 0.0)
+        sq_v = jnp.sqrt(vp) * sqdt
+        z_s = rho_c * zj[0] + rho_s * zj[1]
+        s = s_or_x * jnp.exp(r * dt - 0.5 * vp * dt + sq_v * z_s)
+        v = v + o.kappa * (o.theta - vp) * dt + o.xi * sq_v * zj[0]
+        return s, v
+
+    def step(carry, j):
+        state, v, cf, alive = carry
+        zj = jax.random.normal(jax.random.fold_in(key, j), (2, n_paths),
+                               dtype)
+        state, v = advance(state, v, zj)
+        s = o.s * jnp.exp(state) if scheme == "qe" else state
+        df = jnp.exp(-r * dt * (j + 1).astype(dtype))
 
         def decide(_):
-            b_j = jax.lax.dynamic_index_in_dim(beta, j.astype(int),
-                                               keepdims=False)
+            b_j = jax.lax.dynamic_index_in_dim(beta, j, keepdims=False)
             ev = _payoff(kind, s, k)
             ex = alive & (ev > 0) & (ev > _hbasis(s, k, v) @ b_j)
             return (jnp.where(ex, cf + df * ev, cf), alive & ~ex)
@@ -294,12 +329,14 @@ def _price_heston_forward(opt, beta, key, n_paths: int, n_steps: int,
             return (jnp.where(alive, cf + df * pay, cf),
                     jnp.zeros_like(alive))
 
-        return jax.lax.cond(j < n_steps - 1, decide, mature, None), None
+        cf, alive = jax.lax.cond(j < n_steps - 1, decide, mature, None)
+        return (state, v, cf, alive), None
 
-    steps = jnp.arange(n_steps, dtype=dtype)
-    (cf, _), _ = jax.lax.scan(
-        step, (jnp.zeros((n_paths,), dtype), jnp.ones((n_paths,), bool)),
-        (steps, spots, vars_))
+    state0 = (jnp.zeros((n_paths,), dtype) if scheme == "qe"
+              else jnp.full((n_paths,), o.s, dtype))
+    init = (state0, jnp.full((n_paths,), o.v0, dtype),
+            jnp.zeros((n_paths,), dtype), jnp.ones((n_paths,), bool))
+    (_, _, cf, _), _ = jax.lax.scan(step, init, jnp.arange(n_steps))
     n = jnp.asarray(n_paths, dtype)
     sum_p = jnp.sum(cf)
     sum_p2 = jnp.sum(cf * cf)

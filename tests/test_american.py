@@ -155,3 +155,18 @@ class TestAmericanHeston:
         se = np.hypot(float(qe.std_error), float(eu.std_error))
         # Euler carries O(dt) bias at 50 steps; allow it on top of MC error
         assert abs(float(qe.price) - float(eu.price)) < 4 * se + 0.05
+
+
+def test_single_step_option_prices():
+    # n_steps=1: no exercise dates at all — only maturity. Regression for a
+    # trace-time crash slicing the empty beta matrix.
+    opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0, n_steps=1,
+                         payoff="put")
+    res = lsm.price_american(opt, 1 << 14, KEY)
+    eur = float(mcmath.bs_put(100.0, 100.0, 0.05, 0.2, 1.0))
+    assert abs(float(res.price) - eur) < 4 * float(res.std_error)
+    from mctpu.types import HestonOption
+    hopt = HestonOption(s=100.0, k=100.0, r=0.05, t=1.0, v0=0.04, kappa=1.5,
+                        theta=0.04, xi=0.5, rho=-0.7)
+    hres = lsm.price_american_heston(hopt, 1 << 13, KEY, n_steps=1)
+    assert np.isfinite(float(hres.price))
