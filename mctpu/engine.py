@@ -610,6 +610,10 @@ def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
     Exposure at each node is ``max(sum_m w_m BS(S_j, k_m, t_rem), 0)`` —
     short positions offset long ones inside the netting set (the thesis
     scope the reference's ``CVA.ns`` field gestures at; ``MonteCarlo.h:62``).
+
+    With ``wwr_b != 0`` the default leg is a path-dependent stochastic
+    hazard; the returned ``default_leg`` is then the wwr_b = 0 baseline
+    (see :class:`mctpu.types.CvaResult`).
     """
     port.validate()
     cfg = config

@@ -849,7 +849,13 @@ class CvaResult:
     ci: Any
     std_error: Any
     expected_exposure: Any  # (n_grid,) E[BS(S_tj, T - tj)] per node
-    default_leg: Any  # (n_grid,) dp_j weights
+    # (n_grid,) deterministic default-probability masses dp_j at wwr_b = 0.
+    # Under wrong-way risk (wwr_b != 0) the CVA is computed with a
+    # path-dependent stochastic hazard, so no deterministic profile can
+    # satisfy cva == lgd * sum(default_leg * expected_exposure) — the whole
+    # point of WWR is E[dp_j * ee_j] != E[dp_j] E[ee_j].  The field then
+    # still reports the wwr_b = 0 baseline masses for comparison.
+    default_leg: Any
     n: int = _static(default=0)
     n_paths: int = _static(default=0)
 
