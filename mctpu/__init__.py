@@ -16,6 +16,8 @@ See SURVEY.md at the repo root for the complete layer map of the reference
 and how each component maps here.
 """
 from mctpu.engine import (EngineConfig, fair_variance_strike,
+                          greeks as compute_greeks,
+                          greeks_basket, greeks_vanilla,
                           price_asian, price_barrier,
                           price_basket, price_basket_asian,
                           price_basket_barrier, price_cva, price_cva_multi,
@@ -27,7 +29,7 @@ from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          LookbackOption, RainbowOption,
                          BasketOption, HestonOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult,
-                         CvaSpec, McResult,
+                         CvaSpec, GreeksResult, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
 from mctpu import greeks, lsm, qmc, sobol, variance  # noqa: F401
@@ -37,6 +39,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "EngineConfig",
+    "compute_greeks",
+    "greeks_vanilla",
+    "greeks_basket",
+    "GreeksResult",
     "price_vanilla",
     "price_vanilla_ladder",
     "price_basket",

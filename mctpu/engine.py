@@ -62,7 +62,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
-           "price_cva_multi"]
+           "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket"]
 
 
 def _default_backend() -> str:
@@ -416,6 +416,131 @@ def price_lookback(opt, n_paths: int, key: jax.Array,
     return _price_scalar("lookback", klookback, klookback.LANES * anti,
                          (opt.n_obs, opt.kind, opt.payoff), opt, n_paths,
                          key, config)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel pathwise Greeks (engine-scale sensitivities)
+# ---------------------------------------------------------------------------
+
+def greeks_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Price + pathwise delta/vega/rho/theta of a European call/put, fused
+    in one kernel sweep.
+
+    Runs the flagship engine contract — fused Pallas kernel (or XLA twin),
+    mesh-sharded blocks, fixed-order f64 combine, reference estimator — on
+    10 accumulators instead of 2 (:mod:`mctpu.kernels.greeks`), so Greeks
+    come at pricing-sweep throughput and are bitwise shard-invariant.
+    Gated against :func:`mctpu.math.bs_greeks` in ``tests/test_greeks.py``.
+    """
+    from mctpu.kernels import greeks as kgreeks
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kgreeks.LANES * anti)
+    plan = kgreeks.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_vanilla", opt.kind, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kgreeks.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kgreeks.xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2), rho=est(3),
+                        theta=est(4))
+
+
+def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
+                  config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Price + per-asset pathwise delta/vega vectors of the basket call.
+
+    Same packed-lane MXU kernel layout as :func:`price_basket`, with two
+    extra per-asset-slot accumulator rows (``kernels/greeks.py``).  Delta is
+    gated against common-random-number bumps in ``tests/test_greeks.py``.
+    """
+    from mctpu.kernels import greeks as kgreeks
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    a = opt.n_assets
+    a_tile, c, width = kbasket.pack_factor(a)
+    blocks, rows = cfg.layout_for(n_paths, 2 * c * anti)
+    plan = kgreeks.make_basket_plan(n_paths, blocks, rows, cfg.antithetic,
+                                    cfg.dtype_str, cfg.precision.kahan,
+                                    n_assets=a)
+    cache_key = ("greeks_basket", a, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(o.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda ar, off, nb: kgreeks.pallas_basket_partials(
+                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda ar, off, nb: kgreeks.xla_basket_partials(
+                    ar[0], ar[1], ar[2], off, plan, nb)
+            partials, vecs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (o, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
+            # Fold the c packed path groups back onto the asset slots.
+            vtot = vtot.reshape(4, c, a_tile).sum(axis=1)[:, :a]
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, vtot, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot, disc = runner(opt, key)
+    n = plan.total_units
+    price = mcest.estimate(total[0], total[1], n, discount=disc,
+                           n_paths=plan.total_paths)
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
+                          n_paths=plan.total_paths)
+    return GreeksResult(price=price, delta=delta, vega=vega)
+
+
+def greeks(opt, n_paths: int, key: jax.Array,
+           config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Engine-scale pathwise Greeks: dispatches on the product type."""
+    if isinstance(opt, VanillaOption):
+        return greeks_vanilla(opt, n_paths, key, config)
+    if isinstance(opt, BasketOption):
+        return greeks_basket(opt, n_paths, key, config)
+    raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
+                    "see mctpu.greeks for autodiff/CRN fallbacks")
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 
 __all__ = ["Plan", "LANES", "seed_prng", "draw_normal_pair", "chunk_sums",
-           "walk_pairwise", "prng_emulation", "interpret_arg"]
+           "walk_pairwise", "prng_emulation", "interpret_arg",
+           "acc_init_n", "acc_add_n", "acc_final_n"]
 
 LANES = 128
 
@@ -197,6 +198,33 @@ def draw_normal_pair(shape, ctr):
 def chunk_sums(p):
     """(sum, sum of squares) of one payoff tile, reduced on the VPU."""
     return jnp.sum(p), jnp.sum(p * p)
+
+
+# ---------------------------------------------------------------------------
+# Generalized n-way accumulators (price + Greeks kernels carry 10+ sums)
+# ---------------------------------------------------------------------------
+
+def acc_init_n(n: int, dtype, kahan: bool):
+    """Tuple of ``n`` zeroed scalar accumulators (Kahan pairs if ``kahan``)."""
+    from mctpu.utils.accum import kahan_init
+    z = jnp.zeros((), dtype)
+    return tuple((kahan_init(z) if kahan else z) for _ in range(n))
+
+
+def acc_add_n(carry, vals, kahan: bool):
+    """Add ``vals[i]`` into ``carry[i]`` (compensated when ``kahan``)."""
+    from mctpu.utils.accum import kahan_add
+    if kahan:
+        return tuple(kahan_add(c, v) for c, v in zip(carry, vals))
+    return tuple(c + v for c, v in zip(carry, vals))
+
+
+def acc_final_n(carry, kahan: bool):
+    """Fold compensations back in; returns a tuple of ``n`` scalars."""
+    from mctpu.utils.accum import kahan_value
+    if kahan:
+        return tuple(kahan_value(c) for c in carry)
+    return carry
 
 
 def walk_pairwise(shape, n_steps: int, step_fn, init):

@@ -1,0 +1,414 @@
+"""Fused pathwise-Greeks Monte Carlo kernels (vanilla + basket).
+
+Prices alone are not enough for a pricing desk; the sensitivities must run
+at the same engine scale.  These kernels extend the fused vanilla/basket
+payoff kernels (``kernels/vanilla.py`` / ``kernels/basket.py``) to
+accumulate pathwise derivative sums *alongside* ``(sum_p, sum_p2)`` — under
+GBM each Greek is one indicator-times-factor FMA on values the kernel
+already holds in registers (the payoff formulas sit next to ``callPayoff``,
+``MonteCarloKernel.cu:67-71``; the reference computes no sensitivities).
+
+Pathwise identities for the vanilla call ``P = (S_T - K)^+`` with
+``S_T = s0 exp((r - v^2/2) t + v sqrt(t) z)`` and ``I = 1{S_T > K}``:
+
+    dP/ds0 = I S_T / s0                       (delta integrand)
+    dP/dv  = I S_T (sqrt(t) z - v t)          (vega integrand)
+    rho    = d/dr [e^{-rt} E P] = e^{-rt} E[t K I]
+    theta  = d/dt [e^{-rt} E P]
+           = e^{-rt} E[I S_T (r - v^2/2 + v z / (2 sqrt(t))) - r P]
+
+``rho``/``theta`` fold their ``-t*price`` / ``-r*price`` discount terms INTO
+the per-path integrand (``g_rho = t(I S_T - P) = t K I``), so each Greek is
+a plain MC mean with an honest per-Greek CI — no post-hoc covariance needed.
+The put mirrors every identity with ``I = -1{S_T < K}``.
+
+Pathwise differentiation is unbiased here because the payoff kink has
+measure zero (Glasserman, *MC Methods in Financial Engineering*, §7.2);
+gamma (a Dirac second derivative) is intentionally absent — use
+:func:`mctpu.greeks.bump_and_revalue` with common random numbers.
+
+Per block the kernels emit 10 partial sums
+``(sum_p, sum_p2, sum_gd, sum_gd2, sum_gv, sum_gv2, sum_gr, sum_gr2,
+sum_gt, sum_gt2)`` — same mesh / fixed-order-combine / estimator contract
+as the pricing kernels, so Greeks are bitwise shard-invariant too.
+
+The basket kernel accumulates per-asset delta and vega *vectors* in the
+packed lane layout of ``kernels/basket.py``:
+
+    delta_i = I w_i S_i / s0_i
+    vega_i  = I w_i S_i (sqrt(t) bt_i - v_i t)
+
+where ``bt = L z`` is the correlated Brownian vector the kernel already
+computed for the payoff.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mctpu import rng as mcrng
+from mctpu.kernels import basket as kbasket
+from mctpu.kernels.common import (LANES, Plan, acc_add_n, acc_final_n,
+                                  acc_init_n, draw_normal_pair,
+                                  interpret_arg, prng_emulation, seed_prng)
+from mctpu.types import BasketOption, VanillaOption
+
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "N_SUMS",
+           "make_basket_plan", "xla_basket_partials",
+           "pallas_basket_partials"]
+
+N_SUMS = 10  # (sum, sum^2) for each of: payoff, delta, vega, rho, theta
+
+
+def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
+              dtype: str = "float32", kahan: bool = True) -> Plan:
+    units = 2 * rows * LANES  # both Box-Muller branches per iteration
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def _greek_tile(s0, k, r, v, t, mu, sig, sqt, z, antithetic: bool,
+                put: bool):
+    """Payoff + 4 Greek integrands of one tile of normals (pair-mean when
+    antithetic).  Returns a 5-tuple of arrays shaped like ``z``."""
+
+    def quants(zz):
+        st = s0 * jnp.exp(mu + sig * zz)
+        if put:
+            ind = jnp.where(st < k, -1.0, 0.0).astype(st.dtype)
+            p = jnp.maximum(k - st, 0.0)
+        else:
+            ind = jnp.where(st > k, 1.0, 0.0).astype(st.dtype)
+            p = jnp.maximum(st - k, 0.0)
+        w = ind * st  # signed I * S_T — the common pathwise factor
+        gd = w / s0
+        gv = w * (sqt * zz - v * t)
+        gr = (t * k) * ind
+        gt = w * (r - 0.5 * v * v + 0.5 * v * zz / sqt) - r * p
+        return (p, gd, gv, gr, gt)
+
+    if antithetic:
+        a = quants(z)
+        b = quants(-z)
+        return tuple(0.5 * (x + y) for x, y in zip(a, b))
+    return quants(z)
+
+
+def _tile_sums(tiles):
+    """Interleaved (sum, sum^2) of each tile -> 2*len(tiles) scalars."""
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def _pair_sums(t1, t2):
+    return tuple(a + b for a, b in zip(_tile_sums(t1), _tile_sums(t2)))
+
+
+# ---------------------------------------------------------------------------
+# XLA backend (Threefry streams; CPU tests + non-TPU fallback)
+# ---------------------------------------------------------------------------
+
+def xla_partials(opt: VanillaOption, key: jax.Array, block_offset,
+                 plan: Plan, n_blocks: int):
+    """Per-block Greek partial sums, shape ``(n_blocks, 10)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    mu = (o.r - 0.5 * o.v * o.v) * o.t
+    sqt = jnp.sqrt(o.t)
+    sig = o.v * sqt
+    put = opt.kind == "put"
+
+    def block_fn(bkey):
+        def body(i, carry):
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2, plan.rows, LANES), dtype)
+            tiles = _greek_tile(o.s, o.k, o.r, o.v, o.t, mu, sig, sqt, z,
+                                plan.antithetic, put)
+            return acc_add_n(carry, _tile_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(N_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU backend (in-kernel hardware PRNG; f32 only)
+# ---------------------------------------------------------------------------
+
+def _greeks_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
+                   put: bool):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    s0, k, r, v = par_ref[0], par_ref[1], par_ref[2], par_ref[3]
+    t, mu, sig, sqt = par_ref[4], par_ref[5], par_ref[6], par_ref[7]
+
+    def body(i, carry):
+        z1, z2 = draw_normal_pair((plan.rows, LANES), i)
+        t1 = _greek_tile(s0, k, r, v, t, mu, sig, sqt, z1, plan.antithetic,
+                         put)
+        t2 = _greek_tile(s0, k, r, v, t, mu, sig, sqt, z2, plan.antithetic,
+                         put)
+        return acc_add_n(carry, _pair_sums(t1, t2), plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(N_SUMS, jnp.float32, plan.kahan))
+    sums = acc_final_n(carry, plan.kahan)
+    b = pl.program_id(0)
+    for j, sj in enumerate(sums):
+        out_ref[b, j] = sj
+
+
+def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
+                    n_blocks: int, interpret: bool = False):
+    """Per-block Greek partial sums, shape ``(n_blocks, 10)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
+                                interpret)
+
+
+def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
+    o = opt.astype(jnp.float32)
+    sqt = jnp.sqrt(o.t)
+    mu = (o.r - 0.5 * o.v * o.v) * o.t
+    sig = o.v * sqt
+    params = jnp.stack([o.s, o.k, o.r, o.v, o.t, mu, sig, sqt])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_greeks_kernel, plan=plan,
+                               put=opt.kind == "put")
+    flops_iter = plan.rows * LANES * 2 * (2 if plan.antithetic else 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, N_SUMS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * plan.iters * flops_iter,
+            bytes_accessed=n_blocks * 4 * N_SUMS,
+            transcendentals=5 * plan.iters * flops_iter,
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, params)
+
+
+# ===========================================================================
+# Basket Greeks: per-asset delta and vega vectors in the packed lane layout
+# ===========================================================================
+
+def make_basket_plan(n_paths: int, num_blocks: int, rows: int,
+                     antithetic: bool, dtype: str = "float32",
+                     kahan: bool = True, n_assets: int = 3) -> Plan:
+    _, c, _ = kbasket.pack_factor(n_assets)
+    units = 2 * rows * c
+    paths = units * (2 if antithetic else 1)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan)
+
+
+def _basket_greek_ops(opt: BasketOption, chol, dtype):
+    """Packed operands of the basket Greeks kernel.
+
+    Extends :func:`mctpu.kernels.basket.pack_assets` with ``esel`` — a
+    binary ``(c, width)`` expander mapping per-path indicators back to the
+    asset slots of their path — and ``inv_s0`` (0 in padded slots so the
+    delta division never sees the padding's ``s0 = 0``).
+    """
+    ops = kbasket.pack_assets(opt, chol, dtype)
+    width, c = ops["wsel"].shape
+    a_tile = width // c
+    esel = jnp.zeros((c, width), dtype)
+    for p in range(c):
+        esel = jax.lax.dynamic_update_slice(
+            esel, jnp.ones((1, a_tile), dtype), (p, p * a_tile))
+    s0 = ops["s0"]
+    ops["esel"] = esel
+    ops["inv_s0"] = jnp.where(s0 > 0, 1.0 / jnp.where(s0 > 0, s0, 1.0), 0.0)
+    # w_row: per-slot weights (the wsel columns collapsed onto the slots).
+    ops["w_row"] = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
+    return ops
+
+
+def _basket_greek_tile(ops, k, v_row, t, sqt, z, antithetic: bool,
+                       mxu: bool):
+    """One packed tile -> (payoff (rows, c), delta (rows, width),
+    vega (rows, width)); pair-means when antithetic."""
+    prec = kbasket.MATMUL_PRECISION
+    c = ops["wsel"].shape[1]
+    a_tile = ops["chol_bd"].shape[0] // c
+
+    def quants(zz):
+        bt = jnp.dot(zz, ops["chol_bd"], precision=prec,
+                     preferred_element_type=jnp.float32) + ops["d"]
+        s_t = ops["s0"] * jnp.exp(ops["drift"] + ops["vol"] * bt)
+        if mxu:
+            basket = jnp.dot(s_t, ops["wsel"], precision=prec,
+                             preferred_element_type=jnp.float32)
+        else:
+            prod = s_t * ops["w_row"]
+            basket = prod.reshape(prod.shape[0], c, a_tile).sum(axis=-1)
+        ind = jnp.where(basket > k, 1.0, 0.0).astype(s_t.dtype)  # (rows, c)
+        p = jnp.maximum(basket - k, 0.0)
+        if mxu:
+            ind_wide = jnp.dot(ind, ops["esel"], precision=prec,
+                               preferred_element_type=jnp.float32)
+        else:
+            ind_wide = jnp.repeat(ind, a_tile, axis=1)
+        ws = ind_wide * ops["w_row"] * s_t  # I w_i S_i per slot
+        gd = ws * ops["inv_s0"]
+        gv = ws * (sqt * bt - v_row * t)
+        return p, gd, gv
+
+    if antithetic:
+        a = quants(z)
+        b = quants(-z)
+        return tuple(0.5 * (x + y) for x, y in zip(a, b))
+    return quants(z)
+
+
+def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
+                        block_offset, plan: Plan, n_blocks: int):
+    """Per-block basket Greek partials:
+    ``((n_blocks, 2), (n_blocks, 4, width))`` — scalar payoff sums plus
+    per-asset-slot ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` rows."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    ops = _basket_greek_ops(o, chol, dtype)
+    width = ops["chol_bd"].shape[0]
+    sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
+    v_row = ops["vol"] / sqt  # per-slot vols (vol = v * sqrt(t))
+
+    def block_fn(bkey):
+        def body(i, carry):
+            acc, vecs = carry
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2 * plan.rows, width), dtype)
+            p, gd, gv = _basket_greek_tile(ops, o.k, v_row, o.t, sqt, z,
+                                           plan.antithetic, mxu=False)
+            acc = acc_add_n(acc, (jnp.sum(p), jnp.sum(p * p)), plan.kahan)
+            vecs = vecs + jnp.stack([
+                jnp.sum(gd, axis=0), jnp.sum(gd * gd, axis=0),
+                jnp.sum(gv, axis=0), jnp.sum(gv * gv, axis=0)])
+            return acc, vecs
+
+        acc, vecs = jax.lax.fori_loop(
+            0, plan.iters, body,
+            (acc_init_n(2, dtype, plan.kahan), jnp.zeros((4, width), dtype)))
+        return jnp.stack(acc_final_n(acc, plan.kahan)), vecs
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
+                          vol_ref, d_ref, lt_ref, wsel_ref, esel_ref,
+                          invs0_ref, wrow_ref, out_ref, vec_ref, *,
+                          plan: Plan):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    k, t, sqt = scal_ref[0], scal_ref[1], scal_ref[2]
+    ops = {
+        "s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
+        "esel": esel_ref[:], "inv_s0": invs0_ref[:], "w_row": wrow_ref[:],
+    }
+    width = lt_ref.shape[0]
+    v_row = ops["vol"] / sqt
+
+    def body(i, carry):
+        acc, vecs = carry
+        z1, z2 = draw_normal_pair((plan.rows, width), i)
+        p1, gd1, gv1 = _basket_greek_tile(ops, k, v_row, t, sqt, z1,
+                                          plan.antithetic, mxu=True)
+        p2, gd2, gv2 = _basket_greek_tile(ops, k, v_row, t, sqt, z2,
+                                          plan.antithetic, mxu=True)
+        cs = jnp.sum(p1) + jnp.sum(p2)
+        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+        acc = acc_add_n(acc, (cs, cs2), plan.kahan)
+        row = lambda x1, x2: (jnp.sum(x1, axis=0) + jnp.sum(x2, axis=0))
+        vecs = vecs + jnp.stack([
+            row(gd1, gd2), row(gd1 * gd1, gd2 * gd2),
+            row(gv1, gv2), row(gv1 * gv1, gv2 * gv2)])
+        return acc, vecs
+
+    acc, vecs = jax.lax.fori_loop(
+        0, plan.iters, body,
+        (acc_init_n(2, jnp.float32, plan.kahan),
+         jnp.zeros((4, width), jnp.float32)))
+    s, s2 = acc_final_n(acc, plan.kahan)
+    b = pl.program_id(0)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+    vec_ref[0] = vecs
+
+
+def pallas_basket_partials(opt: BasketOption, chol, seed, block_offset,
+                           plan: Plan, n_blocks: int,
+                           interpret: bool = False):
+    """Per-block basket Greek partials on TPU (see ``xla_basket_partials``)."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        return _pallas_basket_partials(opt, chol, seed, block_offset, plan,
+                                       n_blocks, interpret)
+
+
+def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
+                            interpret):
+    o = opt.astype(jnp.float32)
+    ops = _basket_greek_ops(o, chol, jnp.float32)
+    width = ops["chol_bd"].shape[0]
+    c = ops["wsel"].shape[1]
+    t = jnp.asarray(o.t, jnp.float32)
+    scal = jnp.stack([o.k, t, jnp.sqrt(t)])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+
+    kernel = functools.partial(_basket_greeks_kernel, plan=plan)
+    out, vecs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.iters * 2 * plan.rows * (2 * width * width
+                                                + 4 * width * c + 16 * width),
+            bytes_accessed=n_blocks * (2 + 4 * width) * 4
+            + 2 * width * width * 4,
+            transcendentals=plan.iters * 2 * plan.rows * (2 * width + 2),
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
+      ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"], ops["inv_s0"],
+      ops["w_row"])
+    return out, vecs

@@ -2,13 +2,15 @@
 
 Second QMC family next to the lattice rules of :mod:`mctpu.qmc` — Sobol nets
 keep their equidistribution under *any* power-of-two sample count and extend
-to moderate dimension (128 dims bundled), making them the default RQMC choice
-for the basket's asset dimension.
+to high dimension (2048 dims bundled — enough for 252-obs variance-swap
+years, 500-node CVA grids and 1000-asset baskets; the classic Joe-Kuo
+benchmark count is 1111), making them the default RQMC choice.
 
 Construction: the classic gray-code XOR form, fully vectorized for the VPU —
 ``x_i = XOR_{b set in gray(i)} v_b`` over the 30-bit Joe-Kuo direction
-numbers (data asset ``mctpu/data/sobol_directions_128x30.npy``, regenerable
-via ``tools/gen_sobol_directions.py``).  Randomization is a per-replicate
+numbers (data asset ``mctpu/data/sobol_directions_2048x30.npy``, regenerable
+via ``tools/gen_sobol_directions.py``; parity-checked against scipy's
+independent implementation at high dims in ``tests/test_sobol.py``).  Randomization is a per-replicate
 digital shift (XOR with uniform bits), which preserves the net structure and
 gives unbiased replicate estimates with an honest CI — same estimator
 contract as the lattice module.
@@ -30,9 +32,9 @@ __all__ = ["sobol_points", "price_vanilla_sobol", "price_basket_sobol",
            "price_asian_sobol", "bridge_paths", "brownian_bridge_plan",
            "MAX_DIM"]
 
-_DATA = Path(__file__).resolve().parent / "data" / "sobol_directions_128x30.npy"
+_DATA = Path(__file__).resolve().parent / "data" / "sobol_directions_2048x30.npy"
 _BITS = 30
-MAX_DIM = 128
+MAX_DIM = 2048
 
 
 @functools.lru_cache(maxsize=1)
@@ -244,7 +246,7 @@ def price_asian_sobol(opt, n_points: int, key: jax.Array,
     The bridge assigns the lowest Sobol dimensions to the coarsest path
     structure (terminal, then midpoints), keeping the integrand's effective
     dimension low — the standard recipe for QMC on path-dependent payoffs
-    (net dimension = ``n_obs``, <= 128).
+    (net dimension = ``n_obs``, up to 2048 — a 252-obs daily year included).
     """
     opt.validate()
     if opt.n_obs > MAX_DIM:

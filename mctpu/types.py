@@ -37,6 +37,7 @@ __all__ = [
     "CvaMultiSpec",
     "McResult",
     "CvaResult",
+    "GreeksResult",
 ]
 
 
@@ -877,3 +878,39 @@ class CvaResult:
             "n": int(self.n),
             "n_paths": int(self.n_paths),
         }
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class GreeksResult:
+    """Price plus pathwise Greeks, each a full :class:`McResult`.
+
+    Every field carries its own honest MC confidence interval — the Greek
+    integrands are accumulated in-kernel alongside the payoff (see
+    :mod:`mctpu.kernels.greeks`), so each is a plain MC mean under the same
+    estimator/combine contract as the price.  ``delta``/``vega`` are
+    per-asset vectors for baskets; ``rho``/``theta`` are ``None`` where not
+    computed (basket).  ``theta`` is d/d(maturity), matching
+    :func:`mctpu.math.bs_greeks`.
+    """
+
+    price: McResult
+    delta: McResult
+    vega: McResult
+    rho: Any = None
+    theta: Any = None
+
+    def __repr__(self):
+        import numpy as _np
+
+        def fmt(r):
+            if r is None:
+                return "None"
+            p = _np.asarray(r.price)
+            if p.ndim == 0:
+                return f"{float(p):.6f}±{float(r.ci):.6f}"
+            return f"{_np.array2string(p, precision=4)}"
+
+        return (f"GreeksResult(price={fmt(self.price)}, "
+                f"delta={fmt(self.delta)}, vega={fmt(self.vega)}, "
+                f"rho={fmt(self.rho)}, theta={fmt(self.theta)})")

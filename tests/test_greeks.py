@@ -118,3 +118,142 @@ class TestExoticGreeks:
         fd = (cf(100.5) - cf(99.5)) / 1.0
         d = greeks.barrier_delta_crn(uo, 1 << 18, jax.random.key(4))
         assert float(d) == pytest.approx(fd, abs=0.02)
+
+
+class TestEngineGreeksVanilla:
+    """In-kernel pathwise Greeks via the full engine contract."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    @pytest.fixture(scope="class")
+    def res(self):
+        from mctpu import engine
+        return engine.greeks_vanilla(OPT, 1 << 20, KEY, self._cfg())
+
+    @pytest.mark.parametrize("name", ["price", "delta", "vega", "rho",
+                                      "theta"])
+    def test_each_greek_within_4_sigma_of_bs(self, res, name):
+        r = getattr(res, name)
+        z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
+        assert abs(z) < 4.0, (name, float(r.price), CF[name], z)
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        res = engine.greeks_vanilla(OPT, 1 << 19, KEY,
+                                    self._cfg(antithetic=True))
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
+            assert abs(z) < 4.0, (name, z)
+
+    def test_put_greeks_via_parity(self):
+        """Put Greeks follow from call Greeks by put-call parity."""
+        from mctpu import engine
+        popt = VanillaOption(s=OPT.s, k=OPT.k, r=OPT.r, v=OPT.v, t=OPT.t,
+                             kind="put")
+        res = engine.greeks_vanilla(popt, 1 << 20, KEY, self._cfg())
+        disc = np.exp(-OPT.r * OPT.t)
+        expected = {
+            "delta": CF["delta"] - 1.0,
+            "vega": CF["vega"],
+            "rho": CF["rho"] - OPT.t * OPT.k * disc,
+            "theta": CF["theta"] - OPT.r * OPT.k * disc,
+        }
+        for name, want in expected.items():
+            r = getattr(res, name)
+            z = (float(r.price) - want) / max(float(r.std_error), 1e-12)
+            assert abs(z) < 4.0, (name, float(r.price), want, z)
+
+    def test_pallas_interpret_twin_consistent(self):
+        """The fused TPU kernel (interpret mode) hits the same numbers."""
+        from mctpu import engine
+        cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                  interpret=True)
+        res = engine.greeks_vanilla(OPT, 1 << 16, KEY, cfg)
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
+            assert abs(z) < 4.5, (name, float(r.price), CF[name], z)
+
+    def test_greeks_dispatcher(self):
+        from mctpu import engine
+        res = engine.greeks(OPT, 1 << 16, KEY, self._cfg())
+        assert float(res.delta.price) == pytest.approx(CF["delta"], abs=0.02)
+        with pytest.raises(TypeError):
+            from mctpu.types import AsianOption
+            engine.greeks(AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=4),
+                          1 << 10, KEY, self._cfg())
+
+
+class TestEngineGreeksBasket:
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    @pytest.fixture(scope="class")
+    def res(self):
+        from mctpu import engine
+        return engine.greeks_basket(BasketOption.default_reference(3),
+                                    1 << 19, KEY, self._cfg())
+
+    def test_price_matches_pricer(self, res):
+        from mctpu import engine
+        p = engine.price_basket(BasketOption.default_reference(3), 1 << 19,
+                                KEY, self._cfg())
+        # Same plan geometry and key -> identical paths; sums agree to f32
+        # rounding (two distinct XLA programs may fuse/reduce differently).
+        assert float(res.price.price) == pytest.approx(float(p.price),
+                                                       rel=1e-6)
+
+    def test_delta_matches_autodiff(self, res):
+        _, d_ad = greeks.basket_delta(BasketOption.default_reference(3),
+                                      1 << 19, KEY)
+        d = np.asarray(res.delta.price)
+        se = np.asarray(res.delta.std_error)
+        np.testing.assert_allclose(d, np.asarray(d_ad), atol=0.01)
+        assert (se > 0).all()
+
+    def test_vega_matches_crn_bump(self, res):
+        """Per-asset vega vs common-random-number central differences."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = BasketOption.default_reference(3)
+        eps = 1e-3
+        cfg = self._cfg()
+        for i in range(3):
+            v_up = np.asarray(opt.v, float).copy()
+            v_dn = v_up.copy()
+            v_up[i] += eps
+            v_dn[i] -= eps
+            up = engine.price_basket(dc.replace(opt, v=jnp.asarray(v_up)),
+                                     1 << 19, KEY, cfg)
+            dn = engine.price_basket(dc.replace(opt, v=jnp.asarray(v_dn)),
+                                     1 << 19, KEY, cfg)
+            fd = (float(up.price) - float(dn.price)) / (2 * eps)
+            assert float(res.vega.price[i]) == pytest.approx(fd, abs=0.02)
+
+    def test_single_asset_reduces_to_vanilla(self):
+        from mctpu import engine
+        opt = BasketOption(
+            s=np.array([100.0]), v=np.array([0.2]), w=np.array([1.0]),
+            corr=np.eye(1), d=np.zeros(1), k=100.0, r=0.048790, t=1.0)
+        res = engine.greeks_basket(opt, 1 << 19, KEY, self._cfg())
+        zd = (float(res.delta.price[0]) - CF["delta"]) \
+            / float(res.delta.std_error[0])
+        zv = (float(res.vega.price[0]) - CF["vega"]) \
+            / float(res.vega.std_error[0])
+        assert abs(zd) < 4.0 and abs(zv) < 4.0, (zd, zv)
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                  interpret=True)
+        res = engine.greeks_basket(BasketOption.default_reference(3),
+                                   1 << 14, KEY, cfg)
+        np.testing.assert_allclose(np.asarray(res.delta.price), 1 / 3,
+                                   atol=0.01)

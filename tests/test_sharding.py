@@ -84,6 +84,24 @@ class TestShardInvariance:
         assert float(base.price) == float(shard.price)
         assert float(base.ci) == float(shard.ci)
 
+    def test_greeks_vanilla_bitwise_invariant(self, mesh8):
+        base = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=None))
+        shard = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=mesh8))
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            b, s = getattr(base, name), getattr(shard, name)
+            assert float(b.price) == float(s.price), name
+            assert float(b.ci) == float(s.ci), name
+
+    def test_greeks_basket_bitwise_invariant(self, mesh8):
+        opt = BasketOption.default_reference(3)
+        base = engine.greeks_basket(opt, 1 << 15, KEY, _cfg(mesh=None))
+        shard = engine.greeks_basket(opt, 1 << 15, KEY, _cfg(mesh=mesh8))
+        assert float(base.price.price) == float(shard.price.price)
+        np.testing.assert_array_equal(np.asarray(base.delta.price),
+                                      np.asarray(shard.delta.price))
+        np.testing.assert_array_equal(np.asarray(base.vega.ci),
+                                      np.asarray(shard.vega.ci))
+
     def test_sharded_result_is_correct(self, mesh8):
         res = engine.price_vanilla(OPT, 1 << 19, KEY, _cfg(mesh=mesh8))
         bs = float(mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t))

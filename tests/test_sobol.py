@@ -39,8 +39,31 @@ def test_digital_shift_preserves_balance():
 
 
 def test_dim_limit():
-    with pytest.raises(ValueError, match="128"):
-        sobol.sobol_points(16, 129)
+    with pytest.raises(ValueError, match="2048"):
+        sobol.sobol_points(16, 2049)
+
+
+def test_matches_scipy_at_high_dims():
+    """Independent-implementation parity at dims beyond the old 128 cap.
+
+    scipy.stats.qmc.Sobol carries its own copy of the Joe-Kuo direction
+    numbers and its own generator code path; agreement at dim > 1111 (the
+    classic Joe-Kuo table size) validates the whole extended table.
+    """
+    scipy_qmc = pytest.importorskip("scipy.stats.qmc")
+    d = 2000
+    want = scipy_qmc.Sobol(d=d, scramble=False).random(64)
+    got = np.asarray(sobol.sobol_points(64, d, dtype=jnp.float64))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_high_dim_net_balance():
+    # 1-D projections of the highest bundled dimensions are still (0,1)-nets.
+    n = 1 << 9
+    pts = np.asarray(sobol.sobol_points(n, 2048, dtype=jnp.float64))
+    for d in (1111, 2000, 2047):
+        counts = np.histogram(pts[:, d], bins=8, range=(0, 1))[0]
+        assert (counts == n // 8).all(), d
 
 
 def test_vanilla_sobol_unbiased_and_tight():
@@ -112,9 +135,25 @@ class TestBrownianBridgeAsian:
         vanilla = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
         assert geo < float(res.price) < vanilla
 
+    def test_daily_year_varswap_grid(self):
+        """A 252-obs (daily-monitoring) Asian prices through the bridge with
+        the QMC CI advantage intact (the round-2 MAX_DIM=128 cap is gone)."""
+        from mctpu.types import AsianOption
+        geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=252,
+                          average="geometric")
+        res = sobol.price_asian_sobol(geo, 1 << 11, jax.random.key(9),
+                                      replicates=8)
+        want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 252))
+        assert abs(float(res.price) - want) < 5 * float(res.std_error)
+        mc = engine.price_asian(geo, res.n_paths, jax.random.key(9),
+                                engine.EngineConfig(num_blocks=8, rows=8,
+                                                    backend="xla"))
+        assert float(res.ci) < float(mc.ci) / 5
+
     def test_too_many_obs_rejected(self):
         from mctpu.types import AsianOption
         with pytest.raises(ValueError, match="n_obs"):
             sobol.price_asian_sobol(
-                AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=200),
+                AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=2500),
                 1 << 10, jax.random.key(0))

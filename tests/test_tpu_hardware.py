@@ -232,3 +232,23 @@ def test_variance_swap_on_chip():
                                       _cfg(num_blocks=16, rows=8), n_obs=252)
     want = 0.2 ** 2 + (0.048790 - 0.02) ** 2 / 252
     assert _z(res.price, want, res.std_error) < 4
+
+
+def test_greeks_vanilla_on_chip():
+    """Fused in-kernel pathwise Greeks vs bs_greeks (hardware PRNG)."""
+    cf = mcmath.bs_greeks(100.0, 100.0, 0.048790, 0.2, 1.0)
+    res = engine.greeks_vanilla(OPT, 1 << 22, KEY, _cfg())
+    for name in ("price", "delta", "vega", "rho", "theta"):
+        r = getattr(res, name)
+        assert _z(r.price, float(cf[name]), r.std_error) < 4, name
+
+
+def test_greeks_basket_on_chip():
+    """Per-asset basket delta/vega vs the packed-MXU kernel accumulators."""
+    opt = BasketOption.default_reference(3)
+    res = engine.greeks_basket(opt, 1 << 20, KEY, _cfg())
+    d = np.asarray(res.delta.price)
+    # Strongly anti-correlated equal-weight reference basket: delta_i ~ 1/3.
+    np.testing.assert_allclose(d, 1 / 3, atol=0.01)
+    assert np.isfinite(np.asarray(res.vega.price)).all()
+    assert (np.asarray(res.delta.std_error) > 0).all()
