@@ -32,13 +32,18 @@ from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          CvaSpec, GreeksResult, McResult,
                          Precision, VanillaOption)
 from mctpu import math  # noqa: F401
-from mctpu import greeks, lsm, qmc, sobol, variance  # noqa: F401
+from mctpu import greeks, lsm, qmc, qmc_engine, sobol, variance  # noqa: F401
+from mctpu.qmc_engine import (price_asian_rqmc, price_basket_rqmc,
+                              price_vanilla_rqmc)
 from mctpu.lsm import price_american, price_american_heston
 
 __version__ = "0.1.0"
 
 __all__ = [
     "EngineConfig",
+    "price_vanilla_rqmc",
+    "price_basket_rqmc",
+    "price_asian_rqmc",
     "compute_greeks",
     "greeks_vanilla",
     "greeks_basket",

@@ -1,0 +1,578 @@
+"""Engine-tier randomized-QMC pricers (Sobol nets under the engine contract).
+
+Round-2 review finding: the QMC pricers bypassed the engine — no
+``EngineConfig``, no mesh, ``(n, dim)`` point sets materialized in HBM.
+This module gives the Sobol family the same treatment as the MC pricers:
+
+* **Replicates are the block unit.**  Each of ``R`` digitally-shifted
+  replicates of the net is one simulation block; blocks shard over the
+  ``"paths"`` mesh axis exactly like MC blocks, and each replicate's shift
+  derives from ``fold_in(key, replicate_id)`` — so results are bitwise
+  invariant to the mesh layout (same contract, tested in
+  ``tests/test_sharding.py``).
+* **Streamed point generation.**  Points are generated chunk-by-chunk
+  (``rows x 128`` per chunk) *inside* the jitted program — the gray-code
+  XOR construction is O(30) uint32 ops per point, fully vectorized — so
+  memory stays O(chunk), never O(n, dim), at any point count.
+* **Fused Pallas kernels** for the vanilla and basket nets: generation,
+  digital shift, normal inversion (``erf_inv``) and payoff never leave
+  VMEM.  The Asian bridge runs on the XLA twin (mesh-sharded + chunked).
+
+Estimator: the per-replicate payoff sums are combined in the fixed
+pairwise order; the price is the replicate-mean and the CI the honest
+replicate-spread CI (Owen-style RQMC randomization).  ``McResult.sum_p``/
+``sum_p2`` carry genuine undiscounted payoff sums over all points (unlike
+the round-2 pricers, which stuffed synthetic values there — advisor
+finding).  ``n`` is the replicate count (the i.i.d. unit), ``n_paths`` the
+total point count.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from mctpu import estimator as mcest
+from mctpu import math as mcmath
+from mctpu import sobol as msobol
+from mctpu.engine import EngineConfig, _shard_blocks
+from mctpu.kernels import basket as kbasket
+from mctpu.kernels.common import (LANES, Plan, acc_add_n,
+                                  acc_init_n, interpret_arg)
+from mctpu.parallel.mesh import PATH_AXIS
+from mctpu.parallel.reduce import pairwise_tree_sum
+from mctpu.types import AsianOption, BasketOption, McResult, VanillaOption
+
+__all__ = ["price_vanilla_rqmc", "price_basket_rqmc", "price_asian_rqmc",
+           "rqmc_plan"]
+
+_BITS = 30
+_SQRT2 = 1.4142135623730951
+
+
+def rqmc_plan(n_points: int, replicates: int, rows: int,
+              dtype: str = "float32", pts_per_chunk: int | None = None) -> Plan:
+    """Launch plan: ``replicates`` blocks x ``iters`` chunks of
+    ``pts_per_chunk`` points (default rows*128; the packed basket fits
+    rows*c points per chunk); ``n_points`` (per replicate) is rounded up to
+    whole chunks."""
+    ppc = rows * LANES if pts_per_chunk is None else pts_per_chunk
+    return Plan(
+        num_blocks=replicates,
+        iters=max(1, -(-n_points // ppc)),
+        rows=rows,
+        paths_per_iter=ppc,
+        units_per_iter=ppc,
+        antithetic=False,
+        dtype=dtype,
+        kahan=False,
+    )
+
+
+def _norm_ppf(u, dtype):
+    """Inverse standard-normal CDF from uniforms in (0, 1).
+
+    ``sqrt(2) * erf_inv(2u - 1)`` — ``erf_inv`` lowers both in XLA and in
+    Mosaic (measured 5e-5 max abs error vs f64 ``ndtri`` in f32).  Clipping
+    keeps the tails finite (a digital shift makes u = 0 measure-zero but
+    the unshifted first point is exactly 0).
+    """
+    eps = jnp.asarray(1e-7, dtype)
+    u = jnp.clip(u, eps, 1.0 - eps)
+    return jax.lax.erf_inv(2.0 * u - 1.0) * jnp.asarray(_SQRT2, dtype)
+
+
+def _u_from_bits30(acc_u32, dtype):
+    """Map 30-bit Sobol integers to floats in [0, 1).
+
+    f32: mantissa trick on the top 23 bits (no int->float cast).
+    f64 (XLA twin only): exact division.
+    """
+    if jnp.dtype(dtype) == jnp.float32:
+        mant = (acc_u32 >> jnp.uint32(7)) | jnp.uint32(0x3F800000)
+        return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+    return acc_u32.astype(dtype) * jnp.asarray(0.5 ** _BITS, dtype)
+
+
+def _rep_shifts(key: jax.Array, block_offset, n_blocks: int, dim: int):
+    """(n_blocks, dim) uint32 digital shifts for global replicate ids
+    [offset, offset + n).  Keyed by global id -> mesh-layout invariant."""
+    ids = jnp.arange(n_blocks, dtype=jnp.uint32) + jnp.uint32(block_offset)
+    return jax.vmap(
+        lambda i: jax.random.bits(jax.random.fold_in(key, i), (dim,),
+                                  dtype=jnp.uint32))(ids)
+
+
+def _sobol_tile(idx_u32, v_bits, shift_u32):
+    """Sobol integers for a tile of point indices (elementwise XOR form).
+
+    ``idx_u32``: any-shape uint32 point indices; ``v_bits``: length-30 list
+    of direction entries broadcastable against the tile (scalars for 1-D
+    nets, per-lane rows for packed multi-dim nets); ``shift_u32``: digital
+    shift, broadcastable.  Compiles to 30 select+xor VPU ops.
+    """
+    gray = idx_u32 ^ (idx_u32 >> jnp.uint32(1))
+    acc = jnp.zeros_like(idx_u32)
+    for b in range(_BITS):
+        bit = (gray >> jnp.uint32(b)) & jnp.uint32(1)
+        acc = acc ^ (jnp.where(bit > 0, v_bits[b], jnp.uint32(0)))
+    # Align the 32-bit random shift to the 30-bit net (same convention as
+    # mctpu.sobol.sobol_points) so the result stays < 2^30.
+    return acc ^ (shift_u32 >> jnp.uint32(32 - _BITS))
+
+
+def _point_index_tile(chunk, rows):
+    """(rows, 128) uint32 point indices for one chunk (row-major)."""
+    base = (jnp.uint32(chunk) * jnp.uint32(rows * LANES))
+    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.uint32, (rows, LANES), 1)
+    return base + r * jnp.uint32(LANES) + l
+
+
+@functools.lru_cache(maxsize=8)
+def _directions_np() -> np.ndarray:
+    return msobol._directions()  # (MAX_DIM, 30) uint32
+
+
+# ---------------------------------------------------------------------------
+# Vanilla (1-D net): XLA twin + fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _vanilla_rep_sums(shift, params, plan: Plan, v_scalars, dtype, put):
+    """Kahan (sum, comp, sum2, comp2) of undiscounted payoffs over one
+    replicate's net.
+
+    The compensations are emitted (not folded) because the replicate-spread
+    CI resolves differences far below one ulp of the f32 sums at large
+    nets; the f64 combine outside reconstructs full precision.
+    """
+    s0, k, mu, sig = params
+
+    def chunk(c, carry):
+        idx = _point_index_tile(c, plan.rows)
+        bits = _sobol_tile(idx, v_scalars, shift)
+        z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
+        st = s0 * jnp.exp(mu + sig * z)
+        p = jnp.maximum(k - st, 0.0) if put else jnp.maximum(st - k, 0.0)
+        return acc_add_n(carry, (jnp.sum(p), jnp.sum(p * p)), True)
+
+    carry = jax.lax.fori_loop(0, plan.iters, chunk,
+                              acc_init_n(2, dtype, True))
+    (s, c1), (s2, c2) = carry
+    return jnp.stack([s, c1, s2, c2])
+
+
+def vanilla_xla_partials(opt: VanillaOption, key, block_offset, plan: Plan,
+                         n_blocks: int):
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    mu = (o.r - 0.5 * o.v * o.v) * o.t
+    sig = o.v * jnp.sqrt(o.t)
+    v0 = _directions_np()[0]  # (30,) uint32 — dim-0 direction numbers
+    v_scalars = [jnp.uint32(int(v0[b])) for b in range(_BITS)]
+    shifts = _rep_shifts(key, block_offset, n_blocks, 1)[:, 0]
+    fn = functools.partial(_vanilla_rep_sums, params=(o.s, o.k, mu, sig),
+                           plan=plan, v_scalars=v_scalars, dtype=dtype,
+                           put=opt.kind == "put")
+    return jax.vmap(fn)(shifts)
+
+
+def _vanilla_rqmc_kernel(shift_ref, par_ref, v_ref, out_ref, *, plan: Plan,
+                         put: bool):
+    b = pl.program_id(0)
+    shift = shift_ref[b]
+    params = (par_ref[0], par_ref[1], par_ref[2], par_ref[3])
+    v_scalars = [v_ref[j] for j in range(_BITS)]
+    out = _vanilla_rep_sums(shift, params, plan, v_scalars, jnp.float32, put)
+    for j in range(4):
+        out_ref[b, j] = out[j]
+
+
+def vanilla_pallas_partials(opt: VanillaOption, key, block_offset,
+                            plan: Plan, n_blocks: int,
+                            interpret: bool = False):
+    with jax.enable_x64(False):
+        o = opt.astype(jnp.float32)
+        mu = (o.r - 0.5 * o.v * o.v) * o.t
+        sig = o.v * jnp.sqrt(o.t)
+        params = jnp.stack([o.s, o.k, mu, sig])
+        v0 = jnp.asarray(_directions_np()[0], jnp.uint32)  # (30,)
+        shifts = _rep_shifts(key, block_offset, n_blocks, 1)[:, 0]
+        kernel = functools.partial(_vanilla_rqmc_kernel, plan=plan,
+                                   put=opt.kind == "put")
+        pts = plan.iters * plan.rows * LANES
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=70 * pts, bytes_accessed=n_blocks * 16,
+                transcendentals=3 * pts,
+            ),
+            interpret=interpret_arg(interpret),
+        )(shifts, params, v0)
+
+
+# ---------------------------------------------------------------------------
+# Basket (dim = n_assets, packed lanes): XLA twin + fused Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _basket_net_rows(n_assets: int):
+    """Per-lane direction rows + slot maps for the packed basket net.
+
+    Lane ``l`` of a packed tile holds dimension ``l % a_tile`` of packed
+    path ``row*c + l // a_tile``; returns ``v_rows (30, width)`` uint32
+    direction entries per lane (0 beyond ``n_assets``), plus
+    ``(a_tile, c, width)``.
+    """
+    a_tile, c, width = kbasket.pack_factor(n_assets)
+    v = _directions_np()[:n_assets]  # (a, 30)
+    v_rows = np.zeros((_BITS, width), np.uint32)
+    for l in range(width):
+        d = l % a_tile
+        if d < n_assets:
+            v_rows[:, l] = v[d]
+    return v_rows, a_tile, c, width
+
+
+def _basket_rep_sums(shift_row, ops, k, plan: Plan, v_rows, dtype, mxu):
+    """(sum, sum2) of one replicate of the packed basket net.
+
+    ``shift_row`` is the (1, width) per-lane digital shift; each packed
+    path's point index feeds all of its asset dims (one multi-dim point).
+    """
+    c = ops["wsel"].shape[1]
+    width = ops["chol_bd"].shape[0]
+    a_tile = width // c
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, width), 1)
+    path_in_row = lane // jnp.uint32(a_tile)  # packed path within the row
+    row = jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, width), 0)
+
+    def chunk(ch, carry):
+        base = jnp.uint32(ch) * jnp.uint32(plan.rows * c)
+        idx = base + row * jnp.uint32(c) + path_in_row  # point id per slot
+        bits = _sobol_tile(idx, [v_rows[b] for b in range(_BITS)], shift_row)
+        z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
+        p = kbasket._payoff_tile(ops, k, z, False, mxu=mxu)
+        return acc_add_n(carry, (jnp.sum(p), jnp.sum(p * p)), True)
+
+    carry = jax.lax.fori_loop(0, plan.iters, chunk,
+                              acc_init_n(2, dtype, True))
+    (s, c1), (s2, c2) = carry
+    return jnp.stack([s, c1, s2, c2])
+
+
+def basket_xla_partials(opt: BasketOption, chol, key, block_offset,
+                        plan: Plan, n_blocks: int):
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    ops = kbasket.pack_assets(o, chol, dtype)
+    v_rows_np, a_tile, c, width = _basket_net_rows(opt.n_assets)
+    v_rows = jnp.asarray(v_rows_np)
+    shifts = _rep_shifts(key, block_offset, n_blocks, opt.n_assets)
+
+    def one(shift_dims):
+        # Spread the per-dim shift over the packed lanes.
+        srow = jnp.zeros((width,), jnp.uint32)
+        for p in range(c):
+            srow = jax.lax.dynamic_update_slice(
+                srow,
+                jnp.pad(shift_dims, (0, a_tile - opt.n_assets)),
+                (p * a_tile,))
+        return _basket_rep_sums(srow.reshape(1, width), ops, o.k, plan,
+                                v_rows, dtype, mxu=False)
+
+    return jax.vmap(one)(shifts)
+
+
+def _basket_rqmc_kernel(scal_ref, shift_ref, v_ref, s0_ref, drift_ref,
+                        vol_ref, d_ref, lt_ref, wsel_ref, out_ref, *,
+                        plan: Plan):
+    b = pl.program_id(0)
+    k = scal_ref[0]
+    ops = {
+        "s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
+    }
+    shift_row = shift_ref[b].reshape(1, -1)
+    v_rows = v_ref[:]
+    out = _basket_rep_sums(shift_row, ops, k, plan, v_rows, jnp.float32,
+                           mxu=True)
+    for j in range(4):
+        out_ref[b, j] = out[j]
+
+
+def basket_pallas_partials(opt: BasketOption, chol, key, block_offset,
+                           plan: Plan, n_blocks: int,
+                           interpret: bool = False):
+    with jax.enable_x64(False):
+        o = opt.astype(jnp.float32)
+        ops = kbasket.pack_assets(o, chol, jnp.float32)
+        v_rows_np, a_tile, c, width = _basket_net_rows(opt.n_assets)
+        v_rows = jnp.asarray(v_rows_np)
+        shifts = _rep_shifts(key, block_offset, n_blocks, opt.n_assets)
+        # Pre-spread shifts over packed lanes: (n_blocks, width).
+        srows = jnp.zeros((n_blocks, width), jnp.uint32)
+        for p in range(c):
+            srows = jax.lax.dynamic_update_slice(
+                srows,
+                jnp.pad(shifts, ((0, 0), (0, a_tile - opt.n_assets))),
+                (0, p * a_tile))
+        scal = jnp.stack([o.k])
+        kernel = functools.partial(_basket_rqmc_kernel, plan=plan)
+        pts = plan.iters * plan.rows * c
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=pts * (2 * width * width // c + 100),
+                bytes_accessed=n_blocks * (16 + width * 4),
+                transcendentals=pts * (a_tile + 2),
+            ),
+            interpret=interpret_arg(interpret),
+        )(scal, srows, v_rows, ops["s0"], ops["drift"], ops["vol"],
+          ops["d"], ops["chol_bd"], ops["wsel"])
+
+
+# ---------------------------------------------------------------------------
+# Asian (dim = n_obs, Brownian bridge): mesh-sharded chunked XLA program
+# ---------------------------------------------------------------------------
+
+def asian_xla_partials(opt: AsianOption, key, block_offset, plan: Plan,
+                       n_blocks: int):
+    dtype = plan.jdtype
+    m = opt.n_obs
+    s = jnp.asarray(opt.s, dtype)
+    k = jnp.asarray(opt.k, dtype)
+    r = jnp.asarray(opt.r, dtype)
+    v = jnp.asarray(opt.v, dtype)
+    t = jnp.asarray(opt.t, dtype)
+    geometric = opt.average == "geometric"
+    v_dims = jnp.asarray(_directions_np()[:m])  # (m, 30)
+    t_j = t * jnp.arange(1, m + 1, dtype=dtype) / m
+    shifts = _rep_shifts(key, block_offset, n_blocks, m)
+    chunk_pts = plan.rows * LANES
+
+    def one(shift):
+        def chunk(ch, carry):
+            idx = (jnp.uint32(ch) * jnp.uint32(chunk_pts)
+                   + jnp.arange(chunk_pts, dtype=jnp.uint32))[:, None]
+            bits = _sobol_tile(idx, [v_dims[:, b][None, :]
+                                     for b in range(_BITS)],
+                               shift[None, :])
+            z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)  # (pts, m)
+            w = msobol.bridge_paths(z, t, dtype)  # (m, pts)
+            log_s = jnp.log(s) + (r - 0.5 * v * v) * t_j[:, None] + v * w
+            # Fixed-order pairwise reductions, not jnp.mean/jnp.sum: XLA is
+            # free to reassociate reduce ops differently when the same body
+            # compiles inside vs outside shard_map, which would break the
+            # bitwise mesh-invariance contract by an f32 ulp.
+            inv_m = jnp.asarray(1.0 / m, dtype)
+            if geometric:
+                avg = jnp.exp(pairwise_tree_sum(log_s, axis=0) * inv_m)
+            else:
+                avg = pairwise_tree_sum(jnp.exp(log_s), axis=0) * inv_m
+            p = jnp.maximum(avg - k, 0.0)
+            return acc_add_n(carry, (pairwise_tree_sum(p, axis=0),
+                                     pairwise_tree_sum(p * p, axis=0)),
+                             True)
+
+        carry = jax.lax.fori_loop(0, plan.iters, chunk,
+                                  acc_init_n(2, dtype, True))
+        (sm, c1), (s2, c2) = carry
+        return jnp.stack([sm, c1, s2, c2])
+
+    # lax.map, not vmap: the bridge/mean body is complex enough that XLA's
+    # batch-dependent vectorization changes f32 rounding by an ulp, which
+    # would break the bitwise mesh-invariance contract.  map lowers to a
+    # batch-1 scan — identical per-replicate programs at any mesh width.
+    return jax.lax.map(one, shifts)
+
+
+# ---------------------------------------------------------------------------
+# Engine drivers (replicate = block; same mesh/combine contract as MC)
+# ---------------------------------------------------------------------------
+
+_RUNNERS: dict = {}
+
+
+# Relative accuracy floor of an f32 net evaluation: erf_inv + exp + payoff
+# in f32 carry a ~1e-5-relative systematic error (measured |bias| ~ 7e-6
+# relative vs the closed form at 2^21-point nets on chip).  RQMC replicate
+# spreads BELOW this floor are quantization artifacts, not real accuracy —
+# the reported CI is floored so it stays honest.  (f64 XLA runs have no
+# floor; for more f32 accuracy, add replicates, not points.)
+F32_ACCURACY_FLOOR = 1e-5
+
+
+def _rqmc_estimate(partials, n_pts: int, disc, f32: bool = True) -> McResult:
+    """Replicate-spread estimator with genuine accumulator sums.
+
+    ``partials``: (R, 4) per-replicate Kahan (sum, comp, sum2, comp2) of
+    undiscounted payoffs over the replicate's ``n_pts`` points (emitted
+    uncompensated so f32 ulp never masks the replicate spread).  Price =
+    replicate-mean of the means; CI = 1.96 * std(means) / sqrt(R) (the
+    honest RQMC randomization CI); sums combine in the fixed pairwise
+    order.
+    """
+    wide = mcest.wide_dtype()
+    p4 = jnp.asarray(partials, wide)
+    p = jnp.stack([p4[:, 0] + p4[:, 1], p4[:, 2] + p4[:, 3]], axis=1)
+    r = p.shape[0]
+    means = p[:, 0] / n_pts
+    mean = pairwise_tree_sum(means, axis=0) / r
+    # Two-pass (centered) variance: at large nets the replicate spread is
+    # ~1e-8 relative, where the n*sum2 - sum^2 form cancels even in f64.
+    dev = means - mean
+    var = pairwise_tree_sum(dev * dev, axis=0) / (r - 1.0)
+    disc = jnp.asarray(disc, wide)
+    se = disc * jnp.sqrt(var / r)
+    if f32:
+        se = jnp.maximum(se, F32_ACCURACY_FLOOR * jnp.abs(disc * mean))
+    sums = pairwise_tree_sum(p, axis=0)
+    return McResult(price=disc * mean, ci=1.96 * se, std_error=se,
+                    sum_p=sums[0], sum_p2=sums[1], n=r,
+                    n_paths=r * n_pts)
+
+
+def _rqmc_layout(cfg: EngineConfig, n_points: int, replicates: int):
+    rows = cfg.rows
+    if cfg.auto_shrink:
+        while rows > 8 and rows * LANES > n_points:
+            rows //= 2
+    if cfg.mesh is not None and replicates % cfg.mesh.devices.size:
+        raise ValueError(f"replicates={replicates} must divide over "
+                         f"{cfg.mesh.devices.size} devices")
+    return rows
+
+
+def _run_rqmc(tag, opt, key, cfg: EngineConfig, plan: Plan, partial_pallas,
+              partial_xla, extra=()):
+    backend = cfg.resolve_backend()
+    cache_key = (tag, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: partial_pallas(
+                    *a[:-1], a[-1], off, plan, nb, interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: partial_xla(*a[:-1], a[-1], off,
+                                                    plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, *extra, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return partials, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    return runner(opt, key)
+
+
+def price_vanilla_rqmc(opt: VanillaOption, n_points: int, key: jax.Array,
+                       config: EngineConfig = EngineConfig(),
+                       replicates: int = 16) -> McResult:
+    """Sobol-RQMC European option price under the full engine contract.
+
+    ``n_points`` is the per-replicate net size (rounded up to whole
+    rows*128 chunks); ``replicates`` digital-shift copies give the CI and
+    shard over the mesh.
+    """
+    opt.validate()
+    rows = _rqmc_layout(config, n_points, replicates)
+    plan = rqmc_plan(n_points, replicates, rows, config.dtype_str)
+    partials, disc = _run_rqmc("rqmc_vanilla" + opt.kind, opt, key, config,
+                               plan, vanilla_pallas_partials,
+                               vanilla_xla_partials)
+    return _rqmc_estimate(partials, plan.paths_per_block, disc,
+                          f32=plan.jdtype == jnp.float32)
+
+
+def price_basket_rqmc(opt: BasketOption, n_points: int, key: jax.Array,
+                      config: EngineConfig = EngineConfig(),
+                      replicates: int = 16) -> McResult:
+    """Sobol-RQMC basket call under the engine contract (packed MXU net)."""
+    opt.validate()
+    _, c, _ = kbasket.pack_factor(opt.n_assets)
+    rows = max(8, _rqmc_layout(config, -(-n_points // c) * LANES, replicates))
+    plan = rqmc_plan(n_points, replicates, rows, config.dtype_str,
+                     pts_per_chunk=rows * c)
+
+    def prep_chol(o):
+        return mcmath.cholesky_lower(jnp.asarray(o.corr, mcest.wide_dtype()))
+
+    backend = config.resolve_backend()
+    cache_key = ("rqmc_basket", opt.n_assets, plan, config._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            chol = prep_chol(o)
+            if backend == "pallas":
+                fn = lambda a, off, nb: basket_pallas_partials(
+                    a[0], a[1], a[2], off, plan, nb,
+                    interpret=config.interpret)
+            else:
+                fn = lambda a, off, nb: basket_xla_partials(
+                    a[0], a[1], a[2], off, plan, nb)
+            partials = _shard_blocks(config, plan.num_blocks, fn,
+                                     (o, chol, k), P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return partials, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    partials, disc = runner(opt, key)
+    return _rqmc_estimate(partials, plan.paths_per_block, disc,
+                          f32=plan.jdtype == jnp.float32)
+
+
+def price_asian_rqmc(opt: AsianOption, n_points: int, key: jax.Array,
+                     config: EngineConfig = EngineConfig(),
+                     replicates: int = 16) -> McResult:
+    """Sobol-RQMC Asian call via Brownian bridge, mesh-sharded + chunked.
+
+    Net dimension = ``n_obs`` (up to 2048 — a 252-obs daily year bridges
+    fine); generation is streamed per chunk so memory is O(chunk x n_obs)
+    regardless of the point count.
+    """
+    opt.validate()
+    if opt.n_obs > msobol.MAX_DIM:
+        raise ValueError(f"sobol asian supports n_obs <= {msobol.MAX_DIM}")
+    cfg = config if config.backend == "xla" else dataclasses_replace_xla(
+        config)
+    rows = _rqmc_layout(cfg, n_points, replicates)
+    plan = rqmc_plan(n_points, replicates, rows, cfg.dtype_str)
+    partials, disc = _run_rqmc(("rqmc_asian", opt.n_obs, opt.average), opt,
+                               key, cfg, plan, None, asian_xla_partials)
+    return _rqmc_estimate(partials, plan.paths_per_block, disc,
+                          f32=plan.jdtype == jnp.float32)
+
+
+def dataclasses_replace_xla(cfg: EngineConfig) -> EngineConfig:
+    """The Asian bridge has no Pallas kernel yet; force the XLA backend."""
+    import dataclasses
+    return dataclasses.replace(cfg, backend="xla")

@@ -77,6 +77,21 @@ def _replicate_estimate(values):
     return mean, se
 
 
+def _replicate_result(sums, n: int, replicates: int, discount) -> McResult:
+    """McResult from per-replicate undiscounted (sum, sum2) rows.
+
+    Price/CI from the replicate spread (RQMC randomization CI);
+    ``sum_p``/``sum_p2`` are genuine undiscounted accumulator sums (the
+    McResult contract — advisor finding r2), with ``n`` = replicates (the
+    i.i.d. unit) and ``n_paths`` the total point count.
+    """
+    sums_p, sums_p2 = sums
+    mean, se = _replicate_estimate(discount * sums_p / n)
+    return McResult(price=mean, ci=1.96 * se, std_error=se,
+                    sum_p=jnp.sum(sums_p), sum_p2=jnp.sum(sums_p2),
+                    n=replicates, n_paths=n * replicates)
+
+
 def _clip_ndtri(u, dtype):
     from jax.scipy.special import ndtri
     eps = jnp.asarray(1e-7, dtype)
@@ -93,23 +108,20 @@ def _vanilla_sobol(s, k, r, v, t, key, n: int, replicates: int):
     def one(shift):
         z = _clip_ndtri(sobol_points(n, 1, shift, dtype)[:, 0], dtype)
         pay = jnp.maximum(s * jnp.exp(mu + sig * z) - k, 0.0)
-        return jnp.exp(-r * t) * jnp.mean(pay)
+        return jnp.sum(pay), jnp.sum(pay * pay)
 
-    return _replicate_estimate(jax.vmap(one)(shifts))
+    return jax.vmap(one)(shifts), jnp.exp(-r * t)
 
 
 def price_vanilla_sobol(opt: VanillaOption, n_points: int, key: jax.Array,
                         replicates: int = 16) -> McResult:
     """Sobol-RQMC European call price (digital-shift replicates for the CI)."""
     dtype = mcmath.wide_dtype()
-    price, se = _vanilla_sobol(
+    sums, disc = _vanilla_sobol(
         jnp.asarray(opt.s, dtype), jnp.asarray(opt.k, dtype),
         jnp.asarray(opt.r, dtype), jnp.asarray(opt.v, dtype),
         jnp.asarray(opt.t, dtype), key, n_points, replicates)
-    return McResult(price=price, ci=1.96 * se, std_error=se,
-                    sum_p=price * n_points * replicates,
-                    sum_p2=jnp.zeros_like(price),
-                    n=replicates, n_paths=n_points * replicates)
+    return _replicate_result(sums, n_points, replicates, disc)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dim", "replicates"))
@@ -121,23 +133,20 @@ def _basket_sobol(opt: BasketOption, chol, key, n: int, dim: int,
     def one(shift):
         z = _clip_ndtri(sobol_points(n, dim, shift, dtype), dtype)
         pay = mbasket.terminal_payoff(opt, chol, z)
-        return jnp.exp(-opt.r * opt.t) * jnp.mean(pay)
+        return jnp.sum(pay), jnp.sum(pay * pay)
 
-    return _replicate_estimate(jax.vmap(one)(shifts))
+    return jax.vmap(one)(shifts), jnp.exp(-opt.r * opt.t)
 
 
 def price_basket_sobol(opt: BasketOption, n_points: int, key: jax.Array,
                        replicates: int = 16) -> McResult:
-    """Sobol-RQMC basket call price (net dimension = n_assets, <= 128)."""
+    """Sobol-RQMC basket call price (net dimension = n_assets, <= 2048)."""
     dtype = mcmath.wide_dtype()
     o = opt.astype(dtype)
     chol = mcmath.cholesky_lower(jnp.asarray(o.corr, dtype))
-    price, se = _basket_sobol(o, chol, key, n_points, opt.n_assets,
-                              replicates)
-    return McResult(price=price, ci=1.96 * se, std_error=se,
-                    sum_p=price * n_points * replicates,
-                    sum_p2=jnp.zeros_like(price),
-                    n=replicates, n_paths=n_points * replicates)
+    sums, disc = _basket_sobol(o, chol, key, n_points, opt.n_assets,
+                               replicates)
+    return _replicate_result(sums, n_points, replicates, disc)
 
 
 # ---------------------------------------------------------------------------
@@ -234,9 +243,9 @@ def _asian_sobol(s, k, r, v, t, key, n: int, n_obs: int, geometric: bool,
         else:
             avg = jnp.mean(jnp.exp(log_s), axis=0)
         pay = jnp.maximum(avg - k, 0.0)
-        return jnp.exp(-r * t) * jnp.mean(pay)
+        return jnp.sum(pay), jnp.sum(pay * pay)
 
-    return _replicate_estimate(jax.vmap(one)(shifts))
+    return jax.vmap(one)(shifts), jnp.exp(-r * t)
 
 
 def price_asian_sobol(opt, n_points: int, key: jax.Array,
@@ -252,12 +261,9 @@ def price_asian_sobol(opt, n_points: int, key: jax.Array,
     if opt.n_obs > MAX_DIM:
         raise ValueError(f"sobol asian supports n_obs <= {MAX_DIM}")
     dtype = mcmath.wide_dtype()
-    price, se = _asian_sobol(
+    sums, disc = _asian_sobol(
         jnp.asarray(opt.s, dtype), jnp.asarray(opt.k, dtype),
         jnp.asarray(opt.r, dtype), jnp.asarray(opt.v, dtype),
         jnp.asarray(opt.t, dtype), key, n_points, opt.n_obs,
         opt.average == "geometric", replicates)
-    return McResult(price=price, ci=1.96 * se, std_error=se,
-                    sum_p=price * n_points * replicates,
-                    sum_p2=jnp.zeros_like(price),
-                    n=replicates, n_paths=n_points * replicates)
+    return _replicate_result(sums, n_points, replicates, disc)

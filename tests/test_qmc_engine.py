@@ -1,0 +1,168 @@
+"""Engine-tier RQMC: accuracy gates, mesh invariance, streamed generation.
+
+The round-2 review flagged the QMC pricers for bypassing the engine
+contract; these tests pin the new contract: EngineConfig-driven, replicate
+blocks sharded over the mesh with bitwise-invariant results, genuine
+accumulator sums, and the Pallas point-generation kernel exercised via
+interpret mode (deterministic — no PRNG emulation needed).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mctpu import engine, math as mcmath, qmc_engine, sobol
+from mctpu.parallel import path_mesh
+from mctpu.types import AsianOption, BasketOption, VanillaOption
+
+OPT = VanillaOption(s=100.0, k=100.0, r=0.048790, v=0.2, t=1.0)
+KEY = jax.random.key(55)
+BS = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
+
+
+def _cfg(**kw):
+    kw.setdefault("backend", "xla")
+    kw.setdefault("rows", 8)
+    return engine.EngineConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return path_mesh(devs[:8])
+
+
+class TestVanillaRqmc:
+    def test_unbiased_and_much_tighter_than_mc(self):
+        res = qmc_engine.price_vanilla_rqmc(OPT, 1 << 12, KEY, _cfg(),
+                                            replicates=16)
+        assert abs(float(res.price) - BS) < 4 * float(res.std_error)
+        mc = engine.price_vanilla(OPT, res.n_paths, jax.random.key(3),
+                                  _cfg(num_blocks=8))
+        assert float(res.ci) < float(mc.ci) / 5
+
+    def test_genuine_accumulator_sums(self):
+        res = qmc_engine.price_vanilla_rqmc(OPT, 1 << 12, KEY, _cfg(),
+                                            replicates=8)
+        # sum_p must be the raw undiscounted payoff sum: price ~ disc*sum/n.
+        disc = np.exp(-OPT.r * OPT.t)
+        assert float(res.price) == pytest.approx(
+            disc * float(res.sum_p) / res.n_paths, rel=1e-9)
+        assert float(res.sum_p2) > 0
+
+    def test_put_prices_by_parity(self):
+        import dataclasses as dc
+        put = dc.replace(OPT, kind="put")
+        res = qmc_engine.price_vanilla_rqmc(put, 1 << 12, KEY, _cfg(),
+                                            replicates=16)
+        want = BS - 100.0 + 100.0 * np.exp(-OPT.r * OPT.t)
+        assert abs(float(res.price) - want) < 5 * float(res.std_error)
+
+    def test_mesh_bitwise_invariant(self, mesh8):
+        base = qmc_engine.price_vanilla_rqmc(OPT, 1 << 12, KEY, _cfg(),
+                                             replicates=16)
+        shard = qmc_engine.price_vanilla_rqmc(
+            OPT, 1 << 12, KEY, _cfg(mesh=mesh8), replicates=16)
+        assert float(base.price) == float(shard.price)
+        assert float(base.ci) == float(shard.ci)
+
+    def test_pallas_interpret_kernel(self):
+        # The Pallas net kernel is deterministic (no PRNG), so interpret
+        # mode runs the REAL kernel code on CPU.
+        res = qmc_engine.price_vanilla_rqmc(
+            OPT, 1 << 10, KEY, _cfg(backend="pallas", interpret=True),
+            replicates=8)
+        assert abs(float(res.price) - BS) < max(
+            5 * float(res.std_error), 2e-3)
+
+    def test_replicates_must_divide_mesh(self, mesh8):
+        with pytest.raises(ValueError, match="divide"):
+            qmc_engine.price_vanilla_rqmc(OPT, 1 << 10, KEY,
+                                          _cfg(mesh=mesh8), replicates=12)
+
+
+class TestBasketRqmc:
+    OPTB = BasketOption.default_reference(3)
+
+    def test_matches_mc(self):
+        res = qmc_engine.price_basket_rqmc(self.OPTB, 1 << 12, KEY, _cfg(),
+                                           replicates=16)
+        mc = engine.price_basket(self.OPTB, 1 << 20, jax.random.key(4),
+                                 _cfg(num_blocks=8))
+        se = float(jnp.hypot(res.std_error, mc.std_error))
+        assert abs(float(res.price) - float(mc.price)) < 4 * se
+        assert float(res.ci) < float(mc.ci)
+
+    def test_mesh_bitwise_invariant(self, mesh8):
+        base = qmc_engine.price_basket_rqmc(self.OPTB, 1 << 11, KEY, _cfg(),
+                                            replicates=16)
+        shard = qmc_engine.price_basket_rqmc(
+            self.OPTB, 1 << 11, KEY, _cfg(mesh=mesh8), replicates=16)
+        assert float(base.price) == float(shard.price)
+
+    def test_pallas_interpret_kernel(self):
+        res = qmc_engine.price_basket_rqmc(
+            self.OPTB, 1 << 10, KEY, _cfg(backend="pallas", interpret=True),
+            replicates=8)
+        mc = engine.price_basket(self.OPTB, 1 << 18, jax.random.key(4),
+                                 _cfg(num_blocks=8))
+        se = float(jnp.hypot(res.std_error, mc.std_error))
+        assert abs(float(res.price) - float(mc.price)) < max(5 * se, 3e-3)
+
+    def test_wide_basket_packs(self):
+        opt = BasketOption.equicorrelated(10, rho=0.3)
+        res = qmc_engine.price_basket_rqmc(opt, 1 << 11, KEY, _cfg(),
+                                           replicates=8)
+        mc = engine.price_basket(opt, 1 << 19, jax.random.key(6),
+                                 _cfg(num_blocks=8))
+        se = float(jnp.hypot(res.std_error, mc.std_error))
+        assert abs(float(res.price) - float(mc.price)) < 5 * se
+
+
+class TestAsianRqmc:
+    GEO = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                      average="geometric")
+
+    def test_matches_geometric_closed_form(self):
+        res = qmc_engine.price_asian_rqmc(self.GEO, 1 << 11, KEY, _cfg(),
+                                          replicates=8)
+        want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 12))
+        assert abs(float(res.price) - want) < 5 * float(res.std_error)
+
+    def test_mesh_bitwise_invariant(self, mesh8):
+        base = qmc_engine.price_asian_rqmc(self.GEO, 1 << 10, KEY, _cfg(),
+                                           replicates=8)
+        shard = qmc_engine.price_asian_rqmc(
+            self.GEO, 1 << 10, KEY, _cfg(mesh=mesh8), replicates=8)
+        assert float(base.price) == float(shard.price)
+
+    def test_daily_year_grid(self):
+        geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=252,
+                          average="geometric")
+        res = qmc_engine.price_asian_rqmc(geo, 1 << 10, KEY, _cfg(),
+                                          replicates=8)
+        want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 252))
+        assert abs(float(res.price) - want) < 5 * float(res.std_error)
+
+
+class TestEstimatorContract:
+    def test_f32_accuracy_floor_applies(self):
+        """A huge f32 net must not claim a CI below the f32 eval accuracy."""
+        res = qmc_engine.price_vanilla_rqmc(OPT, 1 << 16, KEY, _cfg(),
+                                            replicates=16)
+        assert float(res.std_error) >= (
+            qmc_engine.F32_ACCURACY_FLOOR * abs(float(res.price)) * 0.999)
+
+    def test_f64_has_no_floor(self):
+        from mctpu.types import Precision
+        res = qmc_engine.price_vanilla_rqmc(
+            OPT, 1 << 20, KEY, _cfg(precision=Precision.F64),
+            replicates=8)
+        assert float(res.std_error) < (
+            qmc_engine.F32_ACCURACY_FLOOR * abs(float(res.price)))
+        assert abs(float(res.price) - BS) < 5 * max(
+            float(res.std_error), 1e-7)
