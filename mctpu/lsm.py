@@ -160,7 +160,7 @@ def _price_forward(s0, k, r, v, t, beta, key, n_paths: int, n_steps: int,
 
 def price_american(opt: AmericanOption, n_paths: int, key: jax.Array,
                    antithetic: bool = True, pilot_paths: int | None = None,
-                   dtype=None) -> McResult:
+                   dtype=None, config=None) -> McResult:
     """Two-pass Longstaff-Schwartz price of an American put/call.
 
     ``n_paths`` is the number of fresh pricing paths (per antithetic leg
@@ -168,6 +168,13 @@ def price_american(opt: AmericanOption, n_paths: int, key: jax.Array,
     ``pilot_paths`` (default ``min(n_paths, 2^15)``) sizes the independent
     rule-fitting set.  ``dtype`` defaults to the widest available float
     (f64 with x64 enabled); pass ``jnp.float32`` for the fast TPU path.
+
+    ``config`` (an :class:`mctpu.engine.EngineConfig`) routes the pricing
+    pass through the engine tier: the fused Pallas walk kernel
+    (:mod:`mctpu.kernels.lsm`) or its XLA twin, mesh-sharded blocks,
+    fixed-order combine — bitwise shard-invariant like every other
+    product.  Without it, the simple single-device f64 scan runs (the
+    oracle-grade default used by the convergence tests).
 
     The returned ``McResult`` carries honest ``sum_p``/``sum_p2`` of the
     discounted cashflows (already in present-value units, so the estimator
@@ -182,12 +189,64 @@ def price_american(opt: AmericanOption, n_paths: int, key: jax.Array,
     beta = fit_exercise_rule(opt.s, opt.k, opt.r, opt.v, opt.t, k_fit,
                              pilot_paths, opt.n_steps, opt.payoff,
                              dtype=dtype)
+    if config is not None:
+        return _price_forward_engine(opt, beta, k_price, n_paths, config,
+                                     antithetic)
     mean, se, sum_p, sum_p2, n = _price_forward(
         opt.s, opt.k, opt.r, opt.v, opt.t, beta, k_price, n_paths,
         opt.n_steps, opt.payoff, antithetic, dtype=dtype)
     return McResult(price=mean, ci=1.96 * se, std_error=se,
                     sum_p=sum_p, sum_p2=sum_p2, n=int(n),
                     n_paths=n_paths * (2 if antithetic else 1))
+
+
+# Cache of jitted engine-tier forward runners (see mctpu.engine._RUNNERS).
+_FWD_RUNNERS: dict = {}
+
+
+def _price_forward_engine(opt: AmericanOption, beta, key, n_paths: int,
+                          config, antithetic: bool) -> McResult:
+    """Engine-tier pricing pass: fused Pallas walk (or XLA twin) over the
+    mesh, fixed-order f64 combine, reference estimator (discount 1 — the
+    kernel accumulates present-value cashflows)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from mctpu import engine as mcengine
+    from mctpu import estimator as mcest
+    from mctpu import rng as mcrng
+    from mctpu.kernels import lsm as klsm
+    from mctpu.parallel.mesh import PATH_AXIS
+
+    cfg = (dataclasses.replace(config, antithetic=antithetic)
+           if config.antithetic != antithetic else config)
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, klsm.LANES * anti)
+    plan = klsm.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                          cfg.dtype_str, cfg.precision.kahan)
+    put = opt.payoff == "put"
+    cache_key = ("lsm_fwd", opt.n_steps, put, plan, cfg._key())
+    runner = _FWD_RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, b, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: klsm.pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    opt.n_steps, put, interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: klsm.xla_partials(
+                    a[0], a[1], a[2], off, plan, nb, opt.n_steps, put)
+            partials = mcengine._shard_blocks(cfg, plan.num_blocks, fn,
+                                              (o, b, k), P(PATH_AXIS, None))
+            return mcengine._combine(partials)
+
+        runner = jax.jit(run)
+        _FWD_RUNNERS[cache_key] = runner
+    sum_p, sum_p2 = runner(opt, beta, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=1.0,
+                          n_paths=plan.total_paths)
 
 
 # ---------------------------------------------------------------------------

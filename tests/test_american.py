@@ -170,3 +170,73 @@ def test_single_step_option_prices():
                         theta=0.04, xi=0.5, rho=-0.7)
     hres = lsm.price_american_heston(hopt, 1 << 13, KEY, n_steps=1)
     assert np.isfinite(float(hres.price))
+
+
+class TestLsmEngineTier:
+    """The fused forward-pass kernel under the engine contract (r2 weak #1)."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        kw.setdefault("num_blocks", 16)
+        kw.setdefault("rows", 8)
+        kw.setdefault("backend", "xla")
+        return engine.EngineConfig(**kw)
+
+    def test_matches_oracle_tier(self):
+        """Engine tier and the f64 scan agree within combined MC error."""
+        base = lsm.price_american(PUT, 1 << 16, KEY)
+        eng = lsm.price_american(PUT, 1 << 16, KEY, config=self._cfg())
+        se = float(np.hypot(float(base.std_error), float(eng.std_error)))
+        assert abs(float(base.price) - float(eng.price)) < 5 * se
+
+    def test_lattice_oracle_gate(self):
+        """Same gate as the oracle tier: a lower bound within tolerance of
+        the binomial price (frozen out-of-sample rule under-exercises)."""
+        bino = float(reference.binomial_american(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 1000, "put"))
+        res = lsm.price_american(PUT, 1 << 17, KEY, config=self._cfg())
+        assert float(res.price) < bino + 3 * float(res.std_error)
+        assert float(res.price) > bino - 0.06  # rule-quality floor
+
+    def test_mesh_bitwise_invariant(self):
+        from mctpu.parallel import path_mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        base = lsm.price_american(PUT, 1 << 15, KEY, config=self._cfg())
+        shard = lsm.price_american(
+            PUT, 1 << 15, KEY, config=self._cfg(mesh=path_mesh(devs[:8])))
+        assert float(base.price) == float(shard.price)
+        assert float(base.ci) == float(shard.ci)
+
+    def test_antithetic_variant(self):
+        res = lsm.price_american(PUT, 1 << 15, KEY, antithetic=True,
+                                 config=self._cfg())
+        bino = float(reference.binomial_american(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 1000, "put"))
+        assert abs(float(res.price) - bino) < 0.08
+
+    def test_pallas_interpret_twin(self):
+        res = lsm.price_american(PUT, 1 << 13, KEY,
+                                 config=self._cfg(backend="pallas",
+                                                  interpret=True))
+        bino = float(reference.binomial_american(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 1000, "put"))
+        assert abs(float(res.price) - bino) < max(
+            5 * float(res.std_error), 0.08)
+
+    def test_call_equals_european_engine_tier(self):
+        call = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                              n_steps=20, payoff="call")
+        res = lsm.price_american(call, 1 << 16, KEY, config=self._cfg())
+        bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+        assert abs(float(res.price) - bs) < 5 * float(res.std_error)
+
+    def test_single_step_no_exercise_dates(self):
+        one = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=1, payoff="put")
+        res = lsm.price_american(one, 1 << 14, KEY, config=self._cfg())
+        # One step = European put at maturity.
+        bs_put = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0)) \
+            - 100.0 + 100.0 * float(np.exp(-0.05))
+        assert abs(float(res.price) - bs_put) < 5 * float(res.std_error)

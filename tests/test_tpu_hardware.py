@@ -252,3 +252,21 @@ def test_greeks_basket_on_chip():
     np.testing.assert_allclose(d, 1 / 3, atol=0.01)
     assert np.isfinite(np.asarray(res.vega.price)).all()
     assert (np.asarray(res.delta.std_error) > 0).all()
+
+
+def test_lsm_engine_tier_on_chip():
+    """Fused LSM forward-pass kernel vs the binomial lattice (hardware)."""
+    import jax.numpy as jnp
+
+    from mctpu import lsm, reference
+    from mctpu.types import AmericanOption
+    put = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0, n_steps=50,
+                         payoff="put")
+    # dtype=f32: the pilot fit's linalg.solve has no f64 path on TPU.
+    res = lsm.price_american(put, 1 << 20, KEY, config=_cfg(),
+                             dtype=jnp.float32)
+    bino = float(reference.binomial_american(100.0, 100.0, 0.05, 0.2, 1.0,
+                                             1000, "put"))
+    # Frozen-rule LSM is a lower bound within rule quality of the lattice.
+    assert float(res.price) < bino + 3 * float(res.std_error)
+    assert float(res.price) > bino - 0.06
