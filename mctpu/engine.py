@@ -123,6 +123,28 @@ class EngineConfig:
                and (blocks // 2) % min_blocks == 0
                and blocks * rows * paths_per_block_iter_row > n_paths):
             blocks //= 2
+        if n_dev > 8:
+            # Past the 8-device floor, the mesh width changes the shrunk
+            # geometry — and with it the RNG stream layout — so a run here
+            # is NOT bitwise comparable to the same config on <= 8 devices.
+            # Warn loudly unless the width made no difference (r2 weak #4).
+            blocks8 = self.num_blocks
+            while (blocks8 % 2 == 0 and blocks8 // 2 >= 8
+                   and (blocks8 // 2) % 8 == 0
+                   and blocks8 * rows * paths_per_block_iter_row > n_paths):
+                blocks8 //= 2
+            if blocks8 != blocks:
+                import warnings
+                warnings.warn(
+                    f"auto_shrink picked num_blocks={blocks} under a "
+                    f"{n_dev}-device mesh where <= 8 devices would pick "
+                    f"{blocks8}: results will NOT be bitwise equal across "
+                    "these mesh widths. Pin the geometry "
+                    "(EngineConfig(num_blocks=..., auto_shrink=False), "
+                    "num_blocks a multiple of every mesh size you compare "
+                    "— the recipe __graft_entry__.dryrun_multichip uses) "
+                    "to extend the invariance guarantee.",
+                    stacklevel=3)
         return blocks, max(rows, 8)
 
     @property

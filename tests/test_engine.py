@@ -310,3 +310,41 @@ class TestPut:
                option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0,
                                     kind="put"),
                n_grid=10).validate()
+
+
+class TestAutoShrinkWideMeshWarning:
+    """auto_shrink past the 8-device floor must warn loudly (r2 weak #4)."""
+
+    class _FakeMesh:
+        class _D:
+            size = 16
+        devices = _D()
+
+    def test_wide_mesh_geometry_change_warns(self):
+        import warnings
+
+        from mctpu.engine import EngineConfig
+        cfg = EngineConfig(num_blocks=64, rows=8, mesh=self._FakeMesh())
+        with pytest.warns(UserWarning, match="bitwise"):
+            blocks, rows = cfg.layout_for(1 << 10, 256)
+        assert blocks == 16  # floored at n_dev, not at 8
+
+    def test_wide_mesh_no_shrink_no_warning(self):
+        import warnings
+
+        from mctpu.engine import EngineConfig
+        # Path count large enough that no shrinking happens at any width.
+        cfg = EngineConfig(num_blocks=64, rows=8, mesh=self._FakeMesh())
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            blocks, rows = cfg.layout_for(1 << 30, 256)
+        assert blocks == 64
+
+    def test_narrow_mesh_never_warns(self):
+        import warnings
+
+        from mctpu.engine import EngineConfig
+        cfg = EngineConfig(num_blocks=64, rows=8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cfg.layout_for(1 << 10, 256)
