@@ -29,15 +29,19 @@ LANES = 128
 # Pallas TPU interpret mode (pltpu.InterpretParams) runs kernels on CPU but
 # stubs the hardware PRNG: prng_random_bits returns constants, which would
 # make every statistical parity test vacuous.  Under ``prng_emulation()`` the
-# seed/draw helpers below swap the hardware PRNG for a counter-hash
-# (murmur3-finalizer) generator built from plain vector ops the interpreter
-# executes faithfully.  Everything else in the kernel — payoff math, fused
-# walks, Kahan accumulation, output plumbing — is the real code, so a broken
-# kernel edit fails CI (VERDICT round 1, weak #2).  On hardware the flag is
-# never set and the helpers compile to the pltpu primitives unchanged.
+# seed/draw helpers below swap the hardware PRNG for Philox-4x32-10
+# (``mctpu.rng.philox4x32`` — a known-good counter generator, KAT-verified
+# against Random123) keyed on (seed words, draw counter) with the tile
+# element index as the counter block, built from plain u32 vector ops the
+# interpreter executes faithfully.  Everything else in the kernel — payoff
+# math, fused walks, Kahan accumulation, output plumbing — is the real code,
+# so a broken kernel edit fails CI (VERDICT round 1, weak #2).  On hardware
+# the flag is never set and the helpers compile to the pltpu primitives
+# unchanged; on a non-TPU Pallas backend the same Philox path is the
+# portable bits source.
 
 _EMULATE = False
-_EMU_SEED = None  # traced uint32 stream key recorded by seed_prng
+_EMU_SEED = None  # traced (k0, k1) uint32 stream key recorded by seed_prng
 
 
 @contextlib.contextmanager
@@ -65,7 +69,7 @@ def interpret_arg(interpret):
 
 
 def _mix32(x):
-    """murmur3 finalizer: a cheap full-avalanche uint32 hash (VPU ops only)."""
+    """murmur3 finalizer: a cheap full-avalanche uint32 hash (key setup only)."""
     x = jnp.asarray(x, jnp.uint32)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
@@ -79,17 +83,45 @@ def seed_prng(*words):
     """Seed the per-core PRNG (``pltpu.prng_seed``) or the emulated stream.
 
     Call exactly as ``pltpu.prng_seed``; under emulation the words are mixed
-    into one uint32 stream key (re-seeding with the same words replays the
+    into a (k0, k1) Philox key (re-seeding with the same words replays the
     stream, which the antithetic mirror walks rely on).
     """
     if _EMULATE:
         global _EMU_SEED
-        s = jnp.uint32(0x9E3779B9)
+        k0 = jnp.uint32(0x9E3779B9)
         for w in words:
-            s = _mix32(s ^ jnp.asarray(w, jnp.int32).astype(jnp.uint32))
-        _EMU_SEED = s
+            k0 = _mix32(k0 ^ jnp.asarray(w, jnp.int32).astype(jnp.uint32))
+        _EMU_SEED = (k0, _mix32(k0 ^ jnp.uint32(0xBB67AE85)))
     else:
         pltpu.prng_seed(*words)
+
+
+def _tile_index(shape):
+    """Flat element index of every lane in a (shape) tile, as uint32."""
+    idx = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for d in reversed(range(len(shape))):
+        idx = idx + (jax.lax.broadcasted_iota(jnp.uint32, shape, d)
+                     * jnp.uint32(stride))
+        stride *= shape[d]
+    return idx
+
+
+def _philox_words(shape, ctr, tag: int = 0):
+    """Four (shape) tiles of u32 bits: one Philox block per lane.
+
+    Counter block = (element index, draw counter, call-site tag, 0); key =
+    the seeded (k0, k1).  Distinct (seed, ctr, tag, element) tuples give
+    independent words by construction — a known-good generator, not a
+    bespoke hash.  ``tag`` separates the pair-draw and single-draw entry
+    points so their streams can never collide.
+    """
+    from mctpu.rng import philox4x32
+    c1 = jnp.full(shape, jnp.asarray(ctr, jnp.int32).astype(jnp.uint32))
+    zero = jnp.zeros(shape, jnp.uint32)
+    return philox4x32(_EMU_SEED,
+                      (_tile_index(shape), c1,
+                       jnp.full(shape, jnp.uint32(tag)), zero))
 
 
 def _random_bits_u32(shape, ctr):
@@ -100,21 +132,7 @@ def _random_bits_u32(shape, ctr):
     """
     if not _EMULATE:
         return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    idx = jnp.zeros(shape, jnp.uint32)
-    stride = 1
-    for d in reversed(range(len(shape))):
-        idx = idx + (jax.lax.broadcasted_iota(jnp.uint32, shape, d)
-                     * jnp.uint32(stride))
-        stride *= shape[d]
-    base = _mix32(_EMU_SEED
-                  ^ (jnp.asarray(ctr, jnp.int32).astype(jnp.uint32)
-                     * jnp.uint32(0x9E3779B9)))
-    # Two-round hash with the draw key folded in BETWEEN rounds: a single
-    # round of mix(idx*G + base) is a bijection of an affine lattice, so
-    # two draws whose base values differ by a small multiple of G would
-    # share long runs of identical bits (correlated tiles).  Avalanche on
-    # idx first, then fold base, then avalanche again.
-    return _mix32(_mix32(idx * jnp.uint32(0x9E3779B9)) ^ base)
+    return _philox_words(shape, ctr, tag=1)[0]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,6 +208,11 @@ def draw_normal_pair(shape, ctr):
     its hash on it.
     """
     ctr = jnp.asarray(ctr, jnp.int32)
+    if _EMULATE:
+        # One Philox block yields four words; use two (halves the
+        # emulation cost vs two independent single-word draws).
+        b1, b2, _, _ = _philox_words(shape, ctr)
+        return mcrng.box_muller(b1, b2)
     b1 = _random_bits_u32(shape, 2 * ctr)
     b2 = _random_bits_u32(shape, 2 * ctr + 1)
     return mcrng.box_muller(b1, b2)
