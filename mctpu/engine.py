@@ -117,22 +117,31 @@ class EngineConfig:
         # identical for every mesh size up to 8 devices.
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         min_blocks = max(8, n_dev)
+
+        def shrink_blocks(blocks, floor):
+            # Blocks are serial grid entries on a core: fewer wide blocks
+            # beat many narrow ones, so shrink the grid BEFORE the tile.
+            while (blocks % 2 == 0 and blocks // 2 >= floor
+                   and (blocks // 2) % floor == 0
+                   and blocks * rows * paths_per_block_iter_row > n_paths):
+                blocks //= 2
+            return blocks
+
+        blocks = shrink_blocks(blocks, min_blocks)
+        blocks8 = shrink_blocks(self.num_blocks, 8) if n_dev > 8 else blocks
+        # Only then narrow the tile.  The serial walk kernels (CVA, Heston,
+        # LSM, Asian...) are latency-bound below ~128 rows: each GBM step
+        # depends on the previous, so a (8, 128) tile is one vector register
+        # of work with every op latency exposed.  Measured on v5e: CVA-500
+        # runs 12.8 -> 38.5 Gsteps/s going rows 8 -> 128
+        # (benchmarks/walk_geometry_r3.json).
         while rows > 8 and blocks * rows * paths_per_block_iter_row > n_paths:
             rows //= 2
-        while (blocks % 2 == 0 and blocks // 2 >= min_blocks
-               and (blocks // 2) % min_blocks == 0
-               and blocks * rows * paths_per_block_iter_row > n_paths):
-            blocks //= 2
         if n_dev > 8:
             # Past the 8-device floor, the mesh width changes the shrunk
             # geometry — and with it the RNG stream layout — so a run here
             # is NOT bitwise comparable to the same config on <= 8 devices.
             # Warn loudly unless the width made no difference (r2 weak #4).
-            blocks8 = self.num_blocks
-            while (blocks8 % 2 == 0 and blocks8 // 2 >= 8
-                   and (blocks8 // 2) % 8 == 0
-                   and blocks8 * rows * paths_per_block_iter_row > n_paths):
-                blocks8 //= 2
             if blocks8 != blocks:
                 import warnings
                 warnings.warn(

@@ -61,6 +61,29 @@ def node_constants(port: CvaPortfolioSpec, dtype):
     return dp, t_rem, drift.astype(dtype), vol.astype(dtype)
 
 
+def bs_node_constants(port: CvaPortfolioSpec, dtype):
+    """Per-node Black-Scholes constants so the walk re-prices with 2 cnd
+    evals + a handful of FMAs per node — no per-step log/sqrt/exp.
+
+    Returns ``(c1, isig, vsig, disc)`` of shape ``(n_grid,)``:
+    ``d1 = (log_s - log_k + c1_j) * isig_j``, ``d2 = d1 - vsig_j``,
+    ``price = s*N(d1) - k*disc_j*N(d2)``.  At the final node ``t_rem = 0``
+    the walk selects the intrinsic value, so the (infinite) ``isig`` is
+    clamped there.
+    """
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    t_rem = t * (g - j) / g
+    t_safe = jnp.maximum(t_rem, jnp.asarray(1e-12, dtype))
+    vsig = port.v * jnp.sqrt(t_safe)
+    c1 = (port.r + 0.5 * port.v * port.v) * t_safe
+    isig = 1.0 / vsig
+    disc = jnp.exp(-port.r * t_safe)
+    return (c1.astype(dtype), isig.astype(dtype), vsig.astype(dtype),
+            disc.astype(dtype))
+
+
 def wwr_node_constants(port: CvaPortfolioSpec, dtype):
     """Standardization constants of the wrong-way hazard per node.
 
@@ -76,33 +99,46 @@ def wwr_node_constants(port: CvaPortfolioSpec, dtype):
     return mu.astype(dtype), inv_sig.astype(dtype)
 
 
-def _wwr_hazard_step(s, surv, log_s0, mu_j, isig_j, lam, bw, dt):
+def _wwr_hazard_step(log_rel, surv, mu_j, isig_j, lam, bw, dt):
     """One wrong-way hazard step: new survival + default-mass at this node.
 
     Hull & White (2012)-style intensity ``h = lam * exp(bw * z - bw^2/2)``
     (unit-mean multiplier, so E[h] = lam marginally); ``bw > 0`` ties default
-    to high spots — wrong-way for call exposure.
+    to high spots — wrong-way for call exposure.  ``log_rel`` is the carried
+    ``log(S_j / S_0)`` (free: the walk lives in log space).
     """
-    zstd = (jnp.log(s) - log_s0 - mu_j) * isig_j
+    zstd = (log_rel - mu_j) * isig_j
     h = lam * jnp.exp(bw * zstd - 0.5 * bw * bw)
-    surv_new = surv * jnp.exp(-h * dt)
-    return surv_new, surv - surv_new
+    # dp = surv * (1 - e^{-h dt}) via expm1: the direct surv - surv*e^{-h dt}
+    # difference cancels catastrophically in f32 at fine grids (same failure
+    # as the closed-form weights, see mctpu.math.default_leg_weights).
+    dp = surv * (-jnp.expm1(-h * dt))
+    return surv - dp, dp
 
 
-def _exposure(s, strikes, weights, r, v, t_rem, n_options: int):
-    """Netted portfolio exposure at one node.
+def _exposure_log(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
+                  vsig_j, disc_j, last, n_options: int):
+    """Netted portfolio exposure at one node, from the log-space walk state.
 
-    Per option: BS value with the Hastings CDF, or the intrinsic value at the
-    final node (normalized t->0+ semantics, see mctpu.models.cva); then the
-    positive part of the weighted sum.  ``strikes``/``weights`` index with a
-    static Python loop (M is small and static).
+    Per option: BS value with the Hastings CDF from per-node constants
+    (:func:`bs_node_constants`), or the intrinsic value at the final node
+    (normalized t->0+ semantics, see mctpu.models.cva); then the positive
+    part of the weighted sum.  Strikes index with a static Python loop
+    (M is small and static).
+
+    The walk carries ``log_s`` exactly (an f32 SUM of per-step increments,
+    not a 500-deep product of hardware ``exp``s): TPU f32 exp is
+    systematically ~-1.6e-6 relative, which compounds to a -8e-4 spot bias
+    over 500 multiplicative steps — a 4-sigma CVA miss at 2^21 paths.  One
+    non-compounding exp per node recovers ``s``.
     """
-    t_safe = jnp.maximum(t_rem, 1e-12)
     value = None
     for m in range(n_options):
-        k_m = strikes[m]
-        bs = mcmath.bs_call_hastings(s, k_m, r, v, t_safe)
-        v_m = jnp.where(t_rem > 0, bs, jnp.maximum(s - k_m, 0.0))
+        d1 = (log_s - log_strikes[m] + c1_j) * isig_j
+        d2 = d1 - vsig_j
+        bs = s * mcmath.norm_cdf_hastings(d1) \
+            - strikes[m] * disc_j * mcmath.norm_cdf_hastings(d2)
+        v_m = jnp.where(last, jnp.maximum(s - strikes[m], 0.0), bs)
         term = weights[m] * v_m
         value = term if value is None else value + term
     return jnp.maximum(value, 0.0)
@@ -127,27 +163,32 @@ def xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
     g = port.n_grid
     m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, dtype)
+    c1, isig_bs, vsig, disc = bs_node_constants(sp, dtype)
     mu, isig = wwr_node_constants(sp, dtype)
     log_s0 = jnp.log(jnp.asarray(sp.s, dtype))
+    log_k = jnp.log(jnp.asarray(sp.strikes, dtype))
     dt = jnp.asarray(sp.t, dtype) / g
     shape = (plan.rows, LANES)
 
     def walk(z_seq, sgn):
         def body(j, carry):
-            s, surv, acc, ee_sums = carry
-            s = s * jnp.exp(drift + vol * (sgn * z_seq[j]))
-            ee = _exposure(s, sp.strikes, sp.weights, sp.r, sp.v, t_rem[j], m)
+            log_s, surv, acc, ee_sums = carry
+            log_s = log_s + drift + vol * (sgn * z_seq[j])
+            s = jnp.exp(log_s)
+            ee = _exposure_log(s, log_s, log_k, sp.strikes, sp.weights,
+                               c1[j], isig_bs[j], vsig[j], disc[j],
+                               j == g - 1, m)
             if wwr:
-                surv, dp_j = _wwr_hazard_step(s, surv, log_s0, mu[j],
+                surv, dp_j = _wwr_hazard_step(log_s - log_s0, surv, mu[j],
                                               isig[j], sp.intensity,
                                               sp.wwr_b, dt)
             else:
                 dp_j = dp[j]
             acc = acc + dp_j * ee
             ee_sums = ee_sums.at[j].add(jnp.sum(ee))
-            return (s, surv, acc, ee_sums)
+            return (log_s, surv, acc, ee_sums)
 
-        init = (jnp.full(shape, sp.s, dtype), jnp.ones(shape, dtype),
+        init = (jnp.full(shape, log_s0, dtype), jnp.ones(shape, dtype),
                 jnp.zeros(shape, dtype), jnp.zeros((g,), dtype))
         _, _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
         return sp.lgd * acc, ee_sums
@@ -182,11 +223,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
-                mu_ref, isig_ref, out_ref, ee_ref, prof_scratch,
-                comp_scratch, *, plan: Plan, n_grid: int, n_options: int,
-                wwr: bool):
-    s0, r, v, lgd = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref, dp_ref,
+                c1_ref, isigbs_ref, vsig_ref, disc_ref, mu_ref, isig_ref,
+                out_ref, ee_ref, prof_scratch, comp_scratch, *, plan: Plan,
+                n_grid: int, n_options: int, wwr: bool):
+    lgd = scal_ref[3]
     drift, vol = scal_ref[4], scal_ref[5]
     lam, bw, dt, log_s0 = (scal_ref[6], scal_ref[7], scal_ref[8],
                            scal_ref[9])
@@ -204,12 +245,19 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
         sgn_half = 0.5 if plan.antithetic else 1.0
 
         def step(j, z, carry):
-            s, surv, acc = carry
-            s = s * jnp.exp(drift + vol * (sgn * z))
-            ee = _exposure(s, k_ref, w_ref, r, v, trem_ref[j], n_options)
+            log_s, surv, acc = carry
+            # Log-space walk: an exact f32 SUM, not a product of hardware
+            # exps (TPU f32 exp is ~-1.6e-6 relative, compounding to a
+            # -8e-4 spot bias over 500 steps — see _exposure_log).
+            log_s = log_s + drift + vol * (sgn * z)
+            s = jnp.exp(log_s)
+            ee = _exposure_log(s, log_s, logk_ref, k_ref, w_ref, c1_ref[j],
+                               isigbs_ref[j], vsig_ref[j], disc_ref[j],
+                               j == n_grid - 1, n_options)
             if wwr:
-                surv, dp_j = _wwr_hazard_step(s, surv, log_s0, mu_ref[j],
-                                              isig_ref[j], lam, bw, dt)
+                surv, dp_j = _wwr_hazard_step(log_s - log_s0, surv,
+                                              mu_ref[j], isig_ref[j],
+                                              lam, bw, dt)
             else:
                 dp_j = dp_ref[j]
             acc = acc + dp_j * ee
@@ -226,9 +274,9 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, dp_ref, trem_ref,
                 prof_scratch[pl.ds(j, 1), :] = t
             else:
                 prof_scratch[pl.ds(j, 1), :] += row
-            return (s, surv, acc)
+            return (log_s, surv, acc)
 
-        init = (jnp.full(shape, s0, jnp.float32),
+        init = (jnp.full(shape, log_s0, jnp.float32),
                 jnp.ones(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
         _, _, acc = walk_pairwise(shape, n_grid, step, init)
@@ -270,6 +318,8 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
     g = port.n_grid
     m = port.n_options
     dp, t_rem, drift, vol = node_constants(sp, jnp.float32)
+    c1, isig_bs, vsig, disc = bs_node_constants(sp, jnp.float32)
+    log_k = jnp.log(jnp.asarray(sp.strikes, jnp.float32))
     mu, isig = wwr_node_constants(sp, jnp.float32)
     scal = jnp.stack([sp.s, sp.r, sp.v, sp.lgd, drift, vol,
                       sp.intensity, sp.wwr_b,
@@ -285,17 +335,7 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
     out, ee = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 13,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -315,5 +355,6 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
             transcendentals=8 * plan.iters * paths_iter * g * m,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, sp.strikes, sp.weights, dp, t_rem, mu, isig)
+    )(seed_arr, off_arr, scal, sp.strikes, sp.weights, log_k, dp, c1,
+      isig_bs, vsig, disc, mu, isig)
     return out, ee[:, :g]
