@@ -8,5 +8,5 @@ Here the same strategy spans chips: the path-block axis is sharded over a 1-D
 (the host loop disappears into the jitted program).  See SURVEY.md §2
 "Parallelism strategies" for why TP/PP/SP/EP are intentionally N/A.
 """
-from mctpu.parallel.mesh import path_mesh  # noqa: F401
+from mctpu.parallel.mesh import initialize_distributed, path_mesh  # noqa: F401
 from mctpu.parallel.reduce import pairwise_tree_sum  # noqa: F401

@@ -35,9 +35,23 @@ def devices():
     return jax.devices()
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="run the heavy statistical gates (the full lane; also "
+             "enabled by MCTPU_TEST_SLOW=1)")
+
+
 def pytest_collection_modifyitems(config, items):
     has_tpu = jax.default_backend() == "tpu"
     skip_tpu = pytest.mark.skip(reason="requires a real TPU device")
+    run_slow = (config.getoption("--slow")
+                or os.environ.get("MCTPU_TEST_SLOW") == "1"
+                or "slow" in config.getoption("-m"))
+    skip_slow = pytest.mark.skip(
+        reason="slow lane (pass --slow or MCTPU_TEST_SLOW=1)")
     for item in items:
         if "tpu" in item.keywords and not has_tpu:
             item.add_marker(skip_tpu)
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)

@@ -69,6 +69,7 @@ class TestLsm:
             AmericanOption(100.0, 100.0, 0.05, 0.2, 1.0, 50,
                            "straddle").validate()
 
+    @pytest.mark.slow
     def test_long_grid_many_paths(self):
         # The forward pricing pass must be O(n_paths) in memory: a 500-step
         # walk over 2^16 paths runs without materializing (steps, paths).
@@ -146,6 +147,7 @@ class TestAmericanHeston:
                                         n_steps=25, scheme="qe")
         assert float(res.price) == pytest.approx(50.0, abs=0.5)
 
+    @pytest.mark.slow
     def test_euler_and_qe_agree(self):
         opt = self._opt()
         qe = lsm.price_american_heston(opt, 1 << 16, jax.random.key(15),
@@ -198,6 +200,7 @@ class TestLsmEngineTier:
         assert float(res.price) < bino + 3 * float(res.std_error)
         assert float(res.price) > bino - 0.06  # rule-quality floor
 
+    @pytest.mark.slow
     def test_mesh_bitwise_invariant(self):
         from mctpu.parallel import path_mesh
         devs = jax.devices()

@@ -27,6 +27,7 @@ def test_vanilla_cli_custom_option(capsys):
     assert "price=" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_basket_cli(capsys):
     rc = cli_basket.main(FAST)
     out = capsys.readouterr().out
@@ -39,6 +40,7 @@ def test_basket_cli_ten_assets(capsys):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cva_cli(capsys):
     rc = cli_cva.main(FAST + ["--grids", "10", "25", "--profile"])
     out = capsys.readouterr().out
@@ -47,6 +49,7 @@ def test_cva_cli(capsys):
     assert "E[exposure] profile" in out
 
 
+@pytest.mark.slow
 def test_sweep_quick_runs_on_cpu(capsys):
     import benchmarks.sweep as sweep
     rc = sweep.main(["--quick", "--configs", "1", "3"])
@@ -122,6 +125,7 @@ def test_vanilla_cli_qmc_samplers(capsys):
         assert f"[{sampler:>10}]" in out
 
 
+@pytest.mark.slow
 def test_exotic_cli_heston(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "heston", "--obs", "25"])

@@ -21,6 +21,7 @@ def test_long_only_matches_closed_form():
     assert abs(float(res.cva) - want) < 4 * float(res.std_error)
 
 
+@pytest.mark.slow
 def test_single_underlying_ties_to_portfolio_engine():
     one = CvaMultiSpec(intensity=0.03, lgd=0.6, s=[100.0], v=[0.2],
                        corr=np.eye(1), r=0.05, t=1.0, strikes=[100.0],
@@ -67,6 +68,7 @@ def test_correlation_matters_for_netted_sets():
     assert cva_at(0.9) < cva_at(0.0) < cva_at(-0.9)
 
 
+@pytest.mark.slow
 def test_pallas_interpret_twin():
     icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
                                interpret=True)
@@ -79,6 +81,7 @@ def test_pallas_interpret_twin():
     assert np.all(ee > 0)
 
 
+@pytest.mark.slow
 def test_shard_invariant():
     devs = jax.devices()
     if len(devs) < 8:

@@ -125,6 +125,7 @@ class TestWrongWayRisk:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert abs(float(res.cva) - ora.price) < 4 * se
 
+    @pytest.mark.slow
     def test_shard_invariant(self):
         devs = jax.devices()
         if len(devs) < 8:

@@ -17,6 +17,7 @@ def test_entry_compiles_and_runs():
     assert float(ci) > 0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -24,6 +25,7 @@ def test_dryrun_multichip():
     g.dryrun_multichip(8)  # raises on any failure
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_fresh_process_like_driver():
     """Regression for round 1's red MULTICHIP artifact: the driver imports
     jax first and sets NO XLA_FLAGS, so the bootstrap must be able to request

@@ -95,6 +95,7 @@ class TestVanilla:
 
 
 class TestBasket:
+    @pytest.mark.slow
     def test_single_asset_matches_bs(self):
         opt = BasketOption(
             s=np.array([100.0]), v=np.array([0.2]), w=np.array([1.0]),
@@ -131,6 +132,7 @@ class TestBasket:
         bs = mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0)
         assert _z(res.price, bs, res.std_error) < 3
 
+    @pytest.mark.slow
     def test_antithetic(self):
         opt = BasketOption.default_reference(3)
         cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",

@@ -84,6 +84,7 @@ class TestExoticGreeks:
         assert float(g["vega"]) == pytest.approx(float(d_cf[1]), rel=0.02)
         assert float(g["rho"]) == pytest.approx(float(d_cf[2]), rel=0.02)
 
+    @pytest.mark.slow
     def test_heston_delta_matches_cf_finite_difference(self):
         import dataclasses as dc
 
@@ -237,6 +238,7 @@ class TestEngineGreeksBasket:
             fd = (float(up.price) - float(dn.price)) / (2 * eps)
             assert float(res.vega.price[i]) == pytest.approx(fd, abs=0.02)
 
+    @pytest.mark.slow
     def test_single_asset_reduces_to_vanilla(self):
         from mctpu import engine
         opt = BasketOption(
@@ -249,6 +251,7 @@ class TestEngineGreeksBasket:
             / float(res.vega.std_error[0])
         assert abs(zd) < 4.0 and abs(zv) < 4.0, (zd, zv)
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",

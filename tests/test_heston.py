@@ -47,6 +47,7 @@ class TestEngine:
         # 3 sigma MC + 0.5% Euler discretization allowance at 200 steps.
         assert abs(float(res.price) - want) < 3 * se + 0.005 * want
 
+    @pytest.mark.slow
     def test_antithetic(self):
         cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
                                     antithetic=True)

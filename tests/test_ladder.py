@@ -62,6 +62,7 @@ def test_antithetic_ladder_tightens_every_strike():
     assert (np.asarray(anti.std_error) < np.asarray(plain.std_error)).all()
 
 
+@pytest.mark.slow
 def test_shard_invariant():
     devs = jax.devices()
     if len(devs) < 8:

@@ -18,6 +18,7 @@ def test_floating_call_vs_numpy_oracle():
     assert abs(float(res.price) - ora.price) < 4 * se
 
 
+@pytest.mark.slow
 def test_converges_to_gsg_from_below():
     cf = float(mcmath.lookback_floating_call(100.0, 0.05, 0.2, 1.0))
     prices = []

@@ -29,6 +29,7 @@ def _z(a, b, se):
 
 
 class TestBasketAsian:
+    @pytest.mark.slow
     def test_single_asset_equals_plain_asian(self):
         opt = BasketAsianOption(_one_asset_basket(), n_obs=12)
         res = engine.price_basket_asian(opt, 1 << 17, KEY, CFG)
@@ -38,6 +39,7 @@ class TestBasketAsian:
         se = np.hypot(float(res.std_error), float(single.std_error))
         assert _z(res.price, single.price, se) < 4
 
+    @pytest.mark.slow
     def test_one_observation_is_terminal_basket(self):
         bk = BasketOption.default_reference(3)
         res = engine.price_basket_asian(BasketAsianOption(bk, n_obs=1),
@@ -106,6 +108,7 @@ class TestBasketBarrier:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert _z(res.price, ora.price, se) < 4
 
+    @pytest.mark.slow
     def test_monotone_in_barrier_and_below_vanilla(self):
         bk = BasketOption.default_reference(3)
         prices = [float(engine.price_basket_barrier(

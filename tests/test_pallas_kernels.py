@@ -106,6 +106,7 @@ class TestBasketKernel:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert _z(res.price, ora.price, se) < 4
 
+    @pytest.mark.slow
     def test_antithetic(self):
         opt = BasketOption.default_reference(3)
         plain = engine.price_basket(opt, 1 << 14, KEY, _cfg())
@@ -259,6 +260,7 @@ class TestBasketPacking:
                 np.testing.assert_allclose(basket[row, p], w @ stp,
                                            rtol=1e-12)
 
+    @pytest.mark.slow
     def test_wide_basket_fallback_100_assets(self):
         opt = BasketOption.default_reference(100)
         res = engine.price_basket(opt, 1 << 13, KEY, _cfg(num_blocks=2))

@@ -51,6 +51,7 @@ def test_basket_qmc_matches_oracle():
     assert abs(float(res.price) - float(mc.price)) < 4 * se
 
 
+@pytest.mark.slow
 def test_basket_qmc_variance_reduction():
     opt = BasketOption.equicorrelated(5, rho=0.3)
     res = qmc.price_basket_qmc(opt, 1 << 12, KEY, replicates=16)

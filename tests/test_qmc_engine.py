@@ -95,6 +95,7 @@ class TestBasketRqmc:
         assert abs(float(res.price) - float(mc.price)) < 4 * se
         assert float(res.ci) < float(mc.ci)
 
+    @pytest.mark.slow
     def test_mesh_bitwise_invariant(self, mesh8):
         base = qmc_engine.price_basket_rqmc(self.OPTB, 1 << 11, KEY, _cfg(),
                                             replicates=16)
@@ -111,6 +112,7 @@ class TestBasketRqmc:
         se = float(jnp.hypot(res.std_error, mc.std_error))
         assert abs(float(res.price) - float(mc.price)) < max(5 * se, 3e-3)
 
+    @pytest.mark.slow
     def test_wide_basket_packs(self):
         opt = BasketOption.equicorrelated(10, rho=0.3)
         res = qmc_engine.price_basket_rqmc(opt, 1 << 11, KEY, _cfg(),
@@ -132,6 +134,7 @@ class TestAsianRqmc:
                                                  1.0, 12))
         assert abs(float(res.price) - want) < 5 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_mesh_bitwise_invariant(self, mesh8):
         base = qmc_engine.price_asian_rqmc(self.GEO, 1 << 10, KEY, _cfg(),
                                            replicates=8)
@@ -139,6 +142,7 @@ class TestAsianRqmc:
             self.GEO, 1 << 10, KEY, _cfg(mesh=mesh8), replicates=8)
         assert float(base.price) == float(shard.price)
 
+    @pytest.mark.slow
     def test_daily_year_grid(self):
         geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=252,
                           average="geometric")

@@ -38,6 +38,7 @@ class TestTwoAssetStulz:
         se = np.hypot(float(a.std_error), float(b.std_error))
         assert abs(float(a.price) + float(b.price) - 195.0) < 4 * se
 
+    @pytest.mark.slow
     def test_bracketed_by_vanillas(self):
         # min-call <= each vanilla call <= max-call
         mx = engine.price_rainbow(_opt("max"), 1 << 17, KEY, CFG)
@@ -70,6 +71,7 @@ class TestManyAssets:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert abs(float(res.price) - ora.price) < 4 * se
 
+    @pytest.mark.slow
     def test_single_asset_is_vanilla(self):
         opt = RainbowOption(s=np.array([100.0]), v=np.array([0.2]),
                             corr=np.eye(1), k=100.0, r=0.05, t=1.0)
@@ -79,6 +81,7 @@ class TestManyAssets:
 
 
 class TestBackends:
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
                                    interpret=True)

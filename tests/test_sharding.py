@@ -43,6 +43,7 @@ class TestShardInvariance:
         assert float(base.price) == float(shard.price)
         assert float(base.ci) == float(shard.ci)
 
+    @pytest.mark.slow
     def test_basket_bitwise_invariant(self, mesh8):
         opt = BasketOption.default_reference(3)
         base = engine.price_basket(opt, 1 << 17, KEY, _cfg(mesh=None))
@@ -59,6 +60,7 @@ class TestShardInvariance:
         np.testing.assert_array_equal(np.asarray(base.expected_exposure),
                                       np.asarray(shard.expected_exposure))
 
+    @pytest.mark.slow
     def test_asian_bitwise_invariant(self, mesh8):
         opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12)
         base = engine.price_asian(opt, 1 << 15, KEY, _cfg(mesh=None))
@@ -74,6 +76,7 @@ class TestShardInvariance:
         assert float(base.price) == float(shard.price)
         assert float(base.ci) == float(shard.ci)
 
+    @pytest.mark.slow
     def test_heston_bitwise_invariant(self, mesh8):
         opt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
                            kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
@@ -84,6 +87,7 @@ class TestShardInvariance:
         assert float(base.price) == float(shard.price)
         assert float(base.ci) == float(shard.ci)
 
+    @pytest.mark.slow
     def test_greeks_vanilla_bitwise_invariant(self, mesh8):
         base = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=None))
         shard = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=mesh8))
@@ -92,6 +96,7 @@ class TestShardInvariance:
             assert float(b.price) == float(s.price), name
             assert float(b.ci) == float(s.ci), name
 
+    @pytest.mark.slow
     def test_greeks_basket_bitwise_invariant(self, mesh8):
         opt = BasketOption.default_reference(3)
         base = engine.greeks_basket(opt, 1 << 15, KEY, _cfg(mesh=None))

@@ -13,6 +13,7 @@ KEY = jax.random.key(777)
 BS = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
 
 
+@pytest.mark.slow
 def test_matches_torch_sobol_engine():
     torch = pytest.importorskip("torch")
     n, d = 256, 8
@@ -75,6 +76,7 @@ def test_vanilla_sobol_unbiased_and_tight():
     assert float(res.ci) < float(mc.ci) / 5
 
 
+@pytest.mark.slow
 def test_basket_sobol_matches_mc():
     opt = BasketOption.equicorrelated(10, rho=0.3)
     res = sobol.price_basket_sobol(opt, 1 << 12, KEY, replicates=16)
@@ -135,6 +137,7 @@ class TestBrownianBridgeAsian:
         vanilla = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
         assert geo < float(res.price) < vanilla
 
+    @pytest.mark.slow
     def test_daily_year_varswap_grid(self):
         """A 252-obs (daily-monitoring) Asian prices through the bridge with
         the QMC CI advantage intact (the round-2 MAX_DIM=128 cap is gone)."""

@@ -60,6 +60,7 @@ class TestExtremeParameters:
         assert np.isfinite(float(res.price))
         assert res.n_paths >= 1
 
+    @pytest.mark.slow
     def test_heston_feller_violation_stays_finite(self):
         # 2 kappa theta < xi^2: variance hits zero often; full truncation
         # and QE must both stay finite and agree with the CF price.
@@ -93,6 +94,7 @@ class TestExtremeParameters:
         bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
         assert abs(float(res.price) - bs) < 4 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_basket_256_assets(self):
         # Beyond the lane width: wide-basket fallback pads to 2 lanes rows.
         opt = BasketOption.equicorrelated(256, rho=0.1)

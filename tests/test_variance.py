@@ -23,6 +23,7 @@ def test_vanilla_cv_reduces_variance():
     assert float(cv.std_error) < float(mc.std_error) / 1.8
 
 
+@pytest.mark.slow
 def test_basket_cv_unbiased_vs_plain():
     opt = BasketOption.equicorrelated(5, rho=0.3)
     cv = variance.price_basket_cv(opt, 1 << 18, KEY)

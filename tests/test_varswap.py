@@ -15,6 +15,7 @@ def _gbm_exact(v, r, t, n):
     return v * v + (r - 0.5 * v * v) ** 2 * t / n
 
 
+@pytest.mark.slow
 def test_gbm_matches_exact_discrete_expectation():
     for n_obs in (12, 52, 252):
         res = engine.fair_variance_strike(GBM, 1 << 16, KEY, CFG,
@@ -23,6 +24,7 @@ def test_gbm_matches_exact_discrete_expectation():
         assert abs(float(res.price) - want) < 4 * float(res.std_error)
 
 
+@pytest.mark.slow
 def test_heston_converges_to_continuous_fair_strike():
     h = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.09, kappa=2.0,
                      theta=0.04, xi=0.4, rho=-0.6)
