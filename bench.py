@@ -40,28 +40,34 @@ def main() -> None:
             opt, k, 0, plan, plan.num_blocks))
         arg = lambda i: jax.random.key(i)
 
-    # Warm up (compile) with a full host sync, then timed repetitions.
-    # Best-of-N: the remote-tunnel runtime adds hundreds-of-ms jitter on some
-    # dispatches; the fastest rep is the closest to true device time.
+    # Warm up (compile) with a full host sync (np.asarray drains any queue
+    # backlog), then time REPS chained unique calls closed by a VALUE FETCH.
+    # Through the remote tunnel jax.block_until_ready returns before the
+    # device has executed anything (benchmarks/roofline.py measures the
+    # gap); only materializing result bytes on the host proves execution.
+    # The chain (each seed depends on the previous output) serializes the
+    # calls on-device; unique seeds defeat any result caching; the single
+    # trailing fetch (~tens of ms tunnel RTT) amortizes over REPS
+    # multi-hundred-ms kernels.
     np.asarray(fn(arg(0)))
-    times = []
-    for i in range(8):
+
+    def chained_arg(n, partials):
+        dep = (partials[0, 0] * 0).astype(jnp.int32)  # data dependency
+        if on_tpu:
+            return arg(n) + dep
+        return jax.random.fold_in(arg(n), dep)
+
+    reps = 4
+    runs = []
+    for r in range(3):
+        partials = fn(arg(100 * (r + 1)))
+        np.asarray(partials)
         t0 = time.perf_counter()
-        partials = fn(arg(i + 1))
-        partials.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.min(times))
-    # Physical ceiling guard: the remote-tunnel runtime occasionally reports
-    # a bogus instant completion; fall back to data-dependent chained timing.
-    if plan.total_paths / dt > 5e11:
-        t0 = time.perf_counter()
-        seed = jnp.int32(7)
-        reps = 3
         for i in range(reps):
-            partials = fn(seed)
-            seed = jnp.int32(8 + i) + (partials[0, 0] * 0).astype(jnp.int32)
-        partials.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+            partials = fn(chained_arg(100 * (r + 1) + i + 1, partials))
+        np.asarray(partials)
+        runs.append((time.perf_counter() - t0) / reps)
+    dt = float(np.median(runs))
     paths_per_sec = plan.total_paths / dt
 
     # Accuracy gate: the benchmark result must be a *correct* price.

@@ -53,14 +53,20 @@ def xla_partials(opt: AsianOption, key: jax.Array, block_offset, plan: Plan,
     drift, vol = masian.step_constants(o, dtype)
     shape = (plan.rows, LANES)
 
+    log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+
     def walk(z_seq, sgn):
         def body(j, carry):
-            s, acc = carry
-            s = s * jnp.exp(drift + vol * (sgn * z_seq[j]))
-            acc = acc + (jnp.log(s) if geometric else s)
-            return (s, acc)
+            # Log-space walk (see kernels/cva.py): exact f32 sum carry;
+            # geometric averaging needs NO transcendental per step at all
+            # (the average of log-spots is the accumulator), arithmetic
+            # pays one non-compounding exp per observation.
+            log_s, acc = carry
+            log_s = log_s + drift + vol * (sgn * z_seq[j])
+            acc = acc + (log_s if geometric else jnp.exp(log_s))
+            return (log_s, acc)
 
-        init = (jnp.full(shape, o.s, dtype), jnp.zeros(shape, dtype))
+        init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype))
         _, acc = jax.lax.fori_loop(0, g, body, init)
         return _payoff_from_avg(acc, o.k, g, geometric)
 
@@ -89,7 +95,8 @@ def xla_partials(opt: AsianOption, key: jax.Array, block_offset, plan: Plan,
 
 def _asian_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                   n_obs: int, geometric: bool):
-    s0, k, drift, vol = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
+    log_s0, k, drift, vol = (scal_ref[0], scal_ref[1], scal_ref[2],
+                             scal_ref[3])
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
@@ -100,12 +107,14 @@ def _asian_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def step(j, z, carry):
-            s, acc = carry
-            s = s * jnp.exp(drift + vol * (sgn * z))
-            acc = acc + (jnp.log(s) if geometric else s)
-            return (s, acc)
+            # Log-space walk: see the XLA twin above.
+            log_s, acc = carry
+            log_s = log_s + drift + vol * (sgn * z)
+            acc = acc + (log_s if geometric else jnp.exp(log_s))
+            return (log_s, acc)
 
-        init = (jnp.full(shape, s0, jnp.float32), jnp.zeros(shape, jnp.float32))
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
         _, acc = walk_pairwise(shape, n_obs, step, init)
         return _payoff_from_avg(acc, k, n_obs, geometric)
 
@@ -136,7 +145,8 @@ def pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
 def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
     o = opt.astype(jnp.float32)
     drift, vol = masian.step_constants(o, jnp.float32)
-    scal = jnp.stack([o.s, o.k, drift, vol])
+    scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k, drift,
+                      vol])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 

@@ -31,22 +31,29 @@ def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic, dtype, kahan)
 
 
-def _alive_update(alive, s, barrier, up: bool):
-    hit = s >= barrier if up else s <= barrier
+def _alive_update(alive, log_s, log_barrier, up: bool):
+    hit = log_s >= log_barrier if up else log_s <= log_barrier
     return alive * jnp.where(hit, 0.0, 1.0)
 
 
-def _walk_tile(s0, k, barrier, drift, vol, z_at, n_obs: int, up: bool,
-               sgn, shape, dtype):
-    """XLA-backend walk from pre-drawn normals ``z_at(j)``."""
-    def body(j, carry):
-        s, alive = carry
-        s = s * jnp.exp(drift + vol * (sgn * z_at(j)))
-        return (s, _alive_update(alive, s, barrier, up))
+def _walk_tile(log_s0, k, log_barrier, drift, vol, z_at, n_obs: int,
+               up: bool, sgn, shape, dtype):
+    """XLA-backend walk from pre-drawn normals ``z_at(j)``.
 
-    init = (jnp.full(shape, s0, dtype), jnp.ones(shape, dtype))
-    s, alive = jax.lax.fori_loop(0, n_obs, body, init)
-    return alive * jnp.maximum(s - k, 0.0)
+    The walk lives in log space: the carried log-spot is an exact f32 sum
+    (TPU f32 exp is ~-1.6e-6 relative and would compound over the grid,
+    see kernels/cva.py), the barrier compare moves to the log barrier
+    (monotone — the knock-out decision is identical), and the whole step
+    is one FMA + compare: no transcendental until the terminal payoff.
+    """
+    def body(j, carry):
+        log_s, alive = carry
+        log_s = log_s + drift + vol * (sgn * z_at(j))
+        return (log_s, _alive_update(alive, log_s, log_barrier, up))
+
+    init = (jnp.full(shape, log_s0, dtype), jnp.ones(shape, dtype))
+    log_s, alive = jax.lax.fori_loop(0, n_obs, body, init)
+    return alive * jnp.maximum(jnp.exp(log_s) - k, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -69,11 +76,13 @@ def xla_partials(opt: BarrierOption, key: jax.Array, block_offset,
         def body(i, carry):
             ikey = jax.random.fold_in(bkey, i)
             z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
-            pay = _walk_tile(o.s, o.k, o.barrier, drift, vol,
+            log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+            log_h = jnp.log(jnp.asarray(o.barrier, dtype))
+            pay = _walk_tile(log_s0, o.k, log_h, drift, vol,
                              lambda j: z_seq[j], g, up,
                              jnp.asarray(1.0, dtype), shape, dtype)
             if plan.antithetic:
-                pay_m = _walk_tile(o.s, o.k, o.barrier, drift, vol,
+                pay_m = _walk_tile(log_s0, o.k, log_h, drift, vol,
                                    lambda j: z_seq[j], g, up,
                                    jnp.asarray(-1.0, dtype), shape, dtype)
                 pay = 0.5 * (pay + pay_m)
@@ -95,7 +104,7 @@ def xla_partials(opt: BarrierOption, key: jax.Array, block_offset,
 
 def _barrier_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                     n_obs: int, up: bool):
-    s0, k, barrier = scal_ref[0], scal_ref[1], scal_ref[2]
+    log_s0, k, log_h = scal_ref[0], scal_ref[1], scal_ref[2]
     drift, vol = scal_ref[3], scal_ref[4]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
@@ -105,13 +114,16 @@ def _barrier_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def step(j, z, carry):
-            s, alive = carry
-            s = s * jnp.exp(drift + vol * (sgn * z))
-            return (s, _alive_update(alive, s, barrier, up))
+            # Log-space: FMA + compare per step, zero transcendentals
+            # (see _walk_tile).
+            log_s, alive = carry
+            log_s = log_s + drift + vol * (sgn * z)
+            return (log_s, _alive_update(alive, log_s, log_h, up))
 
-        init = (jnp.full(shape, s0, jnp.float32), jnp.ones(shape, jnp.float32))
-        s, alive = walk_pairwise(shape, n_obs, step, init)
-        return alive * jnp.maximum(s - k, 0.0)
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.ones(shape, jnp.float32))
+        log_s, alive = walk_pairwise(shape, n_obs, step, init)
+        return alive * jnp.maximum(jnp.exp(log_s) - k, 0.0)
 
     def body(i, carry):
         pay = walk(i, 1.0)
@@ -142,7 +154,9 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
     dt = o.t / opt.n_obs
     drift = (o.r - 0.5 * o.v * o.v) * dt
     vol = o.v * jnp.sqrt(dt)
-    scal = jnp.stack([o.s, o.k, o.barrier, drift, vol])
+    scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k,
+                      jnp.log(jnp.asarray(o.barrier, jnp.float32)),
+                      drift, vol])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 

@@ -132,17 +132,20 @@ def xla_partials(spec: CvaMultiSpec, chol, key: jax.Array, block_offset,
 
     def walk(z_seq, sgn):
         def body(jj, carry):
-            s, acc, ee_sums = carry
+            # Log-space carry (see kernels/cva.py): one non-compounding
+            # exp per node recovers the spots for the exposure.
+            x, acc, ee_sums = carry
             bt = jnp.dot(sgn * z_seq[jj], ops["chol_bd"],
                          precision=MATMUL_PRECISION,
                          preferred_element_type=jnp.float32)
-            s = s * jnp.exp(ops["drift"] + ops["vol"] * bt)
+            x = x + ops["drift"] + ops["vol"] * bt
+            s = jnp.exp(x)
             ee = _netted_exposure(s, ops, sp.r, t_rem[jj], mxu=False)
             acc = acc + dp[jj] * ee
             ee_sums = ee_sums.at[jj].add(jnp.sum(ee))
-            return (s, acc, ee_sums)
+            return (x, acc, ee_sums)
 
-        init = (jnp.broadcast_to(ops["s0"], shape),
+        init = (jnp.broadcast_to(jnp.log(ops["s0"]), shape),
                 jnp.zeros((plan.rows, ops["isel"].shape[1]), dtype),
                 jnp.zeros((g,), dtype))
         _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
@@ -196,11 +199,13 @@ def _cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref,
         sgn_half = 0.5 if plan.antithetic else 1.0
 
         def step(j, z, carry):
-            s, acc = carry
+            # Log-space carry: see the XLA twin above.
+            x, acc = carry
             bt = jnp.dot(sgn * z, ops["chol_bd"],
                          precision=MATMUL_PRECISION,
                          preferred_element_type=jnp.float32)
-            s = s * jnp.exp(ops["drift"] + ops["vol"] * bt)
+            x = x + ops["drift"] + ops["vol"] * bt
+            s = jnp.exp(x)
             ee = _netted_exposure(s, ops, r, trem_ref[j], mxu=True)
             acc = acc + dp_ref[j] * ee
             # Kahan-compensated scalar profile accumulation in SMEM.
@@ -209,9 +214,9 @@ def _cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref,
             t_new = prof_ref[j] + y
             comp_ref[j] = (t_new - prof_ref[j]) - y
             prof_ref[j] = t_new
-            return (s, acc)
+            return (x, acc)
 
-        init = (jnp.broadcast_to(ops["s0"], shape),
+        init = (jnp.broadcast_to(jnp.log(ops["s0"]), shape),
                 jnp.zeros((plan.rows, c), jnp.float32))
         _, acc = walk_pairwise(shape, n_grid, step, init)
         return lgd * acc

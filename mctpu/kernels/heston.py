@@ -45,14 +45,20 @@ def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
                      dtype, kahan)
 
 
-def _heston_step(s, v, z_v, z_perp, k_dt, th, xi, rho_c, rho_s, r_dt, sqdt):
-    """One full-truncation Euler step; returns (s_next, v_next)."""
+def _heston_step(x, v, z_v, z_perp, k_dt, th, xi, rho_c, rho_s, r_dt, sqdt):
+    """One full-truncation Euler step; returns (x_next, v_next).
+
+    ``x`` is the carried log-spot ratio ``log(S/S_0)`` — an exact f32 sum
+    of increments, like the QE scheme (and kernels/cva.py): a product of
+    per-step TPU f32 exps would compound the chip's ~-1.6e-6 relative exp
+    bias over the grid.  One terminal exp prices the payoff.
+    """
     vp = jnp.maximum(v, 0.0)
     sq_v = jnp.sqrt(vp) * sqdt
     z_s = rho_c * z_v + rho_s * z_perp
-    s = s * jnp.exp(r_dt - 0.5 * vp * (sqdt * sqdt) + sq_v * z_s)
+    x = x + r_dt - 0.5 * vp * (sqdt * sqdt) + sq_v * z_s
     v = v + k_dt * (th - vp) + xi * sq_v * z_v
-    return s, v
+    return x, v
 
 
 # ---------------------------------------------------------------------------
@@ -90,13 +96,13 @@ def xla_partials(opt: HestonOption, key: jax.Array, block_offset, plan: Plan,
             return jnp.maximum(o.s * jnp.exp(x) - o.k, 0.0)
 
         def body(j, carry):
-            s, v = carry
-            return _heston_step(s, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1],
+            x, v = carry
+            return _heston_step(x, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1],
                                 k_dt, o.theta, o.xi, rho_c, rho_s, r_dt, sqdt)
 
-        init = (jnp.full(shape, o.s, dtype), jnp.full(shape, o.v0, dtype))
-        s, _ = jax.lax.fori_loop(0, n_steps, body, init)
-        return jnp.maximum(s - o.k, 0.0)
+        init = (jnp.zeros(shape, dtype), jnp.full(shape, o.v0, dtype))
+        x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return jnp.maximum(o.s * jnp.exp(x) - o.k, 0.0)
 
     def block_fn(bkey):
         def body(i, carry):
@@ -149,15 +155,15 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, qe_ref, out_ref, *,
             return jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
 
         def body(j, carry):
-            s, v = carry
+            x, v = carry
             z_v, z_perp = draw_normal_pair(shape, j)
-            return _heston_step(s, v, sgn * z_v, sgn * z_perp, k_dt, th, xi,
+            return _heston_step(x, v, sgn * z_v, sgn * z_perp, k_dt, th, xi,
                                 rho_c, rho_s, r_dt, sqdt)
 
-        init = (jnp.full(shape, s0, jnp.float32),
+        init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32))
-        s, _ = jax.lax.fori_loop(0, n_steps, body, init)
-        return jnp.maximum(s - k, 0.0)
+        x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
 
     def body(i, carry):
         pay = walk(i, 1.0)

@@ -50,20 +50,28 @@ def _tracks_min(kind: str, put: bool) -> bool:
     return (kind == "floating") != put  # floating call / fixed put -> min
 
 
-def _walk_tile(s0, k, drift, vol, z_at, n_obs: int, kind: str, put: bool,
-               sgn, shape, dtype):
-    """XLA-backend walk from pre-drawn normals ``z_at(j)``."""
+def _walk_tile(log_s0, k, drift, vol, z_at, n_obs: int, kind: str,
+               put: bool, sgn, shape, dtype):
+    """XLA-backend walk from pre-drawn normals ``z_at(j)``.
+
+    Log-space walk: the running extreme moves to the log-spot (min/max is
+    monotone-invariant), each step is one FMA + min/max with zero
+    transcendentals, and the two terminal exps avoid the compounding
+    ~-1.6e-6 relative bias of 100s of chained TPU f32 exps
+    (see kernels/cva.py).
+    """
     use_min = _tracks_min(kind, put)
 
     def body(j, carry):
-        s, ext = carry
-        s = s * jnp.exp(drift + vol * (sgn * z_at(j)))
-        ext = jnp.minimum(ext, s) if use_min else jnp.maximum(ext, s)
-        return (s, ext)
+        log_s, log_ext = carry
+        log_s = log_s + drift + vol * (sgn * z_at(j))
+        log_ext = (jnp.minimum(log_ext, log_s) if use_min
+                   else jnp.maximum(log_ext, log_s))
+        return (log_s, log_ext)
 
-    init = (jnp.full(shape, s0, dtype), jnp.full(shape, s0, dtype))
-    s, ext = jax.lax.fori_loop(0, n_obs, body, init)
-    return _payoff(s, ext, k, kind, put)
+    init = (jnp.full(shape, log_s0, dtype), jnp.full(shape, log_s0, dtype))
+    log_s, log_ext = jax.lax.fori_loop(0, n_obs, body, init)
+    return _payoff(jnp.exp(log_s), jnp.exp(log_ext), k, kind, put)
 
 
 # ---------------------------------------------------------------------------
@@ -86,11 +94,13 @@ def xla_partials(opt, key: jax.Array, block_offset, plan: Plan,
         def body(i, carry):
             ikey = jax.random.fold_in(bkey, i)
             z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
-            pay = _walk_tile(o.s, o.k, drift, vol, lambda j: z_seq[j], g,
+            log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+            pay = _walk_tile(log_s0, o.k, drift, vol, lambda j: z_seq[j], g,
                              opt.kind, put, jnp.asarray(1.0, dtype), shape,
                              dtype)
             if plan.antithetic:
-                pay_m = _walk_tile(o.s, o.k, drift, vol, lambda j: z_seq[j],
+                pay_m = _walk_tile(log_s0, o.k, drift, vol,
+                                   lambda j: z_seq[j],
                                    g, opt.kind, put,
                                    jnp.asarray(-1.0, dtype), shape, dtype)
                 pay = 0.5 * (pay + pay_m)
@@ -112,7 +122,7 @@ def xla_partials(opt, key: jax.Array, block_offset, plan: Plan,
 
 def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                      n_obs: int, kind: str, put: bool):
-    s0, k = scal_ref[0], scal_ref[1]
+    log_s0, k = scal_ref[0], scal_ref[1]
     drift, vol = scal_ref[2], scal_ref[3]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
@@ -123,15 +133,18 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def step(j, z, carry):
-            s, ext = carry
-            s = s * jnp.exp(drift + vol * (sgn * z))
-            ext = jnp.minimum(ext, s) if use_min else jnp.maximum(ext, s)
-            return (s, ext)
+            # Log-space: FMA + min/max per step, zero transcendentals
+            # (see _walk_tile).
+            log_s, log_ext = carry
+            log_s = log_s + drift + vol * (sgn * z)
+            log_ext = (jnp.minimum(log_ext, log_s) if use_min
+                       else jnp.maximum(log_ext, log_s))
+            return (log_s, log_ext)
 
-        init = (jnp.full(shape, s0, jnp.float32),
-                jnp.full(shape, s0, jnp.float32))
-        s, ext = walk_pairwise(shape, n_obs, step, init)
-        return _payoff(s, ext, k, kind, put)
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.full(shape, log_s0, jnp.float32))
+        log_s, log_ext = walk_pairwise(shape, n_obs, step, init)
+        return _payoff(jnp.exp(log_s), jnp.exp(log_ext), k, kind, put)
 
     def body(i, carry):
         pay = walk(i, 1.0)
@@ -162,7 +175,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
     dt = o.t / opt.n_obs
     drift = (o.r - 0.5 * o.v * o.v) * dt
     vol = o.v * jnp.sqrt(dt)
-    scal = jnp.stack([o.s, jnp.asarray(o.k, jnp.float32), drift, vol])
+    scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)),
+                      jnp.asarray(o.k, jnp.float32), drift, vol])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 

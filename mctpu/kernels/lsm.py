@@ -85,10 +85,15 @@ def xla_partials(opt, beta, key: jax.Array, block_offset, plan: Plan,
     df = jnp.exp(-r * dt * jnp.arange(1, n_steps + 1, dtype=dtype))
     shape = (plan.rows, LANES)
 
+    log_s0 = jnp.log(s0)
+
     def walk(z_seq, sgn):
         def body(j, carry):
-            s, cf, alive = carry
-            s = s * jnp.exp(drift + vol * (sgn * z_seq[j]))
+            # Log-space carry (see kernels/cva.py): the per-date exp does
+            # not compound the TPU f32 exp bias across the grid.
+            log_s, cf, alive = carry
+            log_s = log_s + drift + vol * (sgn * z_seq[j])
+            s = jnp.exp(log_s)
             pay = _payoff(put, s, k)
 
             def decide(args):
@@ -104,9 +109,9 @@ def xla_partials(opt, beta, key: jax.Array, block_offset, plan: Plan,
 
             cf, alive = jax.lax.cond(j < n_steps - 1, decide, mature,
                                      (cf, alive))
-            return (s, cf, alive)
+            return (log_s, cf, alive)
 
-        init = (jnp.full(shape, s0, dtype), jnp.zeros(shape, dtype),
+        init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype),
                 jnp.ones(shape, dtype))
         _, cf, _ = jax.lax.fori_loop(0, n_steps, body, init)
         return cf
@@ -147,8 +152,10 @@ def _lsm_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref, out_ref, *,
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def step(j, z, carry):
-            s, cf, alive = carry
-            s = s * jnp.exp(drift + vol * (sgn * z))
+            # Log-space carry: see the XLA twin above.
+            log_s, cf, alive = carry
+            log_s = log_s + drift + vol * (sgn * z)
+            s = jnp.exp(log_s)
             pay = _payoff(put, s, k)
             cont = _continuation(s, k, beta_ref[j, 0], beta_ref[j, 1],
                                  beta_ref[j, 2], beta_ref[j, 3])
@@ -158,9 +165,9 @@ def _lsm_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref, out_ref, *,
             rule = jnp.where((pay > 0) & (pay > cont), 1.0, 0.0)
             ex = alive * jnp.maximum(rule, is_last)
             cf = cf + df_ref[j] * ex * pay
-            return (s, cf, alive - ex)
+            return (log_s, cf, alive - ex)
 
-        init = (jnp.full(shape, s0, jnp.float32),
+        init = (jnp.full(shape, jnp.log(s0), jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.ones(shape, jnp.float32))
         _, cf, _ = walk_pairwise(shape, n_steps, step, init)

@@ -50,7 +50,13 @@ def _step_ops(opt, chol, dtype, n_obs: int):
     ops = pack_assets(opt, chol, dtype)
     n = jnp.asarray(float(n_obs), dtype)
     return {
-        "s0": ops["s0"],
+        # The walk carries absolute log-spots (exact f32 sums — a product
+        # of per-step TPU f32 exps compounds the chip's ~-1.6e-6 relative
+        # exp bias, see kernels/cva.py).  Padded lanes (s0 = 0) carry
+        # log-spot 0; the wsel/isel masks already zero them out of every
+        # basket sum, so their spot value is irrelevant.
+        "log_s0": jnp.where(ops["s0"] > 0, jnp.log(
+            jnp.maximum(ops["s0"], 1e-30)), 0.0),
         "drift": ops["drift"] / n,             # (r - v^2/2) dt
         "vol": ops["vol"] / jnp.sqrt(n),       # v sqrt(dt)
         "d": ops["d"] / jnp.sqrt(n),           # sums to terminal d
@@ -69,10 +75,11 @@ def _make_step(ops, monitor, mxu: bool):
     prec = MATMUL_PRECISION
 
     def step(j, z, carry):
-        s, extra = carry
+        x, extra = carry
         bt = jnp.dot(z, ops["chol_bd"], precision=prec,
                      preferred_element_type=jnp.float32) + ops["d"]
-        s = s * jnp.exp(ops["drift"] + ops["vol"] * bt)
+        x = x + ops["drift"] + ops["vol"] * bt
+        s = jnp.exp(x)
         if mxu:
             basket = jnp.dot(s, ops["wsel"], precision=prec,
                              preferred_element_type=jnp.float32)
@@ -82,7 +89,7 @@ def _make_step(ops, monitor, mxu: bool):
             w_row = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
             prod = s * w_row
             basket = prod.reshape(prod.shape[0], c, width // c).sum(axis=-1)
-        return (s, monitor(basket, extra))
+        return (x, monitor(basket, extra))
 
     return step
 
@@ -141,7 +148,7 @@ def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
         def body(j, carry):
             return step(j, sgn * z_seq[j], carry)
 
-        init = (jnp.broadcast_to(ops["s0"], shape),
+        init = (jnp.broadcast_to(ops["log_s0"], shape),
                 init_extra(shape_c, dtype))
         _, extra = jax.lax.fori_loop(0, n_obs, body, init)
         return payoff(extra)
@@ -175,7 +182,7 @@ def _mw_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
     seed_prng_base = (off_ref[0] + pl.program_id(0)) * jnp.int32(plan.iters)
     k, barrier = scal_ref[0], scal_ref[1]
     ops = {
-        "s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "log_s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
         "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
     }
     width = lt_ref.shape[0]
@@ -192,7 +199,7 @@ def _mw_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
         def pair_step(j, z, carry):
             return step(j, sgn * z, carry)
 
-        init = (jnp.broadcast_to(ops["s0"], shape),
+        init = (jnp.broadcast_to(ops["log_s0"], shape),
                 init_extra(shape_c, jnp.float32))
         _, extra = walk_pairwise(shape, n_obs, pair_step, init)
         return payoff(extra)
@@ -264,5 +271,5 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
             transcendentals=plan.iters * plan.rows * n_obs * (2 * width + 2),
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
+    )(seed_arr, off_arr, scal, ops["log_s0"], ops["drift"], ops["vol"],
       ops["d"], ops["chol_bd"], ops["wsel"])

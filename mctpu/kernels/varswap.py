@@ -78,14 +78,16 @@ def xla_partials(opt, key: jax.Array, block_offset, plan: Plan,
 
         def walk(z_seq, sgn):
             def body(j, carry):
-                s, v, acc = carry
-                s_new, v_new = _heston_step(
-                    s, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1], k_dt,
+                x, v, acc = carry
+                # _heston_step walks log-spot: the log-return IS the
+                # increment — no per-step log or exp at all.
+                x_new, v_new = _heston_step(
+                    x, v, sgn * z_seq[j, 0], sgn * z_seq[j, 1], k_dt,
                     o.theta, o.xi, rho_c, rho_s, r_dt, sqdt)
-                lr = jnp.log(s_new / s)
-                return (s_new, v_new, acc + lr * lr)
+                lr = x_new - x
+                return (x_new, v_new, acc + lr * lr)
 
-            init = (jnp.full(shape, o.s, dtype),
+            init = (jnp.zeros(shape, dtype),
                     jnp.full(shape, o.v0, dtype), jnp.zeros(shape, dtype))
             _, _, acc = jax.lax.fori_loop(0, g, body, init)
             return acc * inv_t
@@ -139,14 +141,17 @@ def _varswap_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
         r_dt, sqdt = scal_ref[8], scal_ref[9]
 
         def body(j, carry):
-            s, v, acc = carry
+            x, v, acc = carry
             z_v, z_perp = draw_normal_pair(shape, j)
-            s_new, v_new = _heston_step(s, v, sgn * z_v, sgn * z_perp, k_dt,
+            # Log-spot walk: the log-return IS the increment — the whole
+            # Heston realized-variance step has zero transcendentals
+            # beyond the CIR sqrt.
+            x_new, v_new = _heston_step(x, v, sgn * z_v, sgn * z_perp, k_dt,
                                         th, xi, rho_c, rho_s, r_dt, sqdt)
-            lr = jnp.log(s_new / s)
-            return (s_new, v_new, acc + lr * lr)
+            lr = x_new - x
+            return (x_new, v_new, acc + lr * lr)
 
-        init = (jnp.full(shape, s0, jnp.float32),
+        init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
         _, _, acc = jax.lax.fori_loop(0, n_obs, body, init)
