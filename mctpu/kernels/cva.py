@@ -109,10 +109,15 @@ def _wwr_hazard_step(log_rel, surv, mu_j, isig_j, lam, bw, dt):
     """
     zstd = (log_rel - mu_j) * isig_j
     h = lam * jnp.exp(bw * zstd - 0.5 * bw * bw)
-    # dp = surv * (1 - e^{-h dt}) via expm1: the direct surv - surv*e^{-h dt}
-    # difference cancels catastrophically in f32 at fine grids (same failure
-    # as the closed-form weights, see mctpu.math.default_leg_weights).
-    dp = surv * (-jnp.expm1(-h * dt))
+    # dp = surv * (1 - e^{-h dt}) without cancellation: the direct
+    # surv - surv*e^{-h dt} difference cancels catastrophically in f32 at
+    # fine grids (same failure as the closed-form weights, see
+    # mctpu.math.default_leg_weights).  Mosaic has no expm1 lowering, so
+    # use a guarded series: for y < 0.01 the cubic Taylor term bounds the
+    # relative error at ~4e-8; above it the direct form loses < 1.2e-5.
+    y = h * dt
+    series = y * (1.0 + y * (-0.5 + y * (1.0 / 6.0)))
+    dp = surv * jnp.where(y < 0.01, series, 1.0 - jnp.exp(-y))
     return surv - dp, dp
 
 
