@@ -334,24 +334,24 @@ def main():
         # integrands (~6 fma) + 10 accumulator tile-reductions amortized
         # (~10 extra vops incl. squares).
         "greeks_vanilla": {"normal_pair": 0.5, "exp": 1.0, "fma": 23},
-        # basket path (kernels/basket.py, a_tile=4 c=32): 2 draws/path
-        # (4 normals per 4-lane asset tile via 2 pairs), 1 exp per asset-lane
-        # + weighted-sum epilogue; 2 packed 128x128 matmuls per (256,128)
-        # tile of c=32-path groups ride the MXU (~2*128 MACs/lane, off the
-        # VPU critical path but counted at fma rate /8 MXU advantage ≈ 32);
-        # ~20 vops for drift/payoff/reduce.
-        "basket3": {"normal_pair": 2.0, "exp": 4.0, "fma": 52},
+        # basket path (kernels/basket.py asset-major, a=3): a/2 = 1.5 pairs
+        # per path (every Box-Muller branch feeds a path tile), a = 3 exps,
+        # lower-tri correlation a(a+1)/2 = 6 FMAs + 2a arg FMAs + a
+        # accumulates + payoff/reduce ~ 21 vops.  No MXU at small a.
+        "basket3": {"normal_pair": 1.5, "exp": 3.0, "fma": 21},
         # cva step (kernels/cva.py walk_pairwise, log-space): half a pair
         # per step; ONE exp (recover s from the carried log-spot — d1/d2,
         # the sqrt and the discount come from per-node constant tables);
         # Hastings cnd x2 (measured composite); ~14 vops (log-walk fma,
         # d1/d2 fma, payoff combine, dp weight, profile row adds).
         "cva500": {"normal_pair": 0.5, "exp": 1.0, "cnd": 2.0, "fma": 14},
-        # heston QE step (kernels/heston.py): 1 pair (2 normals: vol + spot);
-        # 1 cnd (martingale correction), ~2 exp (psi branch + growth),
-        # 1 sqrt, ~30 vops of QE branch algebra + selects.
-        "heston_qe100": {"normal_pair": 1.0, "exp": 2.0, "cnd": 1.0,
-                         "sqrt": 1.0, "fma": 30},
+        # heston QE step (mctpu/models/heston.py qe_step): 1 pair (2
+        # normals: vol + spot); 1 cnd (uniform for the exponential branch);
+        # 4 sqrt (b2 assembly x2, b, diffusion); ~0.5 log + 0.3 exp
+        # (exponential branch, ~prob-weighted); 5 divisions (~3 fma-equiv
+        # each) + ~30 vops of branch algebra and selects.
+        "heston_qe100": {"normal_pair": 1.0, "exp": 0.3, "cnd": 1.0,
+                         "sqrt": 4.0, "log": 0.5, "fma": 45},
     }
 
     key_for = {"normal_pair": "gpairs", "prng_u32": "gwords"}

@@ -276,7 +276,12 @@ def price_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     """
     opt.validate()
     anti = 2 if config.antithetic else 1
-    _, c, _ = kbasket.pack_factor(opt.n_assets)
+    # Paths per (block, iter, row): asset-major tiles hold a full 128-lane
+    # row of paths; the packed layout holds c (kernels/basket.py).
+    if kbasket.use_asset_major(opt.n_assets):
+        c = kbasket.LANES
+    else:
+        _, c, _ = kbasket.pack_factor(opt.n_assets)
 
     def prep(o):
         chol = mcmath.cholesky_lower(
@@ -509,9 +514,11 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Price + per-asset pathwise delta/vega vectors of the basket call.
 
-    Same packed-lane MXU kernel layout as :func:`price_basket`, with two
-    extra per-asset-slot accumulator rows (``kernels/greeks.py``).  Delta is
-    gated against common-random-number bumps in ``tests/test_greeks.py``.
+    Same kernel layout and RNG streams as :func:`price_basket` in both
+    regimes — asset-major for small baskets, packed-lane MXU beyond
+    (``kernels/greeks.py``) — so CRN bump comparisons against the pricer
+    are exact.  Delta/vega are gated against common-random-number bumps in
+    ``tests/test_greeks.py``.
     """
     from mctpu.kernels import greeks as kgreeks
     from mctpu.types import GreeksResult
@@ -521,14 +528,40 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
     a = opt.n_assets
-    a_tile, c, width = kbasket.pack_factor(a)
+    asset_major = kbasket.use_asset_major(a)
+    if asset_major:
+        c = kbasket.LANES
+    else:
+        a_tile, c, width = kbasket.pack_factor(a)
     blocks, rows = cfg.layout_for(n_paths, 2 * c * anti)
     plan = kgreeks.make_basket_plan(n_paths, blocks, rows, cfg.antithetic,
                                     cfg.dtype_str, cfg.precision.kahan,
                                     n_assets=a)
     cache_key = ("greeks_basket", a, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
-    if runner is None:
+    if runner is None and asset_major:
+        def run(o, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(o.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda ar, off, nb: kgreeks.pallas_basket_am_partials(
+                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda ar, off, nb: kgreeks.xla_basket_am_partials(
+                    ar[0], ar[1], ar[2], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, chol, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            # Rows 2.. are per-asset (gd, gd2, gv, gv2) quads.
+            vtot = total[2:].reshape(a, 4).T
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total[:2], vtot, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    elif runner is None:
         def run(o, k):
             chol = mcmath.cholesky_lower(
                 jnp.asarray(o.corr, mcest.wide_dtype()))

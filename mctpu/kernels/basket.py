@@ -35,11 +35,27 @@ from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BasketOption
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_factor",
-           "pack_assets"]
+           "pack_assets", "use_asset_major"]
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Narrow baskets skip the MXU entirely.  The packed layout's 128x128
+# block-diagonal matmul computes ~97% zeros for a 3-asset basket, and at
+# HIGHEST precision (required for accuracy, see MATMUL_PRECISION) each
+# matmul is a multi-pass operation — the roofline measured the packed
+# kernel at 41% of its op budget with the MXU dispatches on the critical
+# path.  Up to this many assets the correlation is a handful of
+# broadcast-scalar FMAs on full (rows, 128) path tiles (every lane a
+# path, not 1-in-a_tile), which also quadruples the paths per tile.
+ASSET_MAJOR_MAX = 8
+
+
+def use_asset_major(n_assets: int) -> bool:
+    """True when the basket runs the asset-major VPU path (small a)."""
+    return n_assets <= ASSET_MAJOR_MAX
 
 
 # Full-f32 matmuls (multi-pass bf16 on the MXU): the DEFAULT precision
@@ -72,13 +88,67 @@ def pack_factor(n_assets: int, lanes: int = LANES):
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
               dtype: str = "float32", kahan: bool = True,
               n_assets: int = 3) -> Plan:
-    # Each iteration draws two (rows, width) normal tiles; each row packs
-    # c paths -> 2 * rows * c paths per iteration.
-    _, c, _ = pack_factor(n_assets)
-    units = 2 * rows * c
+    if use_asset_major(n_assets):
+        # Each iteration draws n_assets Box-Muller pairs whose two branches
+        # feed two independent (rows, 128) path tiles (asset-major: every
+        # lane is a path) -> 2 * rows * 128 paths per iteration.
+        units = 2 * rows * LANES
+    else:
+        # Packed layout: two (rows, width) normal tiles; each row packs c
+        # paths -> 2 * rows * c paths per iteration.
+        _, c, _ = pack_factor(n_assets)
+        units = 2 * rows * c
     paths = units * (2 if antithetic else 1)
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
                      dtype, kahan)
+
+
+def asset_major_ops(opt: BasketOption, chol, dtype):
+    """Small per-asset operand vectors for the asset-major path.
+
+    ``lt``: the (a, a) lower-triangular Cholesky factor; ``params`` rows:
+    drift_a, vol_a, d_a (Brownian drift offset), w_a * s0_a (the weighted
+    payoff scale — padded-lane logic does not exist here, every lane is a
+    real path).
+    """
+    a = opt.n_assets
+    drift = (jnp.asarray(opt.r, dtype)
+             - 0.5 * jnp.asarray(opt.v, dtype) ** 2) * jnp.asarray(
+                 opt.t, dtype)
+    vol = jnp.asarray(opt.v, dtype) * jnp.sqrt(jnp.asarray(opt.t, dtype))
+    d = jnp.asarray(opt.d, dtype)
+    ws0 = jnp.asarray(opt.w, dtype) * jnp.asarray(opt.s, dtype)
+    params = jnp.stack([jnp.broadcast_to(drift, (a,)),
+                        jnp.broadcast_to(vol, (a,)),
+                        jnp.broadcast_to(d, (a,)),
+                        jnp.broadcast_to(ws0, (a,))])
+    return jnp.asarray(chol, dtype), params
+
+
+def _asset_major_payoff(zs, lt_at, par_at, k, a: int, antithetic: bool):
+    """Basket payoff of one path tile from ``a`` asset normal tiles.
+
+    ``zs``: list of ``a`` (rows, 128) tiles; ``lt_at(i, j)``/``par_at(r, i)``
+    read scalar operands (SMEM refs in the kernel, arrays in the XLA twin).
+    The correlation ``bt_i = sum_j L_ij z_j`` is lower-triangular
+    broadcast-scalar FMAs; the antithetic mirror flips the ``L z`` term
+    only (the Brownian offset ``d`` is deterministic).
+    """
+    def pay(sgn):
+        basket = None
+        for i in range(a):
+            bt = None
+            for j in range(i + 1):
+                term = lt_at(i, j) * zs[j]
+                bt = term if bt is None else bt + term
+            arg = par_at(0, i) + par_at(1, i) * (sgn * bt + par_at(2, i))
+            term = par_at(3, i) * jnp.exp(arg)
+            basket = term if basket is None else basket + term
+        return jnp.maximum(basket - k, 0.0)
+
+    if antithetic:
+        return 0.5 * (pay(1.0) + pay(-1.0))
+    return pay(1.0)
 
 
 def pack_assets(opt: BasketOption, chol, dtype, lanes: int = LANES):
@@ -168,6 +238,35 @@ def xla_partials(opt: BasketOption, chol, key: jax.Array, block_offset,
     """Per-block partial sums, shape ``(n_blocks, 2)``, via jax.random."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
+    a = opt.n_assets
+    if use_asset_major(a):
+        lt, params = asset_major_ops(o, chol, dtype)
+        shape = (plan.rows, LANES)
+
+        def block_fn(bkey):
+            def body(i, carry):
+                zk = jax.random.fold_in(bkey, i)
+                z = jax.random.normal(zk, (2, a) + shape, dtype)
+                lt_at = lambda ii, jj: lt[ii, jj]
+                par_at = lambda rr, ii: params[rr, ii]
+                p1 = _asset_major_payoff([z[0, t] for t in range(a)],
+                                         lt_at, par_at, o.k, a,
+                                         plan.antithetic)
+                p2 = _asset_major_payoff([z[1, t] for t in range(a)],
+                                         lt_at, par_at, o.k, a,
+                                         plan.antithetic)
+                cs = jnp.sum(p1) + jnp.sum(p2)
+                cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+                return _accum_add(carry, cs, cs2, plan.kahan)
+
+            carry = jax.lax.fori_loop(0, plan.iters, body,
+                                      _accum_init(dtype, plan.kahan))
+            s, s2 = _accum_final(carry, plan.kahan)
+            return jnp.stack([s, s2])
+
+        keys = mcrng.block_keys(key, block_offset, n_blocks)
+        return jax.vmap(block_fn)(keys)
+
     ops = pack_assets(o, chol, dtype)
     width = ops["chol_bd"].shape[0]
 
@@ -235,8 +334,61 @@ def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,
                                 n_blocks, interpret)
 
 
+def _basket_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref, out_ref,
+                      *, plan: Plan, a: int):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    k = scal_ref[0]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    shape = (plan.rows, LANES)
+
+    def body(i, carry):
+        # a Box-Muller pairs: branch 1 of pair p is asset p of path tile A,
+        # branch 2 is asset p of path tile B — nothing discarded at any a.
+        za, zb = [], []
+        for p in range(a):
+            z1, z2 = draw_normal_pair(shape, i * a + p)
+            za.append(z1)
+            zb.append(z2)
+        p1 = _asset_major_payoff(za, lt_at, par_at, k, a, plan.antithetic)
+        p2 = _asset_major_payoff(zb, lt_at, par_at, k, a, plan.antithetic)
+        cs = jnp.sum(p1) + jnp.sum(p2)
+        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    b = pl.program_id(0)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
     o = opt.astype(jnp.float32)
+    a = opt.n_assets
+    seed_arr0 = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr0 = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+    if use_asset_major(a):
+        lt, params = asset_major_ops(o, chol, jnp.float32)
+        kernel = functools.partial(_basket_am_kernel, plan=plan, a=a)
+        paths_iter = 2 * plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * (a * (a + 1) + 4 * a),
+                bytes_accessed=n_blocks * 8,
+                transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr0, off_arr0, jnp.stack([o.k]), lt, params)
     ops = pack_assets(o, chol, jnp.float32)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]

@@ -219,11 +219,165 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
 def make_basket_plan(n_paths: int, num_blocks: int, rows: int,
                      antithetic: bool, dtype: str = "float32",
                      kahan: bool = True, n_assets: int = 3) -> Plan:
-    _, c, _ = kbasket.pack_factor(n_assets)
-    units = 2 * rows * c
+    if kbasket.use_asset_major(n_assets):
+        units = 2 * rows * kbasket.LANES  # asset-major: every lane a path
+    else:
+        _, c, _ = kbasket.pack_factor(n_assets)
+        units = 2 * rows * c
     paths = units * (2 if antithetic else 1)
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
                      dtype, kahan)
+
+
+# ---------------------------------------------------------------------------
+# Asset-major basket Greeks (a <= ASSET_MAJOR_MAX): same tile layout and
+# RNG streams as the asset-major pricer, so price/Greeks share draws with
+# price_basket exactly (the CRN property the bump gates rely on).
+# ---------------------------------------------------------------------------
+
+def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t,
+                     antithetic: bool):
+    """One path tile -> ``(p, [gd_i], [gv_i])`` (pair-means if antithetic).
+
+    ``gd_i = 1{basket>k} * w_i s0_i exp(arg_i)`` (the per-asset ``1/s0_i``
+    factor is applied to the scalar sums by the caller); ``gv_i`` carries
+    the pathwise dd(arg)/dv_i factor ``sqt*btd_i - v_i*t``.
+    """
+    def one(sgn):
+        terms, btds = [], []
+        basket = None
+        for i in range(a):
+            bt = None
+            for j in range(i + 1):
+                x = lt_at(i, j) * zs[j]
+                bt = x if bt is None else bt + x
+            btd = sgn * bt + par_at(2, i)
+            term = par_at(3, i) * jnp.exp(par_at(0, i) + par_at(1, i) * btd)
+            terms.append(term)
+            btds.append(btd)
+            basket = term if basket is None else basket + term
+        ind = jnp.where(basket > k, 1.0, 0.0)
+        p = jnp.maximum(basket - k, 0.0)
+        gds = [ind * terms[i] for i in range(a)]
+        gvs = [gds[i] * (sqt * btds[i] - (par_at(1, i) / sqt) * t)
+               for i in range(a)]
+        return p, gds, gvs
+
+    if antithetic:
+        pa, pb = one(1.0), one(-1.0)
+        return (0.5 * (pa[0] + pb[0]),
+                [0.5 * (x + y) for x, y in zip(pa[1], pb[1])],
+                [0.5 * (x + y) for x, y in zip(pa[2], pb[2])])
+    return one(1.0)
+
+
+def _am_greek_sums(zs_a, zs_b, lt_at, par_at, inv_s0_at, k, a, sqt, t,
+                   antithetic: bool):
+    """Both path tiles of one iteration -> flat tuple of 2 + 4a sums."""
+    sums = None
+    for zs in (zs_a, zs_b):
+        p, gds, gvs = _am_greek_quants(zs, lt_at, par_at, k, a, sqt, t,
+                                       antithetic)
+        row = [jnp.sum(p), jnp.sum(p * p)]
+        for i in range(a):
+            inv = inv_s0_at(i)
+            row += [inv * jnp.sum(gds[i]), inv * inv * jnp.sum(gds[i] ** 2),
+                    jnp.sum(gvs[i]), jnp.sum(gvs[i] ** 2)]
+        sums = row if sums is None else [s + r for s, r in zip(sums, row)]
+    return tuple(sums)
+
+
+def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
+                           plan: Plan, n_blocks: int):
+    """Per-block partials ``(n_blocks, 2 + 4*a)``: price sums then per-asset
+    ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` quads."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    a = opt.n_assets
+    lt, params = kbasket.asset_major_ops(o, chol, dtype)
+    inv_s0 = 1.0 / (jnp.broadcast_to(jnp.asarray(o.s, dtype), (a,)))
+    sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
+    shape = (plan.rows, kbasket.LANES)
+    n_sums = 2 + 4 * a
+
+    def block_fn(bkey):
+        def body(i, carry):
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2, a) + shape, dtype)
+            sums = _am_greek_sums(
+                [z[0, j] for j in range(a)], [z[1, j] for j in range(a)],
+                lambda ii, jj: lt[ii, jj], lambda rr, ii: params[rr, ii],
+                lambda ii: inv_s0[ii], o.k, a, sqt, o.t, plan.antithetic)
+            return acc_add_n(carry, sums, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
+                             invs0_ref, out_ref, *, plan: Plan, a: int):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    k, t, sqt = scal_ref[0], scal_ref[1], scal_ref[2]
+    shape = (plan.rows, kbasket.LANES)
+    n_sums = 2 + 4 * a
+
+    def body(i, carry):
+        za, zb = [], []
+        for p in range(a):
+            z1, z2 = draw_normal_pair(shape, i * a + p)
+            za.append(z1)
+            zb.append(z2)
+        sums = _am_greek_sums(
+            za, zb, lambda ii, jj: lt_ref[ii, jj],
+            lambda rr, ii: par_ref[rr, ii], lambda ii: invs0_ref[ii],
+            k, a, sqt, t, plan.antithetic)
+        return acc_add_n(carry, sums, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    b = pl.program_id(0)
+    for j in range(n_sums):
+        out_ref[b, j] = vals[j]
+
+
+def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
+                              plan: Plan, n_blocks: int,
+                              interpret: bool = False):
+    """Asset-major basket Greek partials ``(n_blocks, 2 + 4*a)`` on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        a = opt.n_assets
+        lt, params = kbasket.asset_major_ops(o, chol, jnp.float32)
+        inv_s0 = 1.0 / jnp.broadcast_to(jnp.asarray(o.s, jnp.float32), (a,))
+        t = jnp.asarray(o.t, jnp.float32)
+        scal = jnp.stack([o.k, t, jnp.sqrt(t)])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_basket_greeks_am_kernel, plan=plan, a=a)
+        paths_iter = 2 * plan.rows * kbasket.LANES
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2 + 4 * a),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * (a * (a + 1) + 12 * a),
+                bytes_accessed=n_blocks * 4 * (2 + 4 * a),
+                transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, lt, params, inv_s0)
 
 
 def _basket_greek_ops(opt: BasketOption, chol, dtype):
