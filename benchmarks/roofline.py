@@ -271,12 +271,15 @@ def kernel_rates():
         dt, spread = _time(jax.jit(fn), arg0)
         rates[name] = (units / dt, units, dt, spread)
 
-    plan = kvanilla.make_plan(1 << 34, 512, 256, antithetic=False)
+    # Workloads sized so each call runs >= ~300 ms: the tunnel adds
+    # 10s-of-ms scheduling noise per chained fetch window, which at
+    # sub-100ms calls depressed measured rates by 10-30%.
+    plan = kvanilla.make_plan(1 << 35, 512, 256, antithetic=False)
     record("vanilla",
            lambda s: kvanilla.pallas_partials(opt, s, 0, plan, 512),
            jnp.int32(42), plan.total_paths)
 
-    gplan = kgreeks.make_plan(1 << 33, 512, 256, antithetic=False)
+    gplan = kgreeks.make_plan(1 << 34, 512, 256, antithetic=False)
     record("greeks_vanilla",
            lambda s: kgreeks.pallas_partials(opt, s, 0, gplan, 512),
            jnp.int32(42), gplan.total_paths)
@@ -284,7 +287,7 @@ def kernel_rates():
     bopt = BasketOption.default_reference(3)
     chol = mcmath.cholesky_lower(jnp.asarray(np.asarray(bopt.corr),
                                              jnp.float32))
-    bplan = kbasket.make_plan(1 << 31, 512, 256, antithetic=False,
+    bplan = kbasket.make_plan(1 << 33, 512, 256, antithetic=False,
                               n_assets=3)
     record("basket3",
            lambda s: kbasket.pallas_partials(bopt, chol, s, 0, bplan, 512),
@@ -297,14 +300,14 @@ def kernel_rates():
     # rows=128: the serial walk is latency-bound below ~128 rows (see
     # walk_geometry_r3.json); the engine's auto_shrink now keeps tiles
     # this wide at real workloads.
-    cplan = kcva.make_plan(1 << 21, 512, 128, antithetic=False)
+    cplan = kcva.make_plan(1 << 23, 512, 128, antithetic=False)
     record("cva500",
            lambda s: kcva.pallas_partials(spec, s, 0, cplan, 512),
            jnp.int32(42), cplan.total_paths * 500)
 
     hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04, kappa=1.5,
                         theta=0.04, xi=0.5, rho=-0.7)
-    hplan = kheston.make_plan(1 << 23, 512, 32, antithetic=False)
+    hplan = kheston.make_plan(1 << 24, 512, 32, antithetic=False)
     record("heston_qe100",
            lambda s: kheston.pallas_partials(hopt, s, 0, hplan, 512, 100,
                                              scheme="qe"),
