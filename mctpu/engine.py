@@ -430,7 +430,10 @@ def price_rainbow(opt, n_paths: int, key: jax.Array,
 
     opt.validate()
     anti = 2 if config.antithetic else 1
-    _, c, _ = kbasket.pack_factor(opt.n_assets)
+    if kbasket.use_asset_major(opt.n_assets):
+        c = kbasket.LANES  # asset-major: every lane a path
+    else:
+        _, c, _ = kbasket.pack_factor(opt.n_assets)
     return _price_scalar("rainbow", krainbow, 2 * c * anti,
                          (opt.n_assets, opt.kind), opt, n_paths, key,
                          config, prep=_prep_chol,

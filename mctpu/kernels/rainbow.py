@@ -24,7 +24,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
+from mctpu.kernels.basket import (MATMUL_PRECISION, pack_factor,
+                                  use_asset_major)
 from mctpu.kernels.common import (LANES, Plan, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
@@ -36,11 +37,55 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_rainbow"]
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
               dtype: str = "float32", kahan: bool = True,
               n_assets: int = 2) -> Plan:
-    _, c, _ = pack_factor(n_assets)
-    units = 2 * rows * c  # two normal tiles per iteration
+    if use_asset_major(n_assets):
+        units = 2 * rows * LANES  # asset-major: every lane a path
+    else:
+        _, c, _ = pack_factor(n_assets)
+        units = 2 * rows * c  # two normal tiles per iteration
     paths = units * (2 if antithetic else 1)
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
                      dtype, kahan)
+
+
+def rainbow_am_ops(opt, chol, dtype):
+    """Asset-major operands: (a, a) Cholesky + per-asset param rows.
+
+    ``params`` rows: drift_i, vol_i, s0_i.  No padding exists — every lane
+    is a real path, and the extreme is an elementwise min/max across the
+    ``a`` per-asset tiles (the packed layout's lane-butterfly ``jnp.roll``
+    rounds and pad-neutralization disappear entirely).
+    """
+    a = opt.n_assets
+    drift = (jnp.asarray(opt.r, dtype)
+             - 0.5 * jnp.asarray(opt.v, dtype) ** 2) * jnp.asarray(
+                 opt.t, dtype)
+    vol = jnp.asarray(opt.v, dtype) * jnp.sqrt(jnp.asarray(opt.t, dtype))
+    params = jnp.stack([jnp.broadcast_to(drift, (a,)),
+                        jnp.broadcast_to(vol, (a,)),
+                        jnp.broadcast_to(jnp.asarray(opt.s, dtype), (a,))])
+    return jnp.asarray(chol, dtype), params
+
+
+def _am_payoff(zs, lt_at, par_at, k, a: int, use_min: bool,
+               antithetic: bool):
+    """Rainbow payoff of one path tile from ``a`` asset normal tiles."""
+    op = jnp.minimum if use_min else jnp.maximum
+
+    def pay(sgn):
+        ext = None
+        for i in range(a):
+            bt = None
+            for j in range(i + 1):
+                x = lt_at(i, j) * zs[j]
+                bt = x if bt is None else bt + x
+            s_i = par_at(2, i) * jnp.exp(par_at(0, i)
+                                         + par_at(1, i) * (sgn * bt))
+            ext = s_i if ext is None else op(ext, s_i)
+        return jnp.maximum(ext - k, 0.0)
+
+    if antithetic:
+        return 0.5 * (pay(1.0) + pay(-1.0))
+    return pay(1.0)
 
 
 def pack_rainbow(opt, chol, dtype, lanes: int = LANES):
@@ -127,9 +172,36 @@ def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
     """Per-block partial sums, shape ``(n_blocks, 2)``."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
+    a = opt.n_assets
+    use_min = opt.kind == "min"
+    if use_asset_major(a):
+        lt, params = rainbow_am_ops(o, chol, dtype)
+        shape = (plan.rows, LANES)
+
+        def block_fn(bkey):
+            def body(i, carry):
+                zk = jax.random.fold_in(bkey, i)
+                z = jax.random.normal(zk, (2, a) + shape, dtype)
+                lt_at = lambda ii, jj: lt[ii, jj]
+                par_at = lambda rr, ii: params[rr, ii]
+                p1 = _am_payoff([z[0, t] for t in range(a)], lt_at, par_at,
+                                o.k, a, use_min, plan.antithetic)
+                p2 = _am_payoff([z[1, t] for t in range(a)], lt_at, par_at,
+                                o.k, a, use_min, plan.antithetic)
+                cs = jnp.sum(p1) + jnp.sum(p2)
+                cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+                return _accum_add(carry, cs, cs2, plan.kahan)
+
+            carry = jax.lax.fori_loop(0, plan.iters, body,
+                                      _accum_init(dtype, plan.kahan))
+            s, s2 = _accum_final(carry, plan.kahan)
+            return jnp.stack([s, s2])
+
+        keys = mcrng.block_keys(key, block_offset, n_blocks)
+        return jax.vmap(block_fn)(keys)
+
     ops = pack_rainbow(o, chol, dtype)
     width = ops["chol_bd"].shape[0]
-    use_min = opt.kind == "min"
 
     def block_fn(bkey):
         def body(i, carry):
@@ -190,9 +262,61 @@ def pallas_partials(opt, chol, seed, block_offset, plan: Plan,
                                 n_blocks, interpret)
 
 
+def _rainbow_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
+                       out_ref, *, plan: Plan, a: int, use_min: bool):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    k = scal_ref[0]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    shape = (plan.rows, LANES)
+
+    def body(i, carry):
+        za, zb = [], []
+        for p in range(a):
+            z1, z2 = draw_normal_pair(shape, i * a + p)
+            za.append(z1)
+            zb.append(z2)
+        p1 = _am_payoff(za, lt_at, par_at, k, a, use_min, plan.antithetic)
+        p2 = _am_payoff(zb, lt_at, par_at, k, a, use_min, plan.antithetic)
+        cs = jnp.sum(p1) + jnp.sum(p2)
+        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    b = pl.program_id(0)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
                      interpret):
     o = opt.astype(jnp.float32)
+    a = opt.n_assets
+    if use_asset_major(a):
+        lt, params = rainbow_am_ops(o, chol, jnp.float32)
+        kernel = functools.partial(_rainbow_am_kernel, plan=plan, a=a,
+                                   use_min=opt.kind == "min")
+        paths_iter = 2 * plan.rows * LANES
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * (a * (a + 1) + 4 * a),
+                bytes_accessed=n_blocks * 8,
+                transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)),
+          jnp.stack([jnp.asarray(o.k, jnp.float32)]), lt, params)
     ops = pack_rainbow(o, chol, jnp.float32)
     width = ops["chol_bd"].shape[0]
     scal = jnp.stack([jnp.asarray(o.k, jnp.float32)])

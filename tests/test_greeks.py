@@ -218,6 +218,19 @@ class TestEngineGreeksBasket:
         np.testing.assert_allclose(d, np.asarray(d_ad), atol=0.01)
         assert (se > 0).all()
 
+    def test_ten_assets_packed_path(self):
+        # a = 10 > ASSET_MAJOR_MAX exercises the packed-lane Greeks kernel
+        # (small baskets route to the asset-major layout).  Price parity
+        # with the (also packed) pricer and sane per-asset deltas.
+        from mctpu import engine
+        opt = BasketOption.default_reference(10)
+        g = engine.greeks_basket(opt, 1 << 17, KEY, self._cfg())
+        p = engine.price_basket(opt, 1 << 17, KEY, self._cfg())
+        assert float(g.price.price) == pytest.approx(float(p.price),
+                                                     rel=1e-6)
+        d = np.asarray(g.delta.price)
+        assert d.shape == (10,) and (d > 0).all() and d.sum() < 1.5
+
     def test_vega_matches_crn_bump(self, res):
         """Per-asset vega vs common-random-number central differences."""
         import dataclasses as dc

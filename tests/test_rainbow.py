@@ -71,6 +71,19 @@ class TestManyAssets:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert abs(float(res.price) - ora.price) < 4 * se
 
+    def test_sixteen_assets_vs_oracle_packed_path(self):
+        # a = 16 > ASSET_MAJOR_MAX exercises the packed lane-butterfly
+        # kernel (small baskets route to the asset-major layout).
+        rho = 0.3
+        corr = np.full((16, 16), rho)
+        np.fill_diagonal(corr, 1.0)
+        opt = RainbowOption(s=np.full(16, 100.0), v=np.full(16, 0.25),
+                            corr=corr, k=110.0, r=0.05, t=1.0, kind="max")
+        res = engine.price_rainbow(opt, 1 << 16, KEY, CFG)
+        ora = reference.price_rainbow(opt, 1 << 16, seed=8)
+        se = np.hypot(float(res.std_error), ora.std_error)
+        assert abs(float(res.price) - ora.price) < 4 * se
+
     @pytest.mark.slow
     def test_single_asset_is_vanilla(self):
         opt = RainbowOption(s=np.array([100.0]), v=np.array([0.2]),
