@@ -1,0 +1,105 @@
+"""Multilevel Monte Carlo: variance decay, allocation, CF-oracle gate."""
+import numpy as np
+import pytest
+
+import jax
+
+from mctpu import mlmc
+from mctpu.models import heston as mheston
+from mctpu.types import HestonOption
+
+OPT = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04, kappa=1.5,
+                   theta=0.04, xi=0.4, rho=-0.6)
+KEY = jax.random.key(17)
+
+
+class TestLevelMachinery:
+    def test_level0_matches_plain_euler_mean(self):
+        # Level 0 is a plain n0-step Euler payoff; its mean must be within
+        # MC error of an independent coarse-Euler price.
+        s, s2, n = mlmc._level_sums(OPT, jax.random.key(3), 0, 8,
+                                    1 << 16, rows=8)
+        m = s / n
+        se = np.sqrt(max(s2 / n - m * m, 0) / n)
+        from mctpu import engine
+        ref = engine.price_heston(OPT, 1 << 17, jax.random.key(4),
+                                  engine.EngineConfig(num_blocks=16, rows=8,
+                                                      backend="xla"),
+                                  n_steps=8, scheme="euler")
+        disc = np.exp(-0.03)
+        assert abs(disc * m - float(ref.price)) < 4 * np.hypot(
+            disc * se, float(ref.std_error))
+
+    def test_coupled_correction_variance_decays(self):
+        vs = []
+        for level in (1, 2, 3):
+            s, s2, n = mlmc._level_sums(OPT, jax.random.key(5), level, 8,
+                                        1 << 15, rows=8)
+            m = s / n
+            vs.append(max(s2 / n - m * m, 1e-30))
+        # Coupled fine/coarse variance must fall with level (Giles's
+        # premise); demand at least ~1.5x per level.
+        assert vs[1] < vs[0] / 1.5
+        assert vs[2] < vs[1] / 1.5
+
+    def test_level_streams_independent(self):
+        a = mlmc._level_sums(OPT, jax.random.key(6), 1, 8, 1 << 12, rows=8)
+        b = mlmc._level_sums(OPT, jax.random.key(7), 1, 8, 1 << 12, rows=8)
+        assert a[0] != b[0]
+
+
+class TestEstimator:
+    @pytest.fixture(scope="class")
+    def res(self):
+        return mlmc.price_heston_mlmc(OPT, eps=0.05, key=KEY)
+
+    def test_within_tolerance_of_cf_oracle(self, res):
+        cf = mheston.cf_call_price(OPT)
+        # eps is an RMS target; allow 3x for the single realization.
+        assert abs(res.price - cf) < 3 * 0.05
+
+    def test_reported_ci_covers_statistical_budget(self, res):
+        assert 0 < res.std_error < 0.05
+        assert res.ci == pytest.approx(1.96 * res.std_error)
+
+    def test_allocation_puts_most_paths_on_coarse_levels(self, res):
+        n = [lv.n_paths for lv in res.levels]
+        assert n[0] == max(n)
+        assert n[-1] <= n[0]
+
+    def test_level_table_consistent(self, res):
+        for lv in res.levels:
+            assert lv.n_steps == 8 * 2 ** lv.level
+            assert lv.n_paths > 0 and np.isfinite(lv.var)
+
+    def test_optimal_allocation_rule_holds(self, res):
+        # Giles's optimal sizes: N_l proportional to sqrt(V_l / C_l)
+        # (up to the tile rounding the implementation applies).
+        ratios = []
+        for lv in res.levels:
+            ratios.append(lv.n_paths / np.sqrt(lv.var / lv.cost))
+        ratios = np.asarray(ratios)
+        # All proportionality constants within ~3x of each other (power-
+        # of-two trip rounding and pilot floors perturb the exact rule).
+        assert ratios.max() / ratios.min() < 3.0
+
+    def test_cost_comparable_to_finest_single_level(self, res):
+        # Honest cost accounting: ATM Euler-Heston sits at the beta ~=
+        # gamma boundary (level variance halves while level cost doubles),
+        # where Giles's theorem gives only a log-factor advantage — so at
+        # this loose tolerance MLMC must come out *comparable* to a
+        # single-level run on the finest grid (within pilot/rounding
+        # overhead), with the asymptotic win reserved for tighter eps.
+        # This gate catches allocation regressions that would make it
+        # strictly worse.
+        s, s2, n = mlmc._level_sums(OPT, jax.random.key(8), 0, 8,
+                                    1 << 14, rows=8)
+        m = s / n
+        v0 = s2 / n - m * m
+        n_steps_l = res.levels[-1].n_steps
+        single_cost = (v0 / (res.std_error / np.exp(-0.03)) ** 2) * n_steps_l
+        assert res.total_path_steps < single_cost * 1.5
+
+    def test_reproducible(self, res):
+        again = mlmc.price_heston_mlmc(OPT, eps=0.05, key=KEY)
+        assert again.price == res.price and again.ci == res.ci
