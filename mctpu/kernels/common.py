@@ -17,11 +17,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
-__all__ = ["Plan", "LANES", "seed_prng", "draw_normal_pair", "chunk_sums",
+__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "seed_prng", "draw_normal_pair", "chunk_sums",
            "walk_pairwise", "prng_emulation", "interpret_arg",
            "acc_init_n", "acc_add_n", "acc_final_n"]
 
 LANES = 128
+
+# Grid dimension semantics shared by every kernel: simulation blocks are
+# fully independent (each seeds its own counter stream, writes disjoint
+# output rows, and zeroes its own scratch at instance start), so the grid
+# is declared "parallel" — Mosaic may split it across TensorCores on
+# megacore parts (v4/v5p).  On single-core v5e this is equivalent to
+# "arbitrary"; block values are core-assignment-invariant by construction
+# (per-block seeding).
+GRID_SEMANTICS = ("parallel",)
 
 # ---------------------------------------------------------------------------
 # Interpret-mode PRNG emulation

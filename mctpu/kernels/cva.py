@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaPortfolioSpec
@@ -352,7 +352,7 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
         scratch_shapes=[pltpu.VMEM((g_pad, LANES), jnp.float32),
                         pltpu.VMEM((g_pad, LANES), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=20 * plan.iters * paths_iter * g * m,

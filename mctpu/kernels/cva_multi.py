@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
-from mctpu.kernels.common import (LANES, Plan, chunk_sums, interpret_arg,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaMultiSpec
@@ -290,7 +290,7 @@ def _pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
         scratch_shapes=[pltpu.SMEM((g_pad,), jnp.float32),
                         pltpu.SMEM((g_pad,), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=plan.iters * plan.rows * g * (2 * width * width

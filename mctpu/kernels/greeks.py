@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 from mctpu.kernels import basket as kbasket
-from mctpu.kernels.common import (LANES, Plan, acc_add_n, acc_final_n,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n, acc_final_n,
                                   acc_init_n, draw_normal_pair,
                                   interpret_arg, prng_emulation, seed_prng)
 from mctpu.types import BasketOption, VanillaOption
@@ -201,7 +201,7 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, N_SUMS), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=30 * plan.iters * flops_iter,
@@ -369,7 +369,7 @@ def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
             out_shape=jax.ShapeDtypeStruct((n_blocks, 2 + 4 * a),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=plan.iters * paths_iter * (a * (a + 1) + 12 * a),
@@ -552,7 +552,7 @@ def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
             jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=plan.iters * 2 * plan.rows * (2 * width * width

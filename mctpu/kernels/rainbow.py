@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import (MATMUL_PRECISION, pack_factor,
                                   use_asset_major)
-from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
@@ -306,7 +306,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=plan.iters * paths_iter * (a * (a + 1) + 4 * a),
@@ -334,7 +334,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=plan.iters * 2 * plan.rows * (2 * width * width

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.heston import _heston_step
@@ -211,7 +211,7 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_obs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * plan.iters * paths_iter * n_obs,

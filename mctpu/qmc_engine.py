@@ -43,7 +43,7 @@ from mctpu import math as mcmath
 from mctpu import sobol as msobol
 from mctpu.engine import EngineConfig, _shard_blocks
 from mctpu.kernels import basket as kbasket
-from mctpu.kernels.common import (LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_init_n, interpret_arg)
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
@@ -218,7 +218,7 @@ def vanilla_pallas_partials(opt: VanillaOption, key, block_offset,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=70 * pts, bytes_accessed=n_blocks * 16,
@@ -344,7 +344,7 @@ def basket_pallas_partials(opt: BasketOption, chol, key, block_offset,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=pts * (2 * width * width // c + 100),
