@@ -135,7 +135,7 @@ def _varswap_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
                                 jnp.zeros(shape, jnp.float32))
             return acc * inv_t
 
-        s0, v0 = scal_ref[1], scal_ref[2]
+        v0 = scal_ref[2]  # scal[1] (s0) is unused: the walk is log-relative
         k_dt, th, xi = scal_ref[3], scal_ref[4], scal_ref[5]
         rho_c, rho_s = scal_ref[6], scal_ref[7]
         r_dt, sqdt = scal_ref[8], scal_ref[9]
