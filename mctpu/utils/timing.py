@@ -102,7 +102,18 @@ def phase_breakdown(fn, *args):
     with t.phase("h2d"):
         args_dev = sync(jax.device_put(args))
     with t.phase("execute"):
-        out = sync(compiled(*args_dev))
+        out = compiled(*args_dev)
+        # Fetch-closed barrier: through remote tunnels block_until_ready
+        # can report completion before the device has executed anything
+        # (benchmarks/ROOFLINE.md, "honest timing"); materializing one
+        # result leaf is the only barrier that proves execution.  The
+        # results here are tiny (per-block partial rows), so the transfer
+        # cost is negligible next to the kernel.
+        leaves = jax.tree_util.tree_leaves(out)
+        if leaves and hasattr(leaves[0], "__array__"):
+            np.asarray(leaves[0])
+        else:
+            sync(out)
     with t.phase("d2h"):
         jax.tree_util.tree_map(
             lambda x: np.asarray(x) if hasattr(x, "__array__") else x, out)
