@@ -45,13 +45,27 @@ def _emit(name, seconds, n_paths, steps_per_path=1, **extra):
     print(json.dumps(rec))
 
 
-def _timed(fn, *a, **kw):
-    fn(*a, **kw)  # compile
+WARM_KEY = jax.random.key(777)
+
+
+def _fetch(out):
+    """Honest completion barrier: materialize every array leaf.
+
+    Through the remote tunnel ``block_until_ready`` can report completion
+    before execution, and repeat executions with identical arguments can
+    be served without running (benchmarks/ROOFLINE.md) — so the warmup
+    uses a DIFFERENT key than the timed call and the clock closes on a
+    value fetch.
+    """
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "__array__") else x, out)
+
+
+def _timed(fn_of_key):
+    _fetch(fn_of_key(WARM_KEY))  # compile + drain with a distinct key
     t0 = time.perf_counter()
-    out = fn(*a, **kw)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready()
-        if hasattr(x, "block_until_ready") else x, out)
+    out = fn_of_key(KEY)
+    _fetch(out)
     return out, time.perf_counter() - t0
 
 
@@ -59,7 +73,7 @@ def config1_vanilla_f64(quick):
     n = 1 << 20
     cfg = engine.EngineConfig(precision=Precision.F64, backend="xla",
                               num_blocks=64, rows=32)
-    res, dt = _timed(engine.price_vanilla, OPT, n, KEY, cfg)
+    res, dt = _timed(lambda k: engine.price_vanilla(OPT, n, k, cfg))
     bs = float(mcmath.bs_call(OPT.s, OPT.k, OPT.r, OPT.v, OPT.t))
     _emit("vanilla_1M_f64_vs_closed_form", dt, res.n_paths,
           price=float(res.price), closed_form=bs,
@@ -71,7 +85,7 @@ def config1_vanilla_f64(quick):
 def config2_basket10(quick):
     n = 1 << 20 if quick else 10_000_000
     opt = BasketOption.default_reference(10)
-    res, dt = _timed(engine.price_basket, opt, n, KEY)
+    res, dt = _timed(lambda k: engine.price_basket(opt, n, k))
     _emit("basket_10assets_10M", dt, res.n_paths,
           price=float(res.price), ci=float(res.ci))
 
@@ -80,7 +94,7 @@ def config3_cva50(quick):
     n = 1 << 17 if quick else 1 << 20
     spec = CvaSpec(intensity=0.03, lgd=0.6, option=CVA_OPT, n_grid=50)
     cfg = engine.EngineConfig(num_blocks=64, rows=32)
-    res, dt = _timed(engine.price_cva, spec, n, KEY, cfg)
+    res, dt = _timed(lambda k: engine.price_cva(spec, n, k, cfg))
     want = float(mcva.closed_form(spec))
     _emit("cva_grid50_default_leg", dt, res.n_paths, steps_per_path=50,
           cva=float(res.cva), closed_form=want, ci=float(res.ci),
@@ -97,7 +111,7 @@ def config4_precision_parity(quick):
         cfg = engine.EngineConfig(precision=prec, antithetic=True,
                                   backend="xla" if prec is Precision.F64
                                   else "auto")
-        res, dt = _timed(engine.price_vanilla, OPT, n, KEY, cfg)
+        res, dt = _timed(lambda k: engine.price_vanilla(OPT, n, k, cfg))
         prices[prec.value] = float(res.price)
         _emit(f"precision_parity_{prec.value}_antithetic", dt, res.n_paths,
               price=float(res.price), ci=float(res.ci))
@@ -117,7 +131,7 @@ def config5_multichip(quick):
     cfg = engine.EngineConfig(mesh=mesh, num_blocks=512, rows=128,
                               backend="xla" if jax.default_backend() == "cpu"
                               else "auto")
-    res, dt = _timed(engine.price_basket, opt, n, KEY, cfg)
+    res, dt = _timed(lambda k: engine.price_basket(opt, n, k, cfg))
     _emit("multichip_1e9_100asset_basket", dt, res.n_paths,
           devices=len(devs) if mesh else 1,
           price=float(res.price), ci=float(res.ci))
