@@ -22,7 +22,10 @@ from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials",
+           "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
+
+N_GREEK_SUMS = 6  # (sum, sum^2) for each of: payoff, delta, vega
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -87,6 +90,184 @@ def xla_partials(opt: AsianOption, key: jax.Array, block_offset, plan: Plan,
 
     keys = mcrng.block_keys(key, block_offset, n_blocks)
     return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Pathwise Greeks (delta, vega) — the log-space walk gives them nearly free
+# ---------------------------------------------------------------------------
+# Under exact GBM sampling, log s_j = log s0 + (r - v^2/2) t_j + v W_j, so
+#
+#     d(log s_j)/dv = W_j - v t_j = (log_rel_j - r t_j - v^2 t_j / 2) / v
+#                   = log_rel_j * (1/v) + c1 * j,   c1 = -(r + v^2/2) dt / v
+#
+# — recoverable from the CARRIED log-spot with one FMA per step, no extra
+# Brownian bookkeeping.  Then (with I = 1{avg > k}):
+#
+#     arithmetic: d(avg)/ds0 = avg/s0,  d(avg)/dv = (1/n) sum_j s_j f_j
+#     geometric:  d(avg)/ds0 = avg/s0,  d(avg)/dv = avg * (1/n) sum_j f_j
+#
+# and the pathwise Greeks are gd = I*avg/s0, gv = I*d(avg)/dv (unbiased:
+# the payoff kink has measure zero — Glasserman section 7.2).  Gated in
+# tests/test_greeks.py against jax.grad of the exact geometric closed form
+# and CRN bumps for the arithmetic average.
+
+
+def _greek_quants(log_s0, s0, k, n_obs, geometric, avg_acc, g_acc):
+    """(p, gd, gv) integrand tiles from the two walk accumulators."""
+    inv_n = 1.0 / n_obs
+    avg = avg_acc * inv_n
+    if geometric:
+        avg = jnp.exp(avg)
+    ind = jnp.where(avg > k, 1.0, 0.0)
+    p = jnp.maximum(avg - k, 0.0)
+    gd = ind * avg / s0
+    gv = ind * ((avg * g_acc * inv_n) if geometric else (g_acc * inv_n))
+    return p, gd, gv
+
+
+def _greek_step(log_s0, drift, vol, inv_v, c1, geometric):
+    """Walk step advancing (log_s, avg_acc, g_acc, cj).
+
+    ``cj`` carries ``c1 * (j+1)`` as a running scalar sum — TPUs have no
+    fast int->float cast, so deriving it from the loop counter would put
+    a scalar conversion on every step's critical path.
+    """
+    def step(j, z, carry, sgn):
+        log_s, acc, gacc, cj = carry
+        log_s = log_s + drift + vol * (sgn * z)
+        f = (log_s - log_s0) * inv_v + cj
+        if geometric:
+            return (log_s, acc + log_s, gacc + f, cj + c1)
+        s = jnp.exp(log_s)
+        return (log_s, acc + s, gacc + s * f, cj + c1)
+
+    return step
+
+
+def _greek_sums(tiles):
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int):
+    """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    g = opt.n_obs
+    geometric = opt.average == "geometric"
+    drift, vol = masian.step_constants(o, dtype)
+    dt = jnp.asarray(o.t, dtype) / g
+    inv_v = 1.0 / jnp.asarray(o.v, dtype)
+    c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
+    log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+    shape = (plan.rows, LANES)
+    step = _greek_step(log_s0, drift, vol, inv_v, c1, geometric)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            return step(j, z_seq[j], carry, sgn)
+
+        init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype),
+                jnp.zeros(shape, dtype), c1)
+        _, acc, gacc, _ = jax.lax.fori_loop(0, g, body, init)
+        return _greek_quants(log_s0, o.s, o.k, g, geometric, acc, gacc)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            tiles = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                m = walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+            return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(
+            0, plan.iters, body, acc_init_n(N_GREEK_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
+                         plan: Plan, n_obs: int, geometric: bool):
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+    log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
+    drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
+                             scal_ref[6])
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    step = _greek_step(log_s0, drift, vol, inv_v, c1, geometric)
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def pair_step(j, z, carry):
+            return step(j, z, carry, sgn)
+
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32), c1 * 1.0)
+        _, acc, gacc, _ = walk_pairwise(shape, n_obs, pair_step, init)
+        return _greek_quants(log_s0, s0, k, n_obs, geometric, acc, gacc)
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            m = walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+        return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(
+        0, plan.iters, body,
+        acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
+    sums = acc_final_n(carry, plan.kahan)
+    for j, sj in enumerate(sums):
+        out_ref[b, j] = sj
+
+
+def greek_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Per-block Greek partials ``(n_blocks, 6)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        g = opt.n_obs
+        drift, vol = masian.step_constants(o, jnp.float32)
+        dt = jnp.asarray(o.t, jnp.float32) / g
+        inv_v = 1.0 / jnp.asarray(o.v, jnp.float32)
+        c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
+        scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.s, o.k,
+                          drift, vol, inv_v, c1])
+        kernel = functools.partial(_asian_greeks_kernel, plan=plan,
+                                   n_obs=g,
+                                   geometric=opt.average == "geometric")
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=14 * plan.iters * paths_iter * g,
+                bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
+                transcendentals=4 * plan.iters * paths_iter * g,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,107 @@ class TestExoticGreeks:
         assert float(d) == pytest.approx(fd, abs=0.02)
 
 
+class TestEngineGreeksAsian:
+    """Engine-tier pathwise Asian Greeks (kernels/asian.py Greeks section)."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def test_geometric_matches_grad_of_closed_form(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                          average="geometric")
+        g = engine.greeks_asian(geo, 1 << 19, KEY, self._cfg())
+
+        def cf(s, v):
+            return mcmath.geometric_asian_call(s, 100.0, 0.05, v, 1.0, 12)
+
+        d_cf = jax.grad(cf, argnums=(0, 1))(100.0, 0.2)
+        for mc, ref in ((g.delta, d_cf[0]), (g.vega, d_cf[1])):
+            z = abs(float(mc.price) - float(ref)) / float(mc.std_error)
+            assert z < 4, (float(mc.price), float(ref), z)
+
+    def test_price_matches_pricer(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        opt = AsianOption(100.0, 100.0, 0.05, 0.25, 1.0, n_obs=16,
+                          average="arithmetic")
+        g = engine.greeks_asian(opt, 1 << 18, KEY, self._cfg())
+        p = engine.price_asian(opt, 1 << 18, KEY, self._cfg())
+        # Same streams and geometry -> same paths; f32 reduction orders of
+        # two distinct XLA programs may differ in the last ulps.
+        assert float(g.price.price) == pytest.approx(float(p.price),
+                                                     rel=1e-6)
+
+    def test_arithmetic_delta_vega_match_crn_bumps(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+
+        def price(s, v):
+            opt = AsianOption(s, 100.0, 0.05, v, 1.0, n_obs=16,
+                              average="arithmetic")
+            return float(engine.price_asian(opt, 1 << 18, KEY,
+                                            self._cfg()).price)
+
+        g = engine.greeks_asian(
+            AsianOption(100.0, 100.0, 0.05, 0.25, 1.0, n_obs=16,
+                        average="arithmetic"), 1 << 18, KEY, self._cfg())
+        h = 0.5
+        fd_delta = (price(100.0 + h, 0.25) - price(100.0 - h, 0.25)) / (2 * h)
+        assert float(g.delta.price) == pytest.approx(fd_delta, abs=0.01)
+        hv = 0.005
+        fd_vega = (price(100.0, 0.25 + hv) - price(100.0, 0.25 - hv)) / (2 * hv)
+        assert float(g.vega.price) == pytest.approx(fd_vega, rel=0.05)
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=8,
+                          average="geometric")
+        a = engine.greeks_asian(opt, 1 << 17, KEY,
+                                self._cfg(antithetic=True))
+        b = engine.greeks_asian(opt, 1 << 17, KEY, self._cfg())
+        assert float(a.delta.std_error) < float(b.delta.std_error)
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=8,
+                          average="geometric")
+        x = engine.greeks_asian(opt, 1 << 14, KEY, self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=16, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_asian(opt, 1 << 14, KEY, pcfg)
+        for name in ("price", "delta", "vega"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se
+
+    def test_dispatcher(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=8,
+                          average="geometric")
+        g = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert g.vega is not None
+
+    def test_shard_invariant(self):
+        import mctpu
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        opt = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=8,
+                          average="arithmetic")
+        base = engine.greeks_asian(opt, 1 << 14, KEY, self._cfg())
+        mesh = mctpu.parallel.path_mesh(jax.devices()[:8])
+        sharded = engine.greeks_asian(opt, 1 << 14, KEY, self._cfg(mesh=mesh))
+        for name in ("price", "delta", "vega"):
+            assert float(getattr(base, name).price) == float(
+                getattr(sharded, name).price)
+
+
 class TestEngineGreeksVanilla:
     """In-kernel pathwise Greeks via the full engine contract."""
 
@@ -184,8 +285,12 @@ class TestEngineGreeksVanilla:
         res = engine.greeks(OPT, 1 << 16, KEY, self._cfg())
         assert float(res.delta.price) == pytest.approx(CF["delta"], abs=0.02)
         with pytest.raises(TypeError):
-            from mctpu.types import AsianOption
-            engine.greeks(AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=4),
+            # Heston has no in-kernel Greeks (mctpu.greeks.heston_greeks
+            # is the autodiff fallback); asian joined the dispatcher in r3.
+            from mctpu.types import HestonOption
+            engine.greeks(HestonOption(s=100.0, k=100.0, r=0.03, t=1.0,
+                                       v0=0.04, kappa=1.5, theta=0.04,
+                                       xi=0.5, rho=-0.7),
                           1 << 10, KEY, self._cfg())
 
 
