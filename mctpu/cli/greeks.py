@@ -29,6 +29,10 @@ def main(argv=None):
                    default="vanilla")
     p.add_argument("--obs", type=int, default=12,
                    help="observation dates (asian) / steps (heston)")
+    p.add_argument("--engine", action="store_true",
+                   help="use the in-kernel engine-tier Greeks (fused "
+                        "pathwise accumulators with per-Greek CIs) instead "
+                        "of the autodiff fallbacks; vanilla/asian only")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
@@ -41,6 +45,24 @@ def main(argv=None):
         aopt = AsianOption(args.spot, args.strike, args.rate, args.vol,
                            args.maturity, n_obs=args.obs,
                            average="geometric")
+        if args.engine:
+            from mctpu import engine
+            res, dt = common.timed(engine.greeks_asian, aopt, args.paths,
+                                   key)
+            cf_fn = lambda s, v: mcmath.geometric_asian_call(
+                s, args.strike, args.rate, v, args.maturity, args.obs)
+            d = jax.grad(cf_fn, argnums=(0, 1))(args.spot, args.vol)
+            cf = {"price": cf_fn(args.spot, args.vol), "delta": d[0],
+                  "vega": d[1]}
+            print(f"\ngeometric asian ({args.obs} obs), engine tier, "
+                  f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+            print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
+                  f"{'closed form':>12}")
+            for name in ("price", "delta", "vega"):
+                r = getattr(res, name)
+                print(f"{name:>6} | {float(r.price):12.6f} | "
+                      f"±{float(r.ci):8.6f} | {float(cf[name]):12.6f}")
+            return 0
         mc, dt = common.timed(greeks.asian_greeks, aopt, args.paths, key)
         cf_fn = lambda s, v, r: mcmath.geometric_asian_call(
             s, args.strike, r, v, args.maturity, args.obs)
@@ -69,6 +91,19 @@ def main(argv=None):
         print(f"cf price: {float(mheston.cf_call_price(hopt)):.6f}")
         for name in ("price", "delta", "dv0", "dxi"):
             print(f"{name:>6} | {float(mc[name]):12.6f}")
+        return 0
+
+    if args.engine:
+        from mctpu import engine
+        res, dt = common.timed(engine.greeks_vanilla, opt, args.paths, key)
+        cf = mcmath.bs_greeks(opt.s, opt.k, opt.r, opt.v, opt.t)
+        print(f"\nengine tier, paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
+              f"{'closed form':>12}")
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):8.6f} | {float(cf[name]):12.6f}")
         return 0
 
     mc, dt = common.timed(greeks.vanilla_greeks, opt, args.paths, key)

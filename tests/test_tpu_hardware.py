@@ -254,6 +254,21 @@ def test_greeks_basket_on_chip():
     assert (np.asarray(res.delta.std_error) > 0).all()
 
 
+def test_greeks_asian_on_chip():
+    """Log-space-walk Asian Greeks vs jax.grad of the exact geometric law."""
+    from mctpu.types import AsianOption
+    geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                      average="geometric")
+    res = engine.greeks_asian(geo, 1 << 20, KEY, _cfg())
+
+    def cf(s, v):
+        return mcmath.geometric_asian_call(s, 100.0, 0.05, v, 1.0, 12)
+
+    d_cf = jax.grad(cf, argnums=(0, 1))(100.0, 0.2)
+    assert _z(res.delta.price, float(d_cf[0]), res.delta.std_error) < 4
+    assert _z(res.vega.price, float(d_cf[1]), res.vega.std_error) < 4
+
+
 def test_lsm_engine_tier_on_chip():
     """Fused LSM forward-pass kernel vs the binomial lattice (hardware)."""
     import jax.numpy as jnp
