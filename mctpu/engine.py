@@ -650,16 +650,68 @@ def greeks_asian(opt, n_paths: int, key: jax.Array,
     return GreeksResult(price=est(0), delta=est(1), vega=est(2))
 
 
+def greeks_lookback(opt, n_paths: int, key: jax.Array,
+                    config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Price + pathwise delta/vega of a lookback option at engine scale.
+
+    Delta is the homogeneity identity (every spot scales with ``s0``);
+    vega tracks ``d(s)/dv`` at the arg-extreme via two extra selects per
+    step — the walk still has zero per-step transcendentals
+    (``kernels/lookback.py``, Greeks section).
+    """
+    from mctpu.kernels import lookback as klookback
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, klookback.LANES * anti)
+    plan = klookback.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                               cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_lookback", opt.kind, opt.payoff, opt.n_obs, plan,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: klookback.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: klookback.greek_xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2))
+
+
 def greeks(opt, n_paths: int, key: jax.Array,
            config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Engine-scale pathwise Greeks: dispatches on the product type."""
-    from mctpu.types import AsianOption
+    from mctpu.types import AsianOption, LookbackOption
     if isinstance(opt, VanillaOption):
         return greeks_vanilla(opt, n_paths, key, config)
     if isinstance(opt, BasketOption):
         return greeks_basket(opt, n_paths, key, config)
     if isinstance(opt, AsianOption):
         return greeks_asian(opt, n_paths, key, config)
+    if isinstance(opt, LookbackOption):
+        return greeks_lookback(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
                     "see mctpu.greeks for autodiff/CRN fallbacks")
 

@@ -160,6 +160,229 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     out_ref[b, 1] = s2
 
 
+# ---------------------------------------------------------------------------
+# Pathwise Greeks (delta, vega) — extreme-tracking in log space
+# ---------------------------------------------------------------------------
+# Every s_j is proportional to s0 under GBM, so every lookback payoff is
+# homogeneous of degree <= 1 in s0 and delta comes for free:
+#
+#     floating (P = |s_T - ext|):  gd = P / s0            (exactly)
+#     fixed call / put:            gd = +-1{itm} * ext / s0
+#
+# For vega, d(s_j)/dv = s_j * f_j with f_j = log_rel_j/v + c1*j (same
+# identity as kernels/asian.py); the extreme's sensitivity needs f at the
+# *arg-extreme*, so the walk carries (log_ext, f_ext) and updates both
+# whenever the extreme improves — two selects per step, still zero
+# transcendentals in the loop.  d(ext)/dv = ext * f_ext, and:
+#
+#     floating call: gv = s_T f_T - ext f_ext   (put: negated)
+#     fixed call:    gv = 1{ext > k} * ext * f_ext   (put: -1{ext < k} ...)
+#
+# Unbiased wherever the payoff kink has measure zero.  One genuine edge:
+# the running extreme has an ATOM at s0 (the initial fixing is a
+# monitoring point), so a fixed-strike option with k == s0 exactly puts
+# positive probability mass ON the kink — delta does not exist there and
+# the pathwise estimator returns the left derivative (a central CRN bump
+# averages the two one-sided slopes instead; verified in f64 NumPy, gap
+# = P(extreme == s0)/2).  Any k != s0 is clean.  Gated in
+# tests/test_greeks.py by the EXACT homogeneity identity delta == price/s0
+# (floating), CRN bumps at off-atom strikes, and the interpret/shard
+# contracts.
+
+N_GREEK_SUMS = 6  # (sum, sum^2) for each of: payoff, delta, vega
+
+
+def _greek_walk_quants(log_s0, s0, k, kind, put, use_min, n_obs, inv_v, c1,
+                       drift, vol, z_at, sgn, shape, dtype):
+    """One walk -> (p, gd, gv) integrand tiles (shared by both backends)."""
+    def body(j, carry):
+        log_s, log_ext, f_ext, cj = carry
+        log_s = log_s + drift + vol * (sgn * z_at(j))
+        f = (log_s - log_s0) * inv_v + cj
+        upd = log_s < log_ext if use_min else log_s > log_ext
+        log_ext = jnp.where(upd, log_s, log_ext)
+        f_ext = jnp.where(upd, f, f_ext)
+        return (log_s, log_ext, f_ext, cj + c1)
+
+    init = (jnp.full(shape, log_s0, dtype), jnp.full(shape, log_s0, dtype),
+            jnp.zeros(shape, dtype), c1 * jnp.ones((), dtype))
+    log_s, log_ext, f_ext, _ = jax.lax.fori_loop(0, n_obs, body, init)
+    s_t = jnp.exp(log_s)
+    ext = jnp.exp(log_ext)
+    f_t = (log_s - log_s0) * inv_v + c1 * n_obs
+    if kind == "floating":
+        p = (ext - s_t) if put else (s_t - ext)
+        gd = p / s0
+        gv = s_t * f_t - ext * f_ext
+        if put:
+            gv = -gv
+    elif put:  # fixed put: ext tracks the min
+        ind = jnp.where(ext < k, 1.0, 0.0)
+        p = jnp.maximum(k - ext, 0.0)
+        gd = -ind * ext / s0
+        gv = -ind * ext * f_ext
+    else:      # fixed call: ext tracks the max
+        ind = jnp.where(ext > k, 1.0, 0.0)
+        p = jnp.maximum(ext - k, 0.0)
+        gd = ind * ext / s0
+        gv = ind * ext * f_ext
+    return p, gd, gv
+
+
+def _greek_sums(tiles):
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def greek_xla_partials(opt, key, block_offset, plan: Plan, n_blocks: int):
+    """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    g = opt.n_obs
+    put = opt.payoff == "put"
+    use_min = _tracks_min(opt.kind, put)
+    dt = o.t / g
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    inv_v = 1.0 / jnp.asarray(o.v, dtype)
+    c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
+    log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+    shape = (plan.rows, LANES)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            tiles = _greek_walk_quants(
+                log_s0, o.s, o.k, opt.kind, put, use_min, g, inv_v, c1,
+                drift, vol, lambda j: z_seq[j], jnp.asarray(1.0, dtype),
+                shape, dtype)
+            if plan.antithetic:
+                m = _greek_walk_quants(
+                    log_s0, o.s, o.k, opt.kind, put, use_min, g, inv_v, c1,
+                    drift, vol, lambda j: z_seq[j],
+                    jnp.asarray(-1.0, dtype), shape, dtype)
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+            return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(
+            0, plan.iters, body, acc_init_n(N_GREEK_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
+                            plan: Plan, n_obs: int, kind: str, put: bool):
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+    log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
+    drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
+                             scal_ref[6])
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    use_min = _tracks_min(kind, put)
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        # Inline step + epilogue, kept in sync with _greek_walk_quants
+        # (the XLA twin); walk_pairwise streams the hardware draws so no
+        # (n_obs, ...) tile array ever materializes.
+        def step(j, z, carry):
+            log_s, log_ext, f_ext, cj = carry
+            log_s = log_s + drift + vol * (sgn * z)
+            f = (log_s - log_s0) * inv_v + cj
+            upd = log_s < log_ext if use_min else log_s > log_ext
+            log_ext = jnp.where(upd, log_s, log_ext)
+            f_ext = jnp.where(upd, f, f_ext)
+            return (log_s, log_ext, f_ext, cj + c1)
+
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.full(shape, log_s0, jnp.float32),
+                jnp.zeros(shape, jnp.float32), c1 * 1.0)
+        log_s, log_ext, f_ext, _ = walk_pairwise(shape, n_obs, step, init)
+        s_t = jnp.exp(log_s)
+        ext = jnp.exp(log_ext)
+        f_t = (log_s - log_s0) * inv_v + c1 * n_obs
+        if kind == "floating":
+            p = (ext - s_t) if put else (s_t - ext)
+            gd = p / s0
+            gv = s_t * f_t - ext * f_ext
+            if put:
+                gv = -gv
+        elif put:
+            ind = jnp.where(ext < k, 1.0, 0.0)
+            p = jnp.maximum(k - ext, 0.0)
+            gd = -ind * ext / s0
+            gv = -ind * ext * f_ext
+        else:
+            ind = jnp.where(ext > k, 1.0, 0.0)
+            p = jnp.maximum(ext - k, 0.0)
+            gd = ind * ext / s0
+            gv = ind * ext * f_ext
+        return p, gd, gv
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            m = walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+        return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(
+        0, plan.iters, body,
+        acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
+    sums = acc_final_n(carry, plan.kahan)
+    for j, sj in enumerate(sums):
+        out_ref[b, j] = sj
+
+
+def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Per-block Greek partials ``(n_blocks, 6)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        g = opt.n_obs
+        dt = o.t / g
+        drift = (o.r - 0.5 * o.v * o.v) * dt
+        vol = o.v * jnp.sqrt(dt)
+        inv_v = 1.0 / jnp.asarray(o.v, jnp.float32)
+        c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
+        scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)),
+                          jnp.asarray(o.s, jnp.float32),
+                          jnp.asarray(o.k, jnp.float32),
+                          drift, vol, inv_v, c1])
+        kernel = functools.partial(_lookback_greeks_kernel, plan=plan,
+                                   n_obs=g, kind=opt.kind,
+                                   put=opt.payoff == "put")
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * plan.iters * paths_iter * g,
+                bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
+                transcendentals=3 * plan.iters * paths_iter * g,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+
+
 def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
                     interpret: bool = False):
     """Per-block partial sums, shape ``(n_blocks, 2)``, fused on TPU."""

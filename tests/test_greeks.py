@@ -222,6 +222,91 @@ class TestEngineGreeksAsian:
                 getattr(sharded, name).price)
 
 
+class TestEngineGreeksLookback:
+    """Engine-tier lookback Greeks (extreme-tracking in log space)."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _opt(self, kind="floating", payoff="call", n_obs=16):
+        from mctpu.types import LookbackOption
+        return LookbackOption(s=100.0, r=0.05, v=0.25, t=1.0, k=100.0,
+                              n_obs=n_obs, kind=kind, payoff=payoff)
+
+    def test_floating_delta_is_exact_homogeneity(self):
+        # Floating payoffs are homogeneous degree 1 in s0, so the pathwise
+        # delta estimator satisfies delta == price / s0 EXACTLY (same
+        # paths, same sums up to f32 rounding) — a closed identity, not a
+        # statistical gate.
+        from mctpu import engine
+        g = engine.greeks_lookback(self._opt(), 1 << 17, KEY, self._cfg())
+        assert float(g.delta.price) == pytest.approx(
+            float(g.price.price) / 100.0, rel=1e-5)
+
+    def test_price_matches_pricer(self):
+        from mctpu import engine
+        g = engine.greeks_lookback(self._opt(), 1 << 17, KEY, self._cfg())
+        p = engine.price_lookback(self._opt(), 1 << 17, KEY, self._cfg())
+        assert float(g.price.price) == pytest.approx(float(p.price),
+                                                     rel=1e-6)
+
+    @pytest.mark.parametrize("kind,payoff,k", [
+        ("floating", "call", 100.0), ("fixed", "call", 105.0),
+        ("fixed", "put", 95.0)])
+    def test_delta_vega_match_crn_bumps(self, kind, payoff, k):
+        # Fixed strikes sit AWAY from s0: the running extreme has an atom
+        # at s0 (the initial fixing), so at k == s0 exactly the payoff
+        # kink carries positive probability mass — delta does not exist
+        # there (the pathwise estimator returns the left derivative while
+        # a central difference averages the two one-sided slopes).
+        from mctpu import engine
+        from mctpu.types import LookbackOption
+
+        def price(s, v):
+            o = LookbackOption(s=s, r=0.05, v=v, t=1.0, k=k, n_obs=16,
+                               kind=kind, payoff=payoff)
+            return float(engine.price_lookback(o, 1 << 17, KEY,
+                                               self._cfg()).price)
+
+        from mctpu.types import LookbackOption as LO
+        opt = LO(s=100.0, r=0.05, v=0.25, t=1.0, k=k, n_obs=16,
+                 kind=kind, payoff=payoff)
+        g = engine.greeks_lookback(opt, 1 << 17, KEY, self._cfg())
+        h = 0.5
+        fd_d = (price(100.0 + h, 0.25) - price(100.0 - h, 0.25)) / (2 * h)
+        assert float(g.delta.price) == pytest.approx(fd_d, abs=0.015)
+        hv = 0.005
+        fd_v = (price(100.0, 0.25 + hv) - price(100.0, 0.25 - hv)) / (2 * hv)
+        assert float(g.vega.price) == pytest.approx(
+            fd_v, rel=0.06, abs=0.5)
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        x = engine.greeks_lookback(self._opt(n_obs=8), 1 << 14, KEY,
+                                   self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=16, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_lookback(self._opt(n_obs=8), 1 << 14, KEY, pcfg)
+        for name in ("price", "delta", "vega"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se
+
+    def test_dispatcher_and_shard_invariance(self):
+        import mctpu
+        from mctpu import engine
+        opt = self._opt(n_obs=8)
+        base = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        mesh = mctpu.parallel.path_mesh(jax.devices()[:8])
+        shard = engine.greeks_lookback(opt, 1 << 14, KEY,
+                                       self._cfg(mesh=mesh))
+        for name in ("price", "delta", "vega"):
+            assert float(getattr(base, name).price) == float(
+                getattr(shard, name).price)
+
+
 class TestEngineGreeksVanilla:
     """In-kernel pathwise Greeks via the full engine contract."""
 
