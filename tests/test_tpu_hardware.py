@@ -269,6 +269,19 @@ def test_greeks_asian_on_chip():
     assert _z(res.vega.price, float(d_cf[1]), res.vega.std_error) < 4
 
 
+def test_greeks_lookback_on_chip():
+    """Homogeneity-exact delta + arg-extreme vega on the hardware PRNG."""
+    from mctpu.types import LookbackOption
+    opt = LookbackOption(s=100.0, r=0.05, v=0.25, t=1.0, n_obs=32,
+                         kind="floating", payoff="call")
+    res = engine.greeks_lookback(opt, 1 << 20, KEY, _cfg())
+    # Exact pathwise identity for the floating payoff: delta == price/s0.
+    assert float(res.delta.price) == pytest.approx(
+        float(res.price.price) / 100.0, rel=1e-5)
+    assert float(res.vega.price) > 0
+    assert float(res.vega.std_error) > 0
+
+
 def test_lsm_engine_tier_on_chip():
     """Fused LSM forward-pass kernel vs the binomial lattice (hardware)."""
     import jax.numpy as jnp
