@@ -16,8 +16,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
+                                  interpret_arg, prng_emulation,
+                                  seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
@@ -155,7 +157,6 @@ def _greek_sums(tiles):
 def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
                        plan: Plan, n_blocks: int):
     """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
-    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
     dtype = plan.jdtype
     o = opt.astype(dtype)
     g = opt.n_obs
@@ -197,7 +198,6 @@ def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
 
 def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
                          plan: Plan, n_obs: int, geometric: bool):
-    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
     log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
     drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
                              scal_ref[6])

@@ -17,7 +17,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
-__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "seed_prng", "draw_normal_pair", "chunk_sums",
+__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "seed_prng",
+           "draw_normal_pair", "chunk_sums",
            "walk_pairwise", "prng_emulation", "interpret_arg",
            "acc_init_n", "acc_add_n", "acc_final_n"]
 

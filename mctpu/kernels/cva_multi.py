@@ -24,8 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
+                                  interpret_arg, prng_emulation, seed_prng,
+                                  walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaMultiSpec
 

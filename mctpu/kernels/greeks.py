@@ -53,8 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 from mctpu.kernels import basket as kbasket
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n, acc_final_n,
-                                  acc_init_n, draw_normal_pair,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, draw_normal_pair,
                                   interpret_arg, prng_emulation, seed_prng)
 from mctpu.types import BasketOption, VanillaOption
 

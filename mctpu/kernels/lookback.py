@@ -21,11 +21,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
+                                  interpret_arg, prng_emulation,
+                                  seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials",
+           "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -192,21 +195,23 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
 N_GREEK_SUMS = 6  # (sum, sum^2) for each of: payoff, delta, vega
 
 
-def _greek_walk_quants(log_s0, s0, k, kind, put, use_min, n_obs, inv_v, c1,
-                       drift, vol, z_at, sgn, shape, dtype):
-    """One walk -> (p, gd, gv) integrand tiles (shared by both backends)."""
-    def body(j, carry):
+def _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min):
+    """One (log_s, log_ext, f_ext, cj) update; shared by both backends."""
+    def step(z, carry, sgn):
         log_s, log_ext, f_ext, cj = carry
-        log_s = log_s + drift + vol * (sgn * z_at(j))
+        log_s = log_s + drift + vol * (sgn * z)
         f = (log_s - log_s0) * inv_v + cj
         upd = log_s < log_ext if use_min else log_s > log_ext
         log_ext = jnp.where(upd, log_s, log_ext)
         f_ext = jnp.where(upd, f, f_ext)
         return (log_s, log_ext, f_ext, cj + c1)
 
-    init = (jnp.full(shape, log_s0, dtype), jnp.full(shape, log_s0, dtype),
-            jnp.zeros(shape, dtype), c1 * jnp.ones((), dtype))
-    log_s, log_ext, f_ext, _ = jax.lax.fori_loop(0, n_obs, body, init)
+    return step
+
+
+def _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind, put, n_obs,
+                    inv_v, c1):
+    """(p, gd, gv) integrand tiles from the final walk state; shared."""
     s_t = jnp.exp(log_s)
     ext = jnp.exp(log_ext)
     f_t = (log_s - log_s0) * inv_v + c1 * n_obs
@@ -229,6 +234,25 @@ def _greek_walk_quants(log_s0, s0, k, kind, put, use_min, n_obs, inv_v, c1,
     return p, gd, gv
 
 
+def _greek_init(shape, log_s0, c1, dtype):
+    return (jnp.full(shape, log_s0, dtype), jnp.full(shape, log_s0, dtype),
+            jnp.zeros(shape, dtype), c1 * jnp.ones((), dtype))
+
+
+def _greek_walk_quants(log_s0, s0, k, kind, put, use_min, n_obs, inv_v, c1,
+                       drift, vol, z_at, sgn, shape, dtype):
+    """One XLA-backend walk -> (p, gd, gv) integrand tiles."""
+    step = _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min)
+
+    def body(j, carry):
+        return step(z_at(j), carry, sgn)
+
+    log_s, log_ext, f_ext, _ = jax.lax.fori_loop(
+        0, n_obs, body, _greek_init(shape, log_s0, c1, dtype))
+    return _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind, put,
+                           n_obs, inv_v, c1)
+
+
 def _greek_sums(tiles):
     out = []
     for q in tiles:
@@ -239,7 +263,6 @@ def _greek_sums(tiles):
 
 def greek_xla_partials(opt, key, block_offset, plan: Plan, n_blocks: int):
     """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
-    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
     dtype = plan.jdtype
     o = opt.astype(dtype)
     g = opt.n_obs
@@ -279,7 +302,6 @@ def greek_xla_partials(opt, key, block_offset, plan: Plan, n_blocks: int):
 
 def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
                             plan: Plan, n_obs: int, kind: str, put: bool):
-    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
     log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
     drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
                              scal_ref[6])
@@ -287,46 +309,19 @@ def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
     b = pl.program_id(0)
     use_min = _tracks_min(kind, put)
 
+    step_fn = _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min)
+
     def walk(i, sgn):
         seed_prng(seed_ref[0],
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
-        # Inline step + epilogue, kept in sync with _greek_walk_quants
-        # (the XLA twin); walk_pairwise streams the hardware draws so no
-        # (n_obs, ...) tile array ever materializes.
         def step(j, z, carry):
-            log_s, log_ext, f_ext, cj = carry
-            log_s = log_s + drift + vol * (sgn * z)
-            f = (log_s - log_s0) * inv_v + cj
-            upd = log_s < log_ext if use_min else log_s > log_ext
-            log_ext = jnp.where(upd, log_s, log_ext)
-            f_ext = jnp.where(upd, f, f_ext)
-            return (log_s, log_ext, f_ext, cj + c1)
+            return step_fn(z, carry, sgn)
 
-        init = (jnp.full(shape, log_s0, jnp.float32),
-                jnp.full(shape, log_s0, jnp.float32),
-                jnp.zeros(shape, jnp.float32), c1 * 1.0)
-        log_s, log_ext, f_ext, _ = walk_pairwise(shape, n_obs, step, init)
-        s_t = jnp.exp(log_s)
-        ext = jnp.exp(log_ext)
-        f_t = (log_s - log_s0) * inv_v + c1 * n_obs
-        if kind == "floating":
-            p = (ext - s_t) if put else (s_t - ext)
-            gd = p / s0
-            gv = s_t * f_t - ext * f_ext
-            if put:
-                gv = -gv
-        elif put:
-            ind = jnp.where(ext < k, 1.0, 0.0)
-            p = jnp.maximum(k - ext, 0.0)
-            gd = -ind * ext / s0
-            gv = -ind * ext * f_ext
-        else:
-            ind = jnp.where(ext > k, 1.0, 0.0)
-            p = jnp.maximum(ext - k, 0.0)
-            gd = ind * ext / s0
-            gv = ind * ext * f_ext
-        return p, gd, gv
+        log_s, log_ext, f_ext, _ = walk_pairwise(
+            shape, n_obs, step, _greek_init(shape, log_s0, c1, jnp.float32))
+        return _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind,
+                               put, n_obs, inv_v, c1)
 
     def body(i, carry):
         tiles = walk(i, 1.0)
