@@ -62,7 +62,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
-           "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket"]
+           "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
+           "greeks_asian", "greeks_lookback"]
 
 
 def _default_backend() -> str:
@@ -647,7 +648,8 @@ def greeks_asian(opt, n_paths: int, key: jax.Array,
         return mcest.estimate(total[2 * i], total[2 * i + 1], n,
                               discount=disc, n_paths=plan.total_paths)
 
-    return GreeksResult(price=est(0), delta=est(1), vega=est(2))
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
 
 
 def greeks_lookback(opt, n_paths: int, key: jax.Array,

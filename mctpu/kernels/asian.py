@@ -27,7 +27,7 @@ from mctpu.types import AsianOption
 __all__ = ["make_plan", "xla_partials", "pallas_partials",
            "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
 
-N_GREEK_SUMS = 6  # (sum, sum^2) for each of: payoff, delta, vega
+N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega, rho
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -114,8 +114,18 @@ def xla_partials(opt: AsianOption, key: jax.Array, block_offset, plan: Plan,
 # and CRN bumps for the arithmetic average.
 
 
-def _greek_quants(log_s0, s0, k, n_obs, geometric, avg_acc, g_acc):
-    """(p, gd, gv) integrand tiles from the two walk accumulators."""
+def _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar, avg_acc,
+                  g_acc, r_acc):
+    """(p, gd, gv, gr) integrand tiles from the walk accumulators.
+
+    ``gr`` folds the ``-t * P`` discount cross-term into the per-path
+    integrand (like the vanilla kernel's rho), so
+    ``rho = e^{-rt} * E[gr]`` carries an honest independent CI.
+    ``d(s_j)/dr = s_j t_j``: geometric averaging gives
+    ``d(avg)/dr = avg * tbar`` with the CONSTANT ``tbar = mean_j t_j`` —
+    no extra accumulator; arithmetic uses the carried
+    ``r_acc = sum_j s_j t_j``.
+    """
     inv_n = 1.0 / n_obs
     avg = avg_acc * inv_n
     if geometric:
@@ -124,24 +134,28 @@ def _greek_quants(log_s0, s0, k, n_obs, geometric, avg_acc, g_acc):
     p = jnp.maximum(avg - k, 0.0)
     gd = ind * avg / s0
     gv = ind * ((avg * g_acc * inv_n) if geometric else (g_acc * inv_n))
-    return p, gd, gv
+    davg_dr = (avg * tbar) if geometric else (r_acc * inv_n)
+    gr = ind * davg_dr - t * p
+    return p, gd, gv, gr
 
 
-def _greek_step(log_s0, drift, vol, inv_v, c1, geometric):
-    """Walk step advancing (log_s, avg_acc, g_acc, cj).
+def _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric):
+    """Walk step advancing (log_s, avg_acc, g_acc, r_acc, cj, tj).
 
-    ``cj`` carries ``c1 * (j+1)`` as a running scalar sum — TPUs have no
-    fast int->float cast, so deriving it from the loop counter would put
-    a scalar conversion on every step's critical path.
+    ``cj``/``tj`` carry ``c1 * (j+1)`` / ``t_j`` as running scalar sums —
+    TPUs have no fast int->float cast, so deriving them from the loop
+    counter would put a scalar conversion on every step's critical path.
     """
     def step(j, z, carry, sgn):
-        log_s, acc, gacc, cj = carry
+        log_s, acc, gacc, racc, cj, tj = carry
         log_s = log_s + drift + vol * (sgn * z)
         f = (log_s - log_s0) * inv_v + cj
         if geometric:
-            return (log_s, acc + log_s, gacc + f, cj + c1)
+            # racc is unused (d(avg)/dr has the constant factor tbar).
+            return (log_s, acc + log_s, gacc + f, racc, cj + c1, tj)
         s = jnp.exp(log_s)
-        return (log_s, acc + s, gacc + s * f, cj + c1)
+        return (log_s, acc + s, gacc + s * f, racc + s * tj,
+                cj + c1, tj + dt)
 
     return step
 
@@ -167,16 +181,19 @@ def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
     c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
     log_s0 = jnp.log(jnp.asarray(o.s, dtype))
     shape = (plan.rows, LANES)
-    step = _greek_step(log_s0, drift, vol, inv_v, c1, geometric)
+    tbar = dt * (g + 1) / 2.0
+    step = _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric)
 
     def walk(z_seq, sgn):
         def body(j, carry):
             return step(j, z_seq[j], carry, sgn)
 
         init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype),
-                jnp.zeros(shape, dtype), c1)
-        _, acc, gacc, _ = jax.lax.fori_loop(0, g, body, init)
-        return _greek_quants(log_s0, o.s, o.k, g, geometric, acc, gacc)
+                jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), c1, dt)
+        _, acc, gacc, racc, _, _ = jax.lax.fori_loop(0, g, body, init)
+        return _greek_quants(log_s0, o.s, o.k, g, geometric,
+                             jnp.asarray(o.t, dtype), tbar, acc, gacc,
+                             racc)
 
     def block_fn(bkey):
         def body(i, carry):
@@ -201,9 +218,10 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
     log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
     drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
                              scal_ref[6])
+    dt, t, tbar = scal_ref[7], scal_ref[8], scal_ref[9]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
-    step = _greek_step(log_s0, drift, vol, inv_v, c1, geometric)
+    step = _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric)
 
     def walk(i, sgn):
         seed_prng(seed_ref[0],
@@ -214,9 +232,12 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
 
         init = (jnp.full(shape, log_s0, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32), c1 * 1.0)
-        _, acc, gacc, _ = walk_pairwise(shape, n_obs, pair_step, init)
-        return _greek_quants(log_s0, s0, k, n_obs, geometric, acc, gacc)
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32), c1 * 1.0, dt * 1.0)
+        _, acc, gacc, racc, _, _ = walk_pairwise(shape, n_obs, pair_step,
+                                                 init)
+        return _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar,
+                             acc, gacc, racc)
 
     def body(i, carry):
         tiles = walk(i, 1.0)
@@ -244,8 +265,10 @@ def greek_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
         dt = jnp.asarray(o.t, jnp.float32) / g
         inv_v = 1.0 / jnp.asarray(o.v, jnp.float32)
         c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
+        tbar = dt * (g + 1) / 2.0
         scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.s, o.k,
-                          drift, vol, inv_v, c1])
+                          drift, vol, inv_v, c1, dt,
+                          jnp.asarray(o.t, jnp.float32), tbar])
         kernel = functools.partial(_asian_greeks_kernel, plan=plan,
                                    n_obs=g,
                                    geometric=opt.average == "geometric")

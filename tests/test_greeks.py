@@ -136,11 +136,12 @@ class TestEngineGreeksAsian:
                           average="geometric")
         g = engine.greeks_asian(geo, 1 << 19, KEY, self._cfg())
 
-        def cf(s, v):
-            return mcmath.geometric_asian_call(s, 100.0, 0.05, v, 1.0, 12)
+        def cf(s, v, r):
+            return mcmath.geometric_asian_call(s, 100.0, r, v, 1.0, 12)
 
-        d_cf = jax.grad(cf, argnums=(0, 1))(100.0, 0.2)
-        for mc, ref in ((g.delta, d_cf[0]), (g.vega, d_cf[1])):
+        d_cf = jax.grad(cf, argnums=(0, 1, 2))(100.0, 0.2, 0.05)
+        for mc, ref in ((g.delta, d_cf[0]), (g.vega, d_cf[1]),
+                        (g.rho, d_cf[2])):
             z = abs(float(mc.price) - float(ref)) / float(mc.std_error)
             assert z < 4, (float(mc.price), float(ref), z)
 
@@ -175,6 +176,23 @@ class TestEngineGreeksAsian:
         hv = 0.005
         fd_vega = (price(100.0, 0.25 + hv) - price(100.0, 0.25 - hv)) / (2 * hv)
         assert float(g.vega.price) == pytest.approx(fd_vega, rel=0.05)
+
+    def test_arithmetic_rho_matches_crn_bump(self):
+        from mctpu import engine
+        from mctpu.types import AsianOption
+
+        def price(r):
+            opt = AsianOption(100.0, 100.0, r, 0.25, 1.0, n_obs=16,
+                              average="arithmetic")
+            return float(engine.price_asian(opt, 1 << 18, KEY,
+                                            self._cfg()).price)
+
+        g = engine.greeks_asian(
+            AsianOption(100.0, 100.0, 0.05, 0.25, 1.0, n_obs=16,
+                        average="arithmetic"), 1 << 18, KEY, self._cfg())
+        hr = 0.002
+        fd_rho = (price(0.05 + hr) - price(0.05 - hr)) / (2 * hr)
+        assert float(g.rho.price) == pytest.approx(fd_rho, rel=0.05)
 
     def test_antithetic_variant(self):
         from mctpu import engine
