@@ -170,7 +170,8 @@ def _greek_sums(tiles):
 
 def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
                        plan: Plan, n_blocks: int):
-    """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
+    """Per-block Greek partials ``(n_blocks, 8)``: payoff/delta/vega/rho
+    (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     g = opt.n_obs
@@ -256,7 +257,7 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
 
 def greek_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
                           n_blocks: int, interpret: bool = False):
-    """Per-block Greek partials ``(n_blocks, 6)``, fused on TPU."""
+    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)

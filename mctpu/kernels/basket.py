@@ -125,7 +125,8 @@ def asset_major_ops(opt: BasketOption, chol, dtype):
     return jnp.asarray(chol, dtype), params
 
 
-def _asset_major_payoff(zs, lt_at, par_at, k, a: int, antithetic: bool):
+def _asset_major_payoff(zs, lt_at, par_at, k, a: int, antithetic: bool,
+                        with_value: bool = False):
     """Basket payoff of one path tile from ``a`` asset normal tiles.
 
     ``zs``: list of ``a`` (rows, 128) tiles; ``lt_at(i, j)``/``par_at(r, i)``
@@ -133,6 +134,9 @@ def _asset_major_payoff(zs, lt_at, par_at, k, a: int, antithetic: bool):
     The correlation ``bt_i = sum_j L_ij z_j`` is lower-triangular
     broadcast-scalar FMAs; the antithetic mirror flips the ``L z`` term
     only (the Brownian offset ``d`` is deterministic).
+
+    ``with_value=True`` additionally returns the undiscounted terminal
+    basket value (the control-variate tile, pair-meaned like the payoff).
     """
     def pay(sgn):
         basket = None
@@ -144,11 +148,15 @@ def _asset_major_payoff(zs, lt_at, par_at, k, a: int, antithetic: bool):
             arg = par_at(0, i) + par_at(1, i) * (sgn * bt + par_at(2, i))
             term = par_at(3, i) * jnp.exp(arg)
             basket = term if basket is None else basket + term
-        return jnp.maximum(basket - k, 0.0)
+        return jnp.maximum(basket - k, 0.0), basket
 
     if antithetic:
-        return 0.5 * (pay(1.0) + pay(-1.0))
-    return pay(1.0)
+        p1, c1 = pay(1.0)
+        p2, c2 = pay(-1.0)
+        p, c = 0.5 * (p1 + p2), 0.5 * (c1 + c2)
+    else:
+        p, c = pay(1.0)
+    return (p, c) if with_value else p
 
 
 def pack_assets(opt: BasketOption, chol, dtype, lanes: int = LANES):
@@ -193,7 +201,8 @@ def pack_assets(opt: BasketOption, chol, dtype, lanes: int = LANES):
             "chol_bd": chol_bd, "wsel": wsel}
 
 
-def _payoff_tile(ops, k, z, antithetic: bool, mxu: bool):
+def _payoff_tile(ops, k, z, antithetic: bool, mxu: bool,
+                 with_value: bool = False):
     """Basket payoffs of one (rows, width) normal tile -> ``(rows, c)``;
     pair-mean if antithetic.
 
@@ -205,6 +214,9 @@ def _payoff_tile(ops, k, z, antithetic: bool, mxu: bool):
     one ``wsel`` matmul; the XLA twin uses a reshape-sum instead — a batched
     dot's reduction order may vary with the vmap batch size, which would
     break the bitwise mesh-invariance contract the engine tests enforce.
+
+    ``with_value=True`` additionally returns the terminal basket value
+    (the control-variate tile, pair-meaned like the payoff).
     """
     c = ops["wsel"].shape[1]
     a_tile = ops["chol_bd"].shape[0] // c
@@ -222,11 +234,15 @@ def _payoff_tile(ops, k, z, antithetic: bool, mxu: bool):
             w_row = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
             prod = s_t * w_row
             basket = prod.reshape(prod.shape[0], c, a_tile).sum(axis=-1)
-        return jnp.maximum(basket - k, 0.0)
+        return jnp.maximum(basket - k, 0.0), basket
 
     if antithetic:
-        return 0.5 * (pay(z) + pay(-z))
-    return pay(z)
+        p1, c1 = pay(z)
+        p2, c2 = pay(-z)
+        p, cv = 0.5 * (p1 + p2), 0.5 * (c1 + c2)
+    else:
+        p, cv = pay(z)
+    return (p, cv) if with_value else p
 
 
 # ---------------------------------------------------------------------------

@@ -24,14 +24,19 @@ __all__ = ["Plan", "LANES", "GRID_SEMANTICS", "seed_prng",
 
 LANES = 128
 
-# Grid dimension semantics shared by every kernel: simulation blocks are
-# fully independent (each seeds its own counter stream, writes disjoint
-# output rows, and zeroes its own scratch at instance start), so the grid
-# is declared "parallel" — Mosaic may split it across TensorCores on
-# megacore parts (v4/v5p).  On single-core v5e this is equivalent to
-# "arbitrary"; block values are core-assignment-invariant by construction
-# (per-block seeding).
-GRID_SEMANTICS = ("parallel",)
+# Grid dimension semantics shared by every kernel.  Simulation blocks are
+# logically independent (each seeds its own counter stream and writes
+# disjoint output ROWS), but most kernels write those rows into one
+# full-array output block with no index_map — and Pallas's "parallel"
+# contract is BLOCK-level: every grid iteration revisiting the same
+# resident output block is exactly the case where a megacore part
+# (v4/v5p) may hold two private copies and garble the writeback.
+# Element-level row disjointness does not satisfy that contract, so the
+# grid is declared "arbitrary" (sequential) until the outputs are blocked
+# per-iteration AND bitwise shard-invariance is validated on a real
+# megacore part.  On single-core chips (v5e — the bench hardware) this is
+# performance-neutral: the grid runs serially either way.
+GRID_SEMANTICS = ("arbitrary",)
 
 # ---------------------------------------------------------------------------
 # Interpret-mode PRNG emulation

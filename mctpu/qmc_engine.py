@@ -458,6 +458,11 @@ def _rqmc_estimate(partials, n_pts: int, disc, f32: bool = True) -> McResult:
 
 
 def _rqmc_layout(cfg: EngineConfig, n_points: int, replicates: int):
+    if replicates < 2:
+        raise ValueError(
+            f"replicates={replicates}: the RQMC randomization CI is the "
+            "spread over >= 2 digitally-shifted replicates (1 replicate "
+            "has no spread — its CI would be 0/0)")
     rows = cfg.rows
     if cfg.auto_shrink:
         while rows > 8 and rows * LANES > n_points:
