@@ -21,7 +21,8 @@ def main(argv=None):
     p.add_argument("--product",
                    choices=["asian", "barrier", "american", "heston",
                             "lookback", "rainbow", "basket-asian",
-                            "basket-barrier"],
+                            "basket-barrier", "varswap", "ladder", "rqmc",
+                            "mlmc", "cva-multi", "is"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -41,6 +42,10 @@ def main(argv=None):
     p.add_argument("--scheme", choices=["euler", "qe"], default="euler",
                    help="heston discretization (qe = Andersen 2008, "
                         "effectively unbiased at coarse grids)")
+    p.add_argument("--eps", type=float, default=0.02,
+                   help="MLMC root-mean-square error target")
+    p.add_argument("--replicates", type=int, default=16,
+                   help="RQMC digital-shift replicates (the CI unit)")
     args = p.parse_args(argv)
 
     n = common.n_paths(args)
@@ -144,6 +149,137 @@ def main(argv=None):
                             extra="  (asset-steps/s)")
         ora = orafn(opt, min(n, 1 << 15), seed=args.seed)
         print(f"numpy oracle: {ora.price:.6f} ± {ora.ci:.6f}")
+        return 0
+
+    if args.product == "varswap":
+        from mctpu.types import VanillaOption
+        opt = VanillaOption(**base)
+        engine.fair_variance_strike(opt, n, key, cfg, n_obs=args.obs)
+        res, dt = common.timed(engine.fair_variance_strike, opt, n, key,
+                               cfg, n_obs=args.obs)
+        common.print_result(f"varswap/gbm n={args.obs}", res.price, res.ci,
+                            dt, res.n_paths * args.obs,
+                            extra="  (path-steps/s)")
+        exact = (args.vol ** 2 + (args.rate - 0.5 * args.vol ** 2) ** 2
+                 * args.maturity / args.obs)
+        print(f"exact discrete fair strike: {exact:.8f} "
+              f"(continuous: {args.vol ** 2:.6f})")
+        return 0
+
+    if args.product == "ladder":
+        import numpy as np
+
+        from mctpu.types import VanillaOption
+        opt = VanillaOption(**base)
+        strikes = np.linspace(0.8 * args.strike, 1.2 * args.strike, 9)
+        engine.price_vanilla_ladder(opt, strikes, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_vanilla_ladder, opt, strikes,
+                               n, key, cfg)
+        rate = res.n_paths / max(dt, 1e-12)
+        print(f"strike ladder ({len(strikes)} strikes, ONE path sweep; "
+              f"{rate:.3e} paths/s):")
+        prices = np.asarray(res.price)
+        cis = np.asarray(res.ci)
+        for j, kk in enumerate(strikes):
+            bs = float(mcmath.bs_call(args.spot, kk, args.rate, args.vol,
+                                      args.maturity))
+            print(f"  K={kk:7.2f}  mc {prices[j]:9.6f} ± {cis[j]:.6f}   "
+                  f"bs {bs:9.6f}   |z| "
+                  f"{abs(prices[j] - bs) / max(cis[j] / 1.96, 1e-12):.2f}")
+        return 0
+
+    if args.product == "rqmc":
+        from mctpu import qmc_engine
+        from mctpu.types import VanillaOption
+        reps = args.replicates
+        opt = VanillaOption(**base)
+        qmc_engine.price_vanilla_rqmc(opt, n, key, cfg, replicates=reps)
+        res, dt = common.timed(qmc_engine.price_vanilla_rqmc, opt, n, key,
+                               cfg, replicates=reps)
+        common.print_result(f"rqmc vanilla ({reps} replicates)", res.price,
+                            res.ci, dt, res.n_paths, extra="  (points/s)")
+        bs = float(mcmath.bs_call(args.spot, args.strike, args.rate,
+                                  args.vol, args.maturity))
+        mc = engine.price_vanilla(opt, res.n_paths, key, cfg)
+        print(f"bs closed form: {bs:.6f}   plain-MC CI at same paths: "
+              f"±{float(mc.ci):.6f} (RQMC tightens "
+              f"{float(mc.ci) / max(float(res.ci), 1e-12):.0f}x)")
+        aop = AsianOption(n_obs=args.obs, average=args.average, **base)
+        ra, dta = common.timed(qmc_engine.price_asian_rqmc, aop,
+                               max(n // args.obs, 1 << 12), key, cfg,
+                               replicates=reps)
+        common.print_result(f"rqmc asian/{args.average} (bridge)", ra.price,
+                            ra.ci, dta, ra.n_paths * args.obs,
+                            extra="  (path-steps/s)")
+        if args.average == "geometric":
+            geo = float(mcmath.geometric_asian_call(
+                args.spot, args.strike, args.rate, args.vol, args.maturity,
+                args.obs))
+            print(f"geometric closed form: {geo:.6f}")
+        return 0
+
+    if args.product == "mlmc":
+        from mctpu import mlmc
+        from mctpu.models import heston as mheston
+        from mctpu.types import HestonOption
+        opt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
+                           t=args.maturity, v0=args.vol ** 2, kappa=2.0,
+                           theta=args.vol ** 2, xi=0.3, rho=-0.7)
+        res, dt = common.timed(mlmc.price_heston_mlmc, opt, args.eps, key,
+                               config=cfg)
+        print(f"mlmc heston/euler eps={args.eps}: {res.price:.6f} "
+              f"± {res.ci:.6f}   [{dt:.3f} s, "
+              f"{res.total_path_steps / dt:.3e} path-steps/s]")
+        print(f"characteristic-function price: "
+              f"{float(mheston.cf_call_price(opt)):.6f}")
+        print("level  steps     paths        E[dP]        Var[dP]")
+        for lv in res.levels:
+            print(f"  {lv.level}    {lv.n_steps:5d}  {lv.n_paths:9d}  "
+                  f"{lv.mean:+.3e}   {lv.var:.3e}")
+        return 0
+
+    if args.product == "cva-multi":
+        import numpy as np
+
+        from mctpu.types import CvaMultiSpec
+        m = max(2, args.assets)
+        corr = np.full((m, m), 0.5)
+        np.fill_diagonal(corr, 1.0)
+        spec = CvaMultiSpec(
+            intensity=0.03, lgd=0.6, s=np.full(m, args.spot),
+            v=np.full(m, args.vol), corr=corr, r=args.rate,
+            t=args.maturity, strikes=np.full(m, args.strike),
+            weights=np.full(m, 1.0 / m), n_grid=args.obs)
+        engine.price_cva_multi(spec, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_cva_multi, spec, n, key, cfg)
+        common.print_result(f"cva-multi ({m} underlyings, grid {args.obs})",
+                            res.cva, res.ci, dt,
+                            res.n_paths * args.obs * m,
+                            extra="  (asset-steps/s)")
+        cf = float(mcmath.cva_multi_closed_form(
+            0.03, 0.6, spec.s, spec.v, spec.strikes, spec.weights,
+            args.rate, args.maturity, args.obs))
+        print(f"closed form (all-long): {cf:.6f}   "
+              f"z = {(float(res.cva) - cf) / float(res.std_error):+.2f}")
+        return 0
+
+    if args.product == "is":
+        from mctpu.types import VanillaOption
+        # Importance sampling shines deep OTM; default to 2x spot.
+        k_otm = max(args.strike, 2.0 * args.spot)
+        opt = VanillaOption(s=args.spot, k=k_otm, r=args.rate, v=args.vol,
+                            t=args.maturity)
+        theta = variance.optimal_tilt(opt)
+        variance.price_vanilla_is(opt, n, key, cfg)  # compile
+        res, dt = common.timed(variance.price_vanilla_is, opt, n, key, cfg)
+        common.print_result(f"importance-sampled K={k_otm:.0f} "
+                            f"(tilt {theta:.2f})", res.price, res.ci, dt,
+                            res.n_paths, extra="  (paths/s)")
+        bs = float(mcmath.bs_call(args.spot, k_otm, args.rate, args.vol,
+                                  args.maturity))
+        mc = engine.price_vanilla(opt, n, key, cfg)
+        print(f"bs closed form: {bs:.8f}   plain-MC CI: ±{float(mc.ci):.2e}"
+              f"  (IS tightens {float(mc.ci) / max(float(res.ci), 1e-30):.0f}x)")
         return 0
 
     if args.product == "heston":

@@ -63,7 +63,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
-           "greeks_asian", "greeks_lookback"]
+           "greeks_asian", "greeks_lookback", "greeks_cva"]
 
 
 def _default_backend() -> str:
@@ -714,6 +714,8 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_asian(opt, n_paths, key, config)
     if isinstance(opt, LookbackOption):
         return greeks_lookback(opt, n_paths, key, config)
+    if isinstance(opt, (CvaSpec, CvaPortfolioSpec)):
+        return greeks_cva(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
                     "see mctpu.greeks for autodiff/CRN fallbacks")
 
@@ -921,7 +923,8 @@ def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
     anti = 2 if cfg.antithetic else 1
     blocks, rows = cfg.layout_for(n_paths, kcva.LANES * anti)
     plan = kcva.make_plan(n_paths, blocks, rows, cfg.antithetic,
-                          cfg.dtype_str, cfg.precision.kahan)
+                          cfg.dtype_str, cfg.precision.kahan,
+                          ds=cfg.precision.ds)
     # Static wrong-way-risk switch: wwr_b == 0 keeps the reference's
     # deterministic default leg (and its exact numerics) compiled in.
     wwr = not _concrete_zero(port.wwr_b)
@@ -962,3 +965,61 @@ def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
         n=n,
         n_paths=plan.total_paths,
     )
+
+
+def greeks_cva(spec, n_paths: int, key: jax.Array,
+               config: EngineConfig = EngineConfig()) -> "CvaGreeksResult":
+    """CVA + pathwise credit delta / spot delta / vega, fused in one sweep.
+
+    Accepts a :class:`CvaSpec` or :class:`CvaPortfolioSpec` (netting +
+    wrong-way risk).  Runs the flagship engine contract on 8 accumulators
+    (:mod:`mctpu.kernels.cva`, Greeks section): fused Pallas kernel (or
+    XLA twin), mesh-sharded blocks, fixed-order f64 combine, the CVA
+    estimator's undiscounted-mean semantics for every output.  The WWR
+    variant carries forward-mode hazard sensitivities
+    (dsurv/dlambda, dsurv/dv) through the walk.  Gated against finite
+    differences of :func:`mctpu.math.cva_closed_form` and CRN bumps in
+    ``tests/test_greeks.py``; twin of the missing Greeks tier for
+    ``cvaCallOptMC`` (``MonteCarloKernel.cu:223-284``).
+    """
+    from mctpu.types import CvaGreeksResult
+
+    if isinstance(spec, CvaSpec):
+        spec = CvaPortfolioSpec.from_single(spec)
+    spec.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kcva.LANES * anti)
+    plan = kcva.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                          cfg.dtype_str, cfg.precision.kahan)
+    wwr = not _concrete_zero(spec.wwr_b)
+    cache_key = ("greeks_cva", spec.n_grid, spec.n_options, wwr, plan,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(sp, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kcva.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret, wwr=wwr)
+            else:
+                fn = lambda a, off, nb: kcva.greek_xla_partials(
+                    a[0], a[1], off, plan, nb, wwr=wwr)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (sp, k),
+                                     P(PATH_AXIS, None))
+            return pairwise_tree_sum(
+                jnp.asarray(partials, mcest.wide_dtype()), axis=0)
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total = runner(spec, key)
+    n = plan.total_units
+
+    def est(i):
+        # CVA semantics: undiscounted mean (MonteCarloKernel.cu:467).
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=1.0, n_paths=plan.total_paths)
+
+    return CvaGreeksResult(cva=est(0), credit_delta=est(1), delta=est(2),
+                           vega=est(3))

@@ -175,6 +175,9 @@ class Plan:
     antithetic: bool
     dtype: str = "float32"  # hot-loop compute dtype
     kahan: bool = True
+    # Double-single carried walk state (Precision.F32_DS); honored by the
+    # serial grid kernels (CVA), ignored by terminal-sampling kernels.
+    ds: bool = False
 
     @property
     def jdtype(self):
@@ -194,7 +197,8 @@ class Plan:
 
     @staticmethod
     def plan(n_paths: int, num_blocks: int, rows: int, paths_per_iter: int,
-             units_per_iter: int, antithetic: bool, dtype: str, kahan: bool) -> "Plan":
+             units_per_iter: int, antithetic: bool, dtype: str, kahan: bool,
+             ds: bool = False) -> "Plan":
         iters = max(1, -(-n_paths // (num_blocks * paths_per_iter)))
         return Plan(
             num_blocks=num_blocks,
@@ -205,6 +209,7 @@ class Plan:
             antithetic=antithetic,
             dtype=dtype,
             kahan=kahan,
+            ds=ds,
         )
 
 

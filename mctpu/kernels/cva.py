@@ -33,15 +33,22 @@ from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaPortfolioSpec
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials", "node_constants"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "node_constants",
+           "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
+
+# (sum, sum^2) for each of: CVA, credit delta (dCVA/dlambda), spot delta
+# (dCVA/dS0), vega (dCVA/dv).
+N_GREEK_SUMS = 8
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
-              dtype: str = "float32", kahan: bool = True) -> Plan:
+              dtype: str = "float32", kahan: bool = True,
+              ds: bool = False) -> Plan:
     # One (rows, 128) tile of paths walks the whole grid per iteration.
     units = rows * LANES
     paths = units * (2 if antithetic else 1)
-    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic, dtype, kahan)
+    return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
+                     dtype, kahan, ds)
 
 
 def node_constants(port: CvaPortfolioSpec, dtype):
@@ -123,7 +130,7 @@ def _wwr_hazard_step(log_rel, surv, mu_j, isig_j, lam, bw, dt):
 
 
 def _exposure_log(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
-                  vsig_j, disc_j, last, n_options: int):
+                  vsig_j, disc_j, last, n_options: int, log_lo=None):
     """Netted portfolio exposure at one node, from the log-space walk state.
 
     Per option: BS value with the Hastings CDF from per-node constants
@@ -137,10 +144,16 @@ def _exposure_log(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
     systematically ~-1.6e-6 relative, which compounds to a -8e-4 spot bias
     over 500 multiplicative steps — a 4-sigma CVA miss at 2^21 paths.  One
     non-compounding exp per node recovers ``s``.
+
+    ``log_lo``: the low word of a double-single carried log-spot
+    (Precision.F32_DS) — added AFTER the cancellation-prone strike
+    subtraction so its bits survive into ``d1``.
     """
     value = None
     for m in range(n_options):
         d1 = (log_s - log_strikes[m] + c1_j) * isig_j
+        if log_lo is not None:
+            d1 = d1 + log_lo * isig_j
         d2 = d1 - vsig_j
         bs = s * mcmath.norm_cdf_hastings(d1) \
             - strikes[m] * disc_j * mcmath.norm_cdf_hastings(d2)
@@ -148,6 +161,106 @@ def _exposure_log(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
         term = weights[m] * v_m
         value = term if value is None else value + term
     return jnp.maximum(value, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pathwise CVA Greeks (credit delta, spot delta, vega) — shared math
+# ---------------------------------------------------------------------------
+# CVA = lgd * E[sum_j dp_j ee_j]; the log-space walk makes the pathwise
+# sensitivities cheap (same trick as kernels/asian.py):
+#
+#   credit delta (dCVA/dlambda):
+#     deterministic leg: d(dp_j)/dlambda is a precomputed node table
+#       (t_j e^{-lam t_j} - t_{j-1} e^{-lam t_{j-1}});
+#     WWR leg: forward-mode carry of dsurv/dlambda through the hazard walk.
+#   spot delta (dCVA/dS0): d(ee_j)/dS0 = 1{V>0} * (s_j/S0) * sum w_m N(d1_m)
+#     (GBM homogeneity: ds_j/dS0 = s_j/S0); the default leg has no S0
+#     dependence even under WWR (log_rel = log(S_j/S_0) cancels S0).
+#   vega (dCVA/dv): carries dxv_j = d(log s_j)/dv = -v t_j + sqrt(dt) W_j
+#     (one FMA per step); then d(ee_j)/dv = 1{V>0} * [sum w_m N(d1_m)
+#     * s_j dxv_j + s_j phi(d1_m) sqrt(tau_j)] (BS vega term), and under
+#     WWR additionally d(dp_j)/dv via the hazard's zstd sensitivity.
+#
+# Pathwise differentiation is unbiased here: the payoff kinks (exposure
+# floor, intrinsic at the last node) have measure zero (Glasserman 7.2).
+# Gated against finite differences of the exact closed form and CRN bumps
+# in tests/test_greeks.py.
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def credit_delta_weights(port: CvaPortfolioSpec, dtype):
+    """Node table ``d(dp_j)/dlambda`` of the deterministic default leg."""
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    lam = jnp.asarray(port.intensity, dtype)
+    j = jnp.arange(0, g + 1, dtype=dtype)
+    tj = t * j / g
+    w = tj * jnp.exp(-lam * tj)
+    return (w[1:] - w[:-1]).astype(dtype)
+
+
+def wwr_grad_constants(port: CvaPortfolioSpec, dtype):
+    """Vega sensitivities of the WWR standardization constants:
+    ``dmu_j = -v t_j``, ``disig_j = -isig_j / v``."""
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    v = jnp.asarray(port.v, dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    t_j = t * j / g
+    dmu = -v * t_j
+    disig = -1.0 / (v * v * jnp.sqrt(t_j))
+    return dmu.astype(dtype), disig.astype(dtype)
+
+
+def _exposure_grads(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
+                    vsig_j, disc_j, inv_v, last, n_options: int):
+    """(ee, dV_ds, vega_bs) at one node from the log-space walk state.
+
+    ``dV_ds``: 1{V>0} * sum_m w_m N(d1_m) (indicator selects at the last
+    node); ``vega_bs``: 1{V>0} * sum_m w_m s phi(d1_m) sqrt(tau_j) — the
+    explicit-sigma BS vega (0 at the last node).  ``sqrt(tau_j)`` is
+    recovered as ``vsig_j / v``.
+    """
+    value = dvds = veg = None
+    for m in range(n_options):
+        d1 = (log_s - log_strikes[m] + c1_j) * isig_j
+        d2 = d1 - vsig_j
+        nd1 = mcmath.norm_cdf_hastings(d1)
+        bs = s * nd1 - strikes[m] * disc_j * mcmath.norm_cdf_hastings(d2)
+        itm = jnp.where(s > strikes[m], 1.0, 0.0)
+        v_m = jnp.where(last, jnp.maximum(s - strikes[m], 0.0), bs)
+        dv_m = jnp.where(last, itm, nd1)
+        phi = _INV_SQRT_2PI * jnp.exp(-0.5 * d1 * d1)
+        veg_m = jnp.where(last, 0.0, s * phi * vsig_j * inv_v)
+        value = weights[m] * v_m if value is None else value + weights[m] * v_m
+        dvds = weights[m] * dv_m if dvds is None else dvds + weights[m] * dv_m
+        veg = weights[m] * veg_m if veg is None else veg + weights[m] * veg_m
+    ind = jnp.where(value > 0.0, 1.0, 0.0)
+    return jnp.maximum(value, 0.0), ind * dvds, ind * veg
+
+
+def _wwr_hazard_step_grads(log_rel, dxv, surv, dsl, dsv, mu_j, isig_j,
+                           dmu_j, disig_j, lam, bw, dt):
+    """One WWR hazard step with forward-mode (lambda, v) sensitivities.
+
+    Returns updated ``(surv, dsl, dsv)`` carries and the node's
+    ``(dp, ddp_dlambda, ddp_dv)``.  ``dE/dh = e^{-h dt} dt`` (exact for
+    both the direct and the series branch to the tolerance used).
+    """
+    zstd = (log_rel - mu_j) * isig_j
+    h = lam * jnp.exp(bw * zstd - 0.5 * bw * bw)
+    y = h * dt
+    series = y * (1.0 + y * (-0.5 + y * (1.0 / 6.0)))
+    emy = jnp.exp(-y)
+    e = jnp.where(y < 0.01, series, 1.0 - emy)
+    dp = surv * e
+    de_dh = emy * dt
+    dh_dl = h / lam
+    dh_dv = h * bw * ((dxv - dmu_j) * isig_j + (log_rel - mu_j) * disig_j)
+    ddp_l = dsl * e + surv * de_dh * dh_dl
+    ddp_v = dsv * e + surv * de_dh * dh_dv
+    return (surv - dp, dsl - ddp_l, dsv - ddp_v, dp, ddp_l, ddp_v)
 
 
 # ---------------------------------------------------------------------------
@@ -176,25 +289,44 @@ def xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
     dt = jnp.asarray(sp.t, dtype) / g
     shape = (plan.rows, LANES)
 
+    ds = plan.ds
+
     def walk(z_seq, sgn):
         def body(j, carry):
-            log_s, surv, acc, ee_sums = carry
-            log_s = log_s + drift + vol * (sgn * z_seq[j])
-            s = jnp.exp(log_s)
-            ee = _exposure_log(s, log_s, log_k, sp.strikes, sp.weights,
-                               c1[j], isig_bs[j], vsig[j], disc[j],
-                               j == g - 1, m)
+            log_st, surv, acc, ee_sums = carry
+            inc = drift + vol * (sgn * z_seq[j])
+            if ds:
+                # Double-single carried log-spot (Precision.F32_DS): the
+                # running sum stays exact to ~2^-48; one renormalized
+                # read per node (see mctpu.utils.accum).
+                from mctpu.utils.accum import ds_add
+                hi, lo = ds_add(log_st[0], log_st[1], inc)
+                log_st = (hi, lo)
+                s = jnp.exp(hi) * (1.0 + lo)
+                ee = _exposure_log(s, hi, log_k, sp.strikes, sp.weights,
+                                   c1[j], isig_bs[j], vsig[j], disc[j],
+                                   j == g - 1, m, log_lo=lo)
+                log_rel = (hi - log_s0) + lo
+            else:
+                log_st = log_st + inc
+                s = jnp.exp(log_st)
+                ee = _exposure_log(s, log_st, log_k, sp.strikes,
+                                   sp.weights, c1[j], isig_bs[j], vsig[j],
+                                   disc[j], j == g - 1, m)
+                log_rel = log_st - log_s0
             if wwr:
-                surv, dp_j = _wwr_hazard_step(log_s - log_s0, surv, mu[j],
+                surv, dp_j = _wwr_hazard_step(log_rel, surv, mu[j],
                                               isig[j], sp.intensity,
                                               sp.wwr_b, dt)
             else:
                 dp_j = dp[j]
             acc = acc + dp_j * ee
             ee_sums = ee_sums.at[j].add(jnp.sum(ee))
-            return (log_s, surv, acc, ee_sums)
+            return (log_st, surv, acc, ee_sums)
 
-        init = (jnp.full(shape, log_s0, dtype), jnp.ones(shape, dtype),
+        full = jnp.full(shape, log_s0, dtype)
+        log0 = (full, jnp.zeros(shape, dtype)) if ds else full
+        init = (log0, jnp.ones(shape, dtype),
                 jnp.zeros(shape, dtype), jnp.zeros((g,), dtype))
         _, _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
         return sp.lgd * acc, ee_sums
@@ -251,17 +383,32 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref, dp_ref,
         sgn_half = 0.5 if plan.antithetic else 1.0
 
         def step(j, z, carry):
-            log_s, surv, acc = carry
+            log_st, surv, acc = carry
             # Log-space walk: an exact f32 SUM, not a product of hardware
             # exps (TPU f32 exp is ~-1.6e-6 relative, compounding to a
             # -8e-4 spot bias over 500 steps — see _exposure_log).
-            log_s = log_s + drift + vol * (sgn * z)
-            s = jnp.exp(log_s)
-            ee = _exposure_log(s, log_s, logk_ref, k_ref, w_ref, c1_ref[j],
-                               isigbs_ref[j], vsig_ref[j], disc_ref[j],
-                               j == n_grid - 1, n_options)
+            inc = drift + vol * (sgn * z)
+            if plan.ds:
+                # Precision.F32_DS: double-single carried log-spot (the
+                # on-chip f64-grade walk; see mctpu.utils.accum).
+                from mctpu.utils.accum import ds_add
+                hi, lo = ds_add(log_st[0], log_st[1], inc)
+                log_st = (hi, lo)
+                s = jnp.exp(hi) * (1.0 + lo)
+                ee = _exposure_log(s, hi, logk_ref, k_ref, w_ref,
+                                   c1_ref[j], isigbs_ref[j], vsig_ref[j],
+                                   disc_ref[j], j == n_grid - 1, n_options,
+                                   log_lo=lo)
+                log_rel = (hi - log_s0) + lo
+            else:
+                log_st = log_st + inc
+                s = jnp.exp(log_st)
+                ee = _exposure_log(s, log_st, logk_ref, k_ref, w_ref,
+                                   c1_ref[j], isigbs_ref[j], vsig_ref[j],
+                                   disc_ref[j], j == n_grid - 1, n_options)
+                log_rel = log_st - log_s0
             if wwr:
-                surv, dp_j = _wwr_hazard_step(log_s - log_s0, surv,
+                surv, dp_j = _wwr_hazard_step(log_rel, surv,
                                               mu_ref[j], isig_ref[j],
                                               lam, bw, dt)
             else:
@@ -280,9 +427,11 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref, dp_ref,
                 prof_scratch[pl.ds(j, 1), :] = t
             else:
                 prof_scratch[pl.ds(j, 1), :] += row
-            return (log_s, surv, acc)
+            return (log_st, surv, acc)
 
-        init = (jnp.full(shape, log_s0, jnp.float32),
+        full = jnp.full(shape, log_s0, jnp.float32)
+        log0 = (full, jnp.zeros(shape, jnp.float32)) if plan.ds else full
+        init = (log0,
                 jnp.ones(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
         _, _, acc = walk_pairwise(shape, n_grid, step, init)
@@ -364,3 +513,227 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
     )(seed_arr, off_arr, scal, sp.strikes, sp.weights, log_k, dp, c1,
       isig_bs, vsig, disc, mu, isig)
     return out, ee[:, :g]
+
+
+# ---------------------------------------------------------------------------
+# Greeks backends
+# ---------------------------------------------------------------------------
+
+def _greek_step(tb, sc, sgn, wwr: bool, n_options: int, n_grid: int):
+    """Build the per-node step of the Greeks walk.
+
+    ``tb``: node tables / per-option operands (arrays in the XLA twin,
+    SMEM refs in the kernel — both index identically); ``sc``: scalars.
+    Carry: ``(log_s, dxv, [surv, dsl, dsv,] acc, acc_lam, acc_del,
+    acc_veg)``.
+    """
+    def step(j, z, carry):
+        if wwr:
+            log_s, dxv, surv, dsl, dsv, a, al, ad, av = carry
+        else:
+            log_s, dxv, a, al, ad, av = carry
+        zs = sgn * z
+        log_s = log_s + sc["drift"] + sc["vol"] * zs
+        dxv = dxv - sc["v_dt"] + sc["sqdt"] * zs
+        s = jnp.exp(log_s)
+        ee, dvds, veg_bs = _exposure_grads(
+            s, log_s, tb["logk"], tb["k"], tb["w"], tb["c1"][j],
+            tb["isigbs"][j], tb["vsig"][j], tb["disc"][j], sc["inv_v"],
+            j == n_grid - 1, n_options)
+        dee_ds0 = dvds * s * sc["inv_s0"]
+        dee_dv = dvds * s * dxv + veg_bs
+        if wwr:
+            surv, dsl, dsv, dp_j, ddp_l, ddp_v = _wwr_hazard_step_grads(
+                log_s - sc["log_s0"], dxv, surv, dsl, dsv, tb["mu"][j],
+                tb["isig"][j], tb["dmu"][j], tb["disig"][j], sc["lam"],
+                sc["bw"], sc["dt"])
+            av = av + dp_j * dee_dv + ddp_v * ee
+        else:
+            dp_j = tb["dp"][j]
+            ddp_l = tb["ddp"][j]
+            av = av + dp_j * dee_dv
+        a = a + dp_j * ee
+        al = al + ddp_l * ee
+        ad = ad + dp_j * dee_ds0
+        if wwr:
+            return (log_s, dxv, surv, dsl, dsv, a, al, ad, av)
+        return (log_s, dxv, a, al, ad, av)
+
+    return step
+
+
+def _greek_walk_init(shape, dtype, log_s0, wwr: bool):
+    full = jnp.full(shape, log_s0, dtype)
+    zero = jnp.zeros(shape, dtype)
+    if wwr:
+        return (full, zero, jnp.ones(shape, dtype), zero, zero,
+                zero, zero, zero, zero)
+    return (full, zero, zero, zero, zero, zero)
+
+
+def _greek_sums(tiles):
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def _greek_tables(sp, dtype):
+    dp, _, drift, vol = node_constants(sp, dtype)
+    c1, isig_bs, vsig, disc = bs_node_constants(sp, dtype)
+    tb = {
+        "dp": dp,
+        "ddp": credit_delta_weights(sp, dtype),
+        "c1": c1, "isigbs": isig_bs, "vsig": vsig, "disc": disc,
+        "k": sp.strikes, "w": sp.weights,
+        "logk": jnp.log(jnp.asarray(sp.strikes, dtype)),
+    }
+    mu, isig = wwr_node_constants(sp, dtype)
+    dmu, disig = wwr_grad_constants(sp, dtype)
+    tb.update(mu=mu, isig=isig, dmu=dmu, disig=disig)
+    g = sp.n_grid
+    dt = jnp.asarray(sp.t, dtype) / g
+    sc = {
+        "drift": drift, "vol": vol,
+        "v_dt": jnp.asarray(sp.v, dtype) * dt,
+        "sqdt": jnp.sqrt(dt),
+        "inv_v": 1.0 / jnp.asarray(sp.v, dtype),
+        "inv_s0": 1.0 / jnp.asarray(sp.s, dtype),
+        "log_s0": jnp.log(jnp.asarray(sp.s, dtype)),
+        "lam": jnp.asarray(sp.intensity, dtype),
+        "bw": jnp.asarray(sp.wwr_b, dtype),
+        "dt": dt,
+    }
+    return tb, sc
+
+
+def greek_xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int, wwr: bool = False):
+    """Per-block Greek partials ``(n_blocks, 8)``: (sum, sum^2) pairs of
+    CVA / credit delta / spot delta / vega path values."""
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+
+    dtype = plan.jdtype
+    sp = port.astype(dtype)
+    g = port.n_grid
+    m = port.n_options
+    tb, sc = _greek_tables(sp, dtype)
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        step = _greek_step(tb, sc, sgn, wwr, m, g)
+
+        def body(j, carry):
+            return step(j, z_seq[j], carry)
+
+        out = jax.lax.fori_loop(
+            0, g, body, _greek_walk_init(shape, dtype, sc["log_s0"], wwr))
+        return tuple(sp.lgd * q for q in out[-4:])
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            tiles = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                mt = walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(0.5 * (x + y) for x, y in zip(tiles, mt))
+            return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(
+            0, plan.iters, body,
+            acc_init_n(N_GREEK_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _cva_greek_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref,
+                      dp_ref, ddp_ref, c1_ref, isigbs_ref, vsig_ref,
+                      disc_ref, mu_ref, isig_ref, dmu_ref, disig_ref,
+                      out_ref, *, plan: Plan, n_grid: int, n_options: int,
+                      wwr: bool):
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+
+    sc = {
+        "drift": scal_ref[0], "vol": scal_ref[1], "v_dt": scal_ref[2],
+        "sqdt": scal_ref[3], "inv_v": scal_ref[4], "inv_s0": scal_ref[5],
+        "log_s0": scal_ref[6], "lam": scal_ref[7], "bw": scal_ref[8],
+        "dt": scal_ref[9],
+    }
+    lgd = scal_ref[10]
+    tb = {
+        "dp": dp_ref, "ddp": ddp_ref, "c1": c1_ref, "isigbs": isigbs_ref,
+        "vsig": vsig_ref, "disc": disc_ref, "k": k_ref, "w": w_ref,
+        "logk": logk_ref, "mu": mu_ref, "isig": isig_ref, "dmu": dmu_ref,
+        "disig": disig_ref,
+    }
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def walk(i, sgn):
+        # Re-seed per (block, iteration): the antithetic mirror walk
+        # replays the exact same hardware-PRNG stream (see _cva_kernel).
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        step = _greek_step(tb, sc, sgn, wwr, n_options, n_grid)
+        out = walk_pairwise(shape, n_grid, step,
+                            _greek_walk_init(shape, jnp.float32,
+                                             sc["log_s0"], wwr))
+        return tuple(lgd * q for q in out[-4:])
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            mt = walk(i, -1.0)
+            tiles = tuple(0.5 * (x + y) for x, y in zip(tiles, mt))
+        return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(
+        0, plan.iters, body,
+        acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for i, v in enumerate(vals):
+        out_ref[b, i] = v
+
+
+def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
+                          plan: Plan, n_blocks: int, interpret: bool = False,
+                          wwr: bool = False):
+    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        sp = port.astype(jnp.float32)
+        g = port.n_grid
+        m = port.n_options
+        tb, sc = _greek_tables(sp, jnp.float32)
+        scal = jnp.stack([sc["drift"], sc["vol"], sc["v_dt"], sc["sqdt"],
+                          sc["inv_v"], sc["inv_s0"], sc["log_s0"],
+                          sc["lam"], sc["bw"], sc["dt"],
+                          jnp.asarray(sp.lgd, jnp.float32)])
+        kernel = functools.partial(_cva_greek_kernel, plan=plan, n_grid=g,
+                                   n_options=m, wwr=wwr)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 16,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=32 * plan.iters * paths_iter * g * m,
+                bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
+                transcendentals=10 * plan.iters * paths_iter * g * m,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal,
+          sp.strikes, sp.weights, tb["logk"], tb["dp"], tb["ddp"],
+          tb["c1"], tb["isigbs"], tb["vsig"], tb["disc"], tb["mu"],
+          tb["isig"], tb["dmu"], tb["disig"])

@@ -411,6 +411,106 @@ def asian_xla_partials(opt: AsianOption, key, block_offset, plan: Plan,
     return jax.lax.map(one, shifts)
 
 
+def _asian_rep_sums(shift_at, v_at, drift_tab, scal, plan: Plan, n_obs: int,
+                    geometric: bool, dtype):
+    """Kahan (sum, comp, sum2, comp2) of one replicate of the Asian net.
+
+    Shared by the fused Pallas kernel and usable standalone: streams the
+    net chunk-by-chunk; per chunk, generates the ``n_obs``-dim Sobol
+    point tile (one (rows, 128) tile of paths, all dims resident in
+    VMEM), inverts to normals, runs the STATIC unrolled Brownian-bridge
+    plan (:func:`mctpu.sobol.brownian_bridge_plan` — coefficients baked
+    in as constants), and accumulates the average payoff.  ``shift_at(d)``
+    / ``v_at(d, b)`` read the per-dim digital shift / direction scalars
+    (SMEM refs in the kernel).
+    """
+    log_s0, k, v, step_scale, inv_m = scal
+    left, right, out, ca, cb, sd = msobol.brownian_bridge_plan(n_obs)
+    shape = (plan.rows, LANES)
+
+    def chunk(c, carry):
+        idx = _point_index_tile(c, plan.rows)
+        gray = idx ^ (idx >> jnp.uint32(1))
+        # Per-dim Sobol integers -> normals (statically unrolled).
+        z = []
+        for d in range(n_obs):
+            acc = jnp.zeros(shape, jnp.uint32)
+            for b in range(_BITS):
+                bit = (gray >> jnp.uint32(b)) & jnp.uint32(1)
+                acc = acc ^ jnp.where(bit > 0, v_at(d, b), jnp.uint32(0))
+            acc = acc ^ (shift_at(d) >> jnp.uint32(32 - _BITS))
+            z.append(_norm_ppf(_u_from_bits30(acc, dtype), dtype))
+        # Brownian bridge (static plan; coefficients are Python floats).
+        w = [None] * n_obs
+        w[int(out[0])] = float(sd[0]) * step_scale * z[0]
+        for q in range(1, n_obs):
+            wa = 0.0 if left[q] < 0 else w[int(left[q])]
+            wb = w[int(right[q])]
+            w[int(out[q])] = (float(ca[q]) * wa + float(cb[q]) * wb
+                              + float(sd[q]) * step_scale * z[q])
+        avg = None
+        for j in range(n_obs):
+            log_s = log_s0 + drift_tab[j] + v * w[j]
+            term = log_s if geometric else jnp.exp(log_s)
+            avg = term if avg is None else avg + term
+        avg = avg * inv_m
+        if geometric:
+            avg = jnp.exp(avg)
+        p = jnp.maximum(avg - k, 0.0)
+        return acc_add_n(carry, (jnp.sum(p), jnp.sum(p * p)), True)
+
+    carry = jax.lax.fori_loop(0, plan.iters, chunk,
+                              acc_init_n(2, dtype, True))
+    (s, c1), (s2, c2) = carry
+    return jnp.stack([s, c1, s2, c2])
+
+
+def _asian_rqmc_kernel(shift_ref, v_ref, drift_ref, scal_ref, out_ref, *,
+                       plan: Plan, n_obs: int, geometric: bool):
+    b = pl.program_id(0)
+    scal = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
+    out = _asian_rep_sums(lambda d: shift_ref[b, d],
+                          lambda d, bb: v_ref[d, bb], drift_ref, scal,
+                          plan, n_obs, geometric, jnp.float32)
+    for j in range(4):
+        out_ref[b, j] = out[j]
+
+
+def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Per-replicate Kahan sums ``(n_blocks, 4)`` of the Asian bridge net,
+    fused on TPU (round-4: closes the admitted XLA-only gap)."""
+    with jax.enable_x64(False):
+        m = opt.n_obs
+        o = opt.astype(jnp.float32)
+        t = jnp.asarray(o.t, jnp.float32)
+        t_j = t * jnp.arange(1, m + 1, dtype=jnp.float32) / m
+        drift = (o.r - 0.5 * o.v * o.v) * t_j
+        scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k, o.v,
+                          jnp.sqrt(t / m), jnp.float32(1.0 / m)])
+        v_dims = jnp.asarray(_directions_np()[:m])  # (m, 30) uint32
+        shifts = _rep_shifts(key, block_offset, n_blocks, m)
+        kernel = functools.partial(_asian_rqmc_kernel, plan=plan, n_obs=m,
+                                   geometric=opt.average == "geometric")
+        pts = plan.iters * plan.rows * LANES
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=pts * m * 40,
+                bytes_accessed=n_blocks * (16 + 4 * m + 124 * m),
+                transcendentals=pts * (2 * m + 1),
+            ),
+            interpret=interpret_arg(interpret),
+        )(shifts, v_dims, drift, scal)
+
+
 # ---------------------------------------------------------------------------
 # Engine drivers (replicate = block; same mesh/combine contract as MC)
 # ---------------------------------------------------------------------------
@@ -567,17 +667,11 @@ def price_asian_rqmc(opt: AsianOption, n_points: int, key: jax.Array,
     opt.validate()
     if opt.n_obs > msobol.MAX_DIM:
         raise ValueError(f"sobol asian supports n_obs <= {msobol.MAX_DIM}")
-    cfg = config if config.backend == "xla" else dataclasses_replace_xla(
-        config)
+    cfg = config
     rows = _rqmc_layout(cfg, n_points, replicates)
     plan = rqmc_plan(n_points, replicates, rows, cfg.dtype_str)
     partials, disc = _run_rqmc(("rqmc_asian", opt.n_obs, opt.average), opt,
-                               key, cfg, plan, None, asian_xla_partials)
+                               key, cfg, plan, asian_pallas_partials,
+                               asian_xla_partials)
     return _rqmc_estimate(partials, plan.paths_per_block, disc,
                           f32=plan.jdtype == jnp.float32)
-
-
-def dataclasses_replace_xla(cfg: EngineConfig) -> EngineConfig:
-    """The Asian bridge has no Pallas kernel yet; force the XLA backend."""
-    import dataclasses
-    return dataclasses.replace(cfg, backend="xla")

@@ -53,6 +53,11 @@ class Precision(str, enum.Enum):
 
     F32 = "f32"
     F32_KAHAN = "f32_kahan"
+    # Double-single: Kahan accumulators PLUS a two-float (hi, lo) carried
+    # walk state in the serial grid kernels (CVA) — the on-chip analogue
+    # of the reference's device f64 tree, usable on the Pallas backend
+    # (see mctpu.utils.accum, double-single section).
+    F32_DS = "f32_ds"
     F64 = "f64"
 
     @property
@@ -61,7 +66,11 @@ class Precision(str, enum.Enum):
 
     @property
     def kahan(self) -> bool:
-        return self is Precision.F32_KAHAN
+        return self in (Precision.F32_KAHAN, Precision.F32_DS)
+
+    @property
+    def ds(self) -> bool:
+        return self is Precision.F32_DS
 
 
 def _register_pytree(cls):
@@ -914,3 +923,30 @@ class GreeksResult:
         return (f"GreeksResult(price={fmt(self.price)}, "
                 f"delta={fmt(self.delta)}, vega={fmt(self.vega)}, "
                 f"rho={fmt(self.rho)}, theta={fmt(self.theta)})")
+
+
+@dataclasses.dataclass(frozen=True)
+class CvaGreeksResult:
+    """CVA plus its pathwise sensitivities, each a full :class:`McResult`.
+
+    The practically dominant outputs of a CVA engine: ``credit_delta``
+    is dCVA/dlambda (hazard-rate sensitivity — the CDS hedge ratio),
+    ``delta`` dCVA/dS0 (spot hedge) and ``vega`` dCVA/dv.  All share the
+    CVA's undiscounted-mean estimator semantics
+    (``MonteCarloKernel.cu:467``) and are accumulated in-kernel
+    alongside the CVA (:mod:`mctpu.kernels.cva`, Greeks section), so each
+    carries its own honest CI under the engine combine contract.
+    """
+
+    cva: McResult
+    credit_delta: McResult
+    delta: McResult
+    vega: McResult
+
+    def __repr__(self):
+        def fmt(r):
+            return f"{float(r.price):.6f}±{float(r.ci):.6f}"
+
+        return (f"CvaGreeksResult(cva={fmt(self.cva)}, "
+                f"credit_delta={fmt(self.credit_delta)}, "
+                f"delta={fmt(self.delta)}, vega={fmt(self.vega)})")

@@ -132,3 +132,56 @@ def test_exotic_cli_heston(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "characteristic-function price" in out
+
+
+def test_exotic_cli_varswap(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "varswap", "--obs", "10"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "exact discrete fair strike" in out
+
+
+def test_exotic_cli_ladder(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "ladder"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strike ladder" in out and out.count("K=") == 9
+
+
+def test_exotic_cli_rqmc(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "rqmc", "--obs", "8",
+                             "--replicates", "4",
+                             "--average", "geometric"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "rqmc vanilla" in out and "rqmc asian" in out
+    assert "geometric closed form" in out
+
+
+@pytest.mark.slow
+def test_exotic_cli_mlmc(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "mlmc", "--eps", "0.05"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "characteristic-function price" in out and "level" in out
+
+
+def test_exotic_cli_cva_multi(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "cva-multi", "--obs", "5",
+                             "--assets", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "closed form (all-long)" in out
+
+
+def test_exotic_cli_importance_sampling(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "is"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "IS tightens" in out

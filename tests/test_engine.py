@@ -350,3 +350,64 @@ class TestAutoShrinkWideMeshWarning:
         with warnings.catch_warnings():
             warnings.simplefilter("error")
             cfg.layout_for(1 << 10, 256)
+
+
+class TestDoubleSinglePrecision:
+    """Precision.F32_DS: double-single carried walk state (round 4)."""
+
+    def test_ds_cva_matches_closed_form(self):
+        from mctpu import engine
+        from mctpu.models import cva as mcva
+        from mctpu.types import CvaSpec, Precision, VanillaOption
+        spec = CvaSpec(intensity=0.03, lgd=0.6,
+                       option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                       n_grid=100)
+        cfg = engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                  precision=Precision.F32_DS)
+        r = engine.price_cva(spec, 1 << 16, jax.random.key(3), cfg)
+        cf = float(mcva.closed_form(spec))
+        assert abs(float(r.cva) - cf) < 4 * float(r.std_error)
+
+    def test_ds_close_to_kahan_same_streams(self):
+        # Same key, same geometry: DS differs from plain f32 only by walk
+        # rounding — far below the MC standard error.
+        import dataclasses
+
+        from mctpu import engine
+        from mctpu.types import CvaSpec, Precision, VanillaOption
+        spec = CvaSpec(intensity=0.03, lgd=0.6,
+                       option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                       n_grid=200)
+        cfg = engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                  precision=Precision.F32_KAHAN)
+        a = engine.price_cva(spec, 1 << 15, jax.random.key(5), cfg)
+        b = engine.price_cva(
+            spec, 1 << 15, jax.random.key(5),
+            dataclasses.replace(cfg, precision=Precision.F32_DS))
+        assert abs(float(a.cva) - float(b.cva)) < 0.05 * float(a.std_error)
+
+    def test_ds_add_exactness(self):
+        # The double-single sum of many small increments must track f64.
+        import numpy as np
+
+        from mctpu.utils.accum import ds_add
+        rng = np.random.default_rng(0)
+        incs = rng.normal(0.0, 0.01, 2000).astype(np.float32)
+        hi = jnp.float32(4.60517)  # log(100)
+        lo = jnp.float32(0.0)
+        plain = jnp.float32(4.60517)
+        for x in incs:
+            hi, lo = ds_add(hi, lo, jnp.float32(x))
+            plain = plain + jnp.float32(x)
+        exact = (np.float64(np.float32(4.60517))
+                 + incs.astype(np.float64).sum())
+        err_ds = abs(float(hi) + float(lo) - exact)
+        err_plain = abs(float(plain) - exact)
+        assert err_ds <= err_plain
+        assert err_ds < 1e-9
+
+    def test_ds_precision_flags(self):
+        from mctpu.types import Precision
+        assert Precision.F32_DS.kahan and Precision.F32_DS.ds
+        assert not Precision.F32_KAHAN.ds
+        assert Precision.F32_DS.dtype == jnp.float32

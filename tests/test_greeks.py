@@ -481,3 +481,170 @@ class TestEngineGreeksBasket:
                                    1 << 14, KEY, cfg)
         np.testing.assert_allclose(np.asarray(res.delta.price), 1 / 3,
                                    atol=0.01)
+
+
+class TestEngineGreeksCva:
+    """Round-4 engine-tier CVA sensitivities (VERDICT next-step #2):
+    fused in-kernel credit delta (dCVA/dlambda), spot delta and vega,
+    gated against finite differences of the exact closed form and CRN
+    bumps of the WWR pricer."""
+
+    SPEC = None  # built lazily (CvaSpec import at module scope is light)
+
+    @staticmethod
+    def _spec(n_grid=25):
+        from mctpu.types import CvaSpec
+        return CvaSpec(intensity=0.03, lgd=0.6,
+                       option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                       n_grid=n_grid)
+
+    @staticmethod
+    def _cfg(**kw):
+        from mctpu import engine
+        kw.setdefault("num_blocks", 16)
+        kw.setdefault("rows", 8)
+        kw.setdefault("backend", "xla")
+        return engine.EngineConfig(**kw)
+
+    @pytest.fixture(scope="class")
+    def res(self):
+        from mctpu import engine
+        return engine.greeks_cva(self._spec(), 1 << 17, KEY, self._cfg())
+
+    def test_all_outputs_match_closed_form_fd(self, res):
+        from mctpu import math as mcmath
+
+        def cf(lam=0.03, s=100.0, v=0.2):
+            return float(mcmath.cva_closed_form(lam, 0.6, s, 100.0, 0.05,
+                                                v, 1.0, 25))
+
+        h = 1e-4
+        gates = {
+            "cva": (res.cva, cf()),
+            "credit_delta": (res.credit_delta,
+                             (cf(lam=0.03 + h) - cf(lam=0.03 - h)) / (2 * h)),
+            "delta": (res.delta,
+                      (cf(s=100 + 1e-2) - cf(s=100 - 1e-2)) / 2e-2),
+            "vega": (res.vega, (cf(v=0.2 + h) - cf(v=0.2 - h)) / (2 * h)),
+        }
+        for name, (r, want) in gates.items():
+            z = (float(r.price) - want) / float(r.std_error)
+            assert abs(z) < 4.0, (name, z, float(r.price), want)
+
+    def test_dispatch_accepts_cva_types(self):
+        from mctpu import engine
+        from mctpu.types import CvaGreeksResult, CvaPortfolioSpec
+        r = engine.greeks(self._spec(n_grid=5), 1 << 12, KEY, self._cfg())
+        assert isinstance(r, CvaGreeksResult)
+        port = CvaPortfolioSpec.from_single(self._spec(n_grid=5))
+        r2 = engine.greeks(port, 1 << 12, KEY, self._cfg())
+        assert float(r.cva.price) == float(r2.cva.price)
+
+    @pytest.mark.slow
+    def test_wwr_greeks_match_crn_bumps(self):
+        import dataclasses
+
+        from mctpu import engine
+        from mctpu.types import CvaPortfolioSpec
+        port = dataclasses.replace(
+            CvaPortfolioSpec.from_single(self._spec()), wwr_b=0.5)
+        cfg = self._cfg()
+        res = engine.greeks_cva(port, 1 << 17, KEY, cfg)
+
+        def crn(**bump):
+            pb = dataclasses.replace(port, **bump)
+            return float(engine.price_cva_portfolio(pb, 1 << 17, KEY,
+                                                    cfg).cva)
+
+        h = 1e-3
+        fd = {
+            "cva": crn(),
+            "credit_delta": (crn(intensity=0.03 + h)
+                             - crn(intensity=0.03 - h)) / (2 * h),
+            "delta": (crn(s=100 * (1 + h)) - crn(s=100 * (1 - h)))
+            / (2 * 100 * h),
+            "vega": (crn(v=0.2 + h) - crn(v=0.2 - h)) / (2 * h),
+        }
+        for name, want in fd.items():
+            r = getattr(res, name)
+            tol = 5 * float(r.std_error) + abs(want) * 5e-3  # CRN + O(h^2)
+            assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                      want)
+
+    def test_portfolio_greeks_match_portfolio_fd(self):
+        # Two-strike all-long portfolio: gate the spot delta against the
+        # exact portfolio closed form (mixed-sign netting has no closed
+        # form — that case is covered by the CRN-bump WWR gate above).
+        import numpy as np_
+
+        from mctpu import engine
+        from mctpu import math as mcmath
+        from mctpu.types import CvaPortfolioSpec
+        port = CvaPortfolioSpec(
+            intensity=0.03, lgd=0.6, s=100.0, r=0.05, v=0.2, t=1.0,
+            strikes=np_.array([100.0, 120.0]),
+            weights=np_.array([1.0, 0.5]), n_grid=10)
+        res = engine.greeks_cva(port, 1 << 16, KEY, self._cfg())
+
+        def cf(s):
+            return float(mcmath.cva_portfolio_closed_form(
+                0.03, 0.6, s, 0.05, 0.2, 1.0, port.strikes, port.weights,
+                10))
+
+        want = (cf(100 + 1e-2) - cf(100 - 1e-2)) / 2e-2
+        z = (float(res.delta.price) - want) / float(res.delta.std_error)
+        assert abs(z) < 4.0, (z, float(res.delta.price), want)
+
+    def test_netted_mixed_sign_delta_matches_crn_bump(self):
+        # Mixed-sign netting set (long call + short higher-strike call):
+        # the exposure floor BINDS here, so gate against CRN bumps of the
+        # MC pricer itself.
+        import dataclasses
+
+        import numpy as np_
+
+        from mctpu import engine
+        from mctpu.types import CvaPortfolioSpec
+        port = CvaPortfolioSpec(
+            intensity=0.03, lgd=0.6, s=100.0, r=0.05, v=0.2, t=1.0,
+            strikes=np_.array([100.0, 120.0]),
+            weights=np_.array([1.0, -0.5]), n_grid=10)
+        cfg = self._cfg()
+        res = engine.greeks_cva(port, 1 << 16, KEY, cfg)
+
+        def crn(s):
+            pb = dataclasses.replace(port, s=s)
+            return float(engine.price_cva_portfolio(pb, 1 << 16, KEY,
+                                                    cfg).cva)
+
+        want = (crn(100 * 1.001) - crn(100 * 0.999)) / 0.2
+        tol = 5 * float(res.delta.std_error) + abs(want) * 5e-3
+        assert abs(float(res.delta.price) - want) < tol, (
+            float(res.delta.price), want)
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        icfg = self._cfg(num_blocks=4, backend="pallas", interpret=True)
+        spec = self._spec(n_grid=10)
+        gi = engine.greeks_cva(spec, 1 << 13, KEY, icfg)
+        gx = engine.greeks_cva(spec, 1 << 15, jax.random.key(77),
+                               self._cfg())
+        for name in ("cva", "credit_delta", "delta", "vega"):
+            a, b = getattr(gi, name), getattr(gx, name)
+            se = np.hypot(float(a.std_error), float(b.std_error))
+            assert abs(float(a.price) - float(b.price)) < 5 * se, name
+
+    def test_bitwise_shard_invariant(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        spec = self._spec(n_grid=10)
+        base = engine.greeks_cva(spec, 1 << 14, KEY, self._cfg(mesh=None))
+        shard = engine.greeks_cva(spec, 1 << 14, KEY,
+                                  self._cfg(mesh=path_mesh(devs[:8])))
+        for name in ("cva", "credit_delta", "delta", "vega"):
+            b, s = getattr(base, name), getattr(shard, name)
+            assert float(b.price) == float(s.price), name
+            assert float(b.ci) == float(s.ci), name

@@ -152,6 +152,31 @@ class TestAsianRqmc:
                                                  1.0, 252))
         assert abs(float(res.price) - want) < 5 * float(res.std_error)
 
+    def test_pallas_kernel_matches_xla_twin(self):
+        # Round-4: the fused Pallas bridge kernel (interpret mode) must
+        # track the XLA twin to f32 reassociation noise.
+        icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                   interpret=True)
+        ri = qmc_engine.price_asian_rqmc(self.GEO, 1 << 10, KEY, icfg,
+                                         replicates=4)
+        rx = qmc_engine.price_asian_rqmc(self.GEO, 1 << 10, KEY, _cfg(),
+                                         replicates=4)
+        assert abs(float(ri.price) - float(rx.price)) < 1e-4
+        want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2,
+                                                 1.0, 12))
+        assert abs(float(ri.price) - want) < 8 * float(ri.std_error)
+
+    def test_pallas_kernel_arithmetic_average(self):
+        import dataclasses
+        ari = dataclasses.replace(self.GEO, average="arithmetic")
+        icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                   interpret=True)
+        ri = qmc_engine.price_asian_rqmc(ari, 1 << 10, KEY, icfg,
+                                         replicates=4)
+        rx = qmc_engine.price_asian_rqmc(ari, 1 << 10, KEY, _cfg(),
+                                         replicates=4)
+        assert abs(float(ri.price) - float(rx.price)) < 1e-4
+
 
 class TestEstimatorContract:
     def test_f32_accuracy_floor_applies(self):
