@@ -25,14 +25,19 @@ def main(argv=None):
     p.add_argument("--vol", type=float, default=0.2)
     p.add_argument("--maturity", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--product", choices=["vanilla", "asian", "heston"],
+    p.add_argument("--product",
+                   choices=["vanilla", "asian", "heston", "cva"],
                    default="vanilla")
     p.add_argument("--obs", type=int, default=12,
-                   help="observation dates (asian) / steps (heston)")
+                   help="observation dates (asian) / steps (heston) / "
+                        "exposure grid (cva)")
+    p.add_argument("--wwr-b", type=float, default=0.0,
+                   help="wrong-way-risk coupling for --product cva")
     p.add_argument("--engine", action="store_true",
                    help="use the in-kernel engine-tier Greeks (fused "
                         "pathwise accumulators with per-Greek CIs) instead "
-                        "of the autodiff fallbacks; vanilla/asian only")
+                        "of the autodiff fallbacks; vanilla/asian only "
+                        "(cva is always engine-tier)")
     args = p.parse_args(argv)
 
     opt = VanillaOption(s=args.spot, k=args.strike, r=args.rate,
@@ -76,6 +81,44 @@ def main(argv=None):
         for name in ("price", "delta", "vega", "rho"):
             print(f"{name:>6} | {float(mc[name]):12.6f} | "
                   f"{float(cf[name]):12.6f}")
+        return 0
+
+    if args.product == "cva":
+        import dataclasses
+
+        from mctpu import engine
+        from mctpu.types import CvaPortfolioSpec, CvaSpec
+        spec = CvaSpec(intensity=0.03, lgd=0.6, option=opt, n_grid=args.obs)
+        target = spec
+        if args.wwr_b != 0.0:
+            target = dataclasses.replace(
+                CvaPortfolioSpec.from_single(spec), wwr_b=args.wwr_b)
+        res, dt = common.timed(engine.greeks_cva, target, args.paths, key)
+        print(f"\nCVA sensitivities (grid {args.obs}, lambda=0.03, "
+              f"lgd=0.6, wwr_b={args.wwr_b}), engine tier, "
+              f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+
+        def cf(lam=0.03, s=args.spot, v=args.vol):
+            return float(mcmath.cva_closed_form(
+                lam, 0.6, s, args.strike, args.rate, v, args.maturity,
+                args.obs))
+
+        h = 1e-4
+        col = {
+            "cva": cf(),
+            "credit_delta": (cf(lam=0.03 + h) - cf(lam=0.03 - h)) / (2 * h),
+            "delta": (cf(s=args.spot + 1e-2) - cf(s=args.spot - 1e-2))
+            / 2e-2,
+            "vega": (cf(v=args.vol + h) - cf(v=args.vol - h)) / (2 * h),
+        }
+        tag = ("closed-form FD" if args.wwr_b == 0.0
+               else "wwr_b=0 closed-form FD (reference column)")
+        print(f"{'output':>12} | {'pathwise MC':>12} | {'95% CI':>10} | "
+              f"{tag:>28}")
+        for name in ("cva", "credit_delta", "delta", "vega"):
+            r = getattr(res, name)
+            print(f"{name:>12} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):8.6f} | {col[name]:28.6f}")
         return 0
 
     if args.product == "heston":

@@ -55,8 +55,11 @@ def _payoff(put: bool, s, k):
     return jnp.maximum(k - s, 0.0) if put else jnp.maximum(s - k, 0.0)
 
 
-def _continuation(s, k, b0, b1, b2, b3):
-    y = s / k - 1.0
+def _continuation(s, inv_k, b0, b1, b2, b3):
+    # Moneyness basis via a precomputed reciprocal: a per-step per-path
+    # division by the (traced) strike is a multi-pass VPU op the compiler
+    # cannot strength-reduce on its own (roofline lever, round 4).
+    y = s * inv_k - 1.0
     return b0 + y * (b1 + y * (b2 + y * b3))
 
 
@@ -100,7 +103,7 @@ def xla_partials(opt, beta, key: jax.Array, block_offset, plan: Plan,
             def decide(args):
                 cf, alive = args
                 b = jax.lax.dynamic_index_in_dim(beta, j, keepdims=False)
-                cont = _continuation(s, k, b[0], b[1], b[2], b[3])
+                cont = _continuation(s, 1.0 / k, b[0], b[1], b[2], b[3])
                 ex = alive * jnp.where((pay > 0) & (pay > cont), 1.0, 0.0)
                 return cf + df[j] * ex * pay, alive - ex
 
@@ -143,6 +146,7 @@ def xla_partials(opt, beta, key: jax.Array, block_offset, plan: Plan,
 def _lsm_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref, out_ref, *,
                 plan: Plan, n_steps: int, put: bool):
     s0, k, drift, vol = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
+    inv_k = scal_ref[4]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
@@ -158,7 +162,7 @@ def _lsm_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref, out_ref, *,
             log_s = log_s + drift + vol * (sgn * z)
             s = jnp.exp(log_s)
             pay = _payoff(put, s, k)
-            cont = _continuation(s, k, beta_ref[j, 0], beta_ref[j, 1],
+            cont = _continuation(s, inv_k, beta_ref[j, 0], beta_ref[j, 1],
                                  beta_ref[j, 2], beta_ref[j, 3])
             # Maturity (j == n_steps - 1) pays every still-alive path;
             # earlier dates exercise only above the continuation value.
@@ -209,7 +213,7 @@ def _pallas_partials(opt, beta, seed, block_offset, plan, n_blocks, n_steps,
     dt = t / n_steps
     drift = (r - 0.5 * v * v) * dt
     vol = v * jnp.sqrt(dt)
-    scal = jnp.stack([s0, k, drift, vol])
+    scal = jnp.stack([s0, k, drift, vol, 1.0 / k])
     beta = jnp.asarray(beta, jnp.float32)
     if beta.shape[0] == 0:
         beta = jnp.zeros((1, _BASIS), jnp.float32)

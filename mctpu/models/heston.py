@@ -131,21 +131,23 @@ def qe_step(x, v, z_v, z_s, c, norm_cdf):
 
     m = c["theta"] + (v - c["theta"]) * c["e"]
     s2 = v * c["c1"] + c["c2"]
-    psi = s2 / (m * m)
+    inv_m = 1.0 / jnp.maximum(m, 1e-30)  # shared: psi, beta
+    psi = s2 * inv_m * inv_m
     quad = psi <= 1.5
     # Quadratic branch (psi <= 1.5).  The unselected branch's sqrt(0) has an
     # infinite derivative that would poison grads through `where` (pathwise
     # Greeks autodiff through this step), so feed it a safe placeholder.
+    # sqrt(q) * sqrt(q - 1) fuses to one sqrt(q (q - 1)) — both factors are
+    # non-negative on the selected branch (roofline lever, ROOFLINE.md).
     two_over = 2.0 / psi
-    quad_arg = jnp.where(quad, jnp.maximum(two_over - 1.0, 0.0), 1.0)
-    b2 = jnp.where(quad,
-                   two_over - 1.0 + jnp.sqrt(two_over) * jnp.sqrt(quad_arg),
-                   0.0)
+    quad_arg = jnp.where(quad,
+                         jnp.maximum(two_over * (two_over - 1.0), 0.0), 1.0)
+    b2 = jnp.where(quad, two_over - 1.0 + jnp.sqrt(quad_arg), 0.0)
     a = m / (1.0 + b2)
     v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
     # Exponential branch (psi > 1.5)
     p = (psi - 1.0) / (psi + 1.0)
-    beta = (1.0 - p) / jnp.maximum(m, 1e-30)
+    beta = (1.0 - p) * inv_m
     u = jnp.clip(norm_cdf(z_v), 0.0, 1.0 - 1e-7)
     log_arg = jnp.where(u <= p, 1.0,
                         (1.0 - p) / jnp.maximum(1.0 - u, 1e-30))

@@ -185,3 +185,11 @@ def test_exotic_cli_importance_sampling(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "IS tightens" in out
+
+
+def test_greeks_cli_cva(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "cva", "--paths", "16384", "--obs", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "credit_delta" in out and "closed-form FD" in out
