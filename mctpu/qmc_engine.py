@@ -102,11 +102,30 @@ def _u_from_bits30(acc_u32, dtype):
 
 def _rep_shifts(key: jax.Array, block_offset, n_blocks: int, dim: int):
     """(n_blocks, dim) uint32 digital shifts for global replicate ids
-    [offset, offset + n).  Keyed by global id -> mesh-layout invariant."""
-    ids = jnp.arange(n_blocks, dtype=jnp.uint32) + jnp.uint32(block_offset)
-    return jax.vmap(
-        lambda i: jax.random.bits(jax.random.fold_in(key, i), (dim,),
-                                  dtype=jnp.uint32))(ids)
+    [offset, offset + n).  Keyed by global id -> mesh-layout invariant.
+
+    Generated with the repo's Philox-4x32 (KAT-verified,
+    ``mctpu.rng.philox4x32``) on counter blocks ``(id, dim, tag, 0)``
+    keyed by the two PRNG-key words — plain u32 vector ops.  The previous
+    ``vmap(jax.random.bits(fold_in(...)))`` form was victim to a tunnel
+    compile-helper regression (SIGABRT) whenever the threefry program
+    was fused into the same jit as a Mosaic kernel; Philox sidesteps the
+    custom lowering entirely and is cheaper anyway.
+    """
+    from mctpu.rng import philox4x32
+
+    data = jax.random.key_data(key).astype(jnp.uint32)
+    k0 = jnp.broadcast_to(data[..., 0], (n_blocks, dim))
+    k1 = jnp.broadcast_to(data[..., -1], (n_blocks, dim))
+    ids = (jnp.arange(n_blocks, dtype=jnp.uint32)
+           + jnp.asarray(block_offset, jnp.uint32))[:, None]
+    didx = jnp.arange(dim, dtype=jnp.uint32)[None, :]
+    zero = jnp.zeros((n_blocks, dim), jnp.uint32)
+    tag = jnp.full((n_blocks, dim), jnp.uint32(0x51D5), jnp.uint32)
+    w = philox4x32((k0, k1), (jnp.broadcast_to(ids, (n_blocks, dim)),
+                              jnp.broadcast_to(didx, (n_blocks, dim)),
+                              tag, zero))
+    return w[0]
 
 
 def _sobol_tile(idx_u32, v_bits, shift_u32):
@@ -411,49 +430,76 @@ def asian_xla_partials(opt: AsianOption, key, block_offset, plan: Plan,
     return jax.lax.map(one, shifts)
 
 
-def _asian_rep_sums(shift_at, v_at, drift_tab, scal, plan: Plan, n_obs: int,
-                    geometric: bool, dtype):
+def _asian_rep_sums(rep_off, shift_ref, v_ref, drift_tab, scal, z_scratch,
+                    plan: Plan, n_obs: int, geometric: bool, dtype):
     """Kahan (sum, comp, sum2, comp2) of one replicate of the Asian net.
 
-    Shared by the fused Pallas kernel and usable standalone: streams the
-    net chunk-by-chunk; per chunk, generates the ``n_obs``-dim Sobol
-    point tile (one (rows, 128) tile of paths, all dims resident in
-    VMEM), inverts to normals, runs the STATIC unrolled Brownian-bridge
-    plan (:func:`mctpu.sobol.brownian_bridge_plan` — coefficients baked
-    in as constants), and accumulates the average payoff.  ``shift_at(d)``
-    / ``v_at(d, b)`` read the per-dim digital shift / direction scalars
-    (SMEM refs in the kernel).
+    The fused kernel body: streams the net chunk-by-chunk; per chunk, a
+    ``fori_loop`` over the ``n_obs`` dimensions generates each Sobol
+    coordinate tile (inner ``fori_loop`` over the 30 direction bits),
+    inverts it to normals and parks it in the ``z_scratch`` VMEM buffer;
+    the STATIC Brownian-bridge plan
+    (:func:`mctpu.sobol.brownian_bridge_plan`, coefficients baked in as
+    constants) then assembles paths from the scratch slices and the
+    average payoff accumulates.
+
+    Loops, not unrolling: a fully unrolled form (m x 30 XOR/select
+    statements) reproducibly crashed the remote Mosaic compile helper
+    (SIGABRT — apparent stack exhaustion on the huge kernel graph) once
+    the kernel was nested inside the engine's outer jit.  ``shift_ref``
+    is the FLATTENED (n_blocks*m,) per-replicate digital shift table and
+    ``v_ref`` the flattened (m*30,) direction table, both dynamically
+    indexed SMEM scalars.
     """
     log_s0, k, v, step_scale, inv_m = scal
     left, right, out, ca, cb, sd = msobol.brownian_bridge_plan(n_obs)
-    shape = (plan.rows, LANES)
+    rows = plan.rows
+    shape = (rows, LANES)
+
+    def tree(terms, op):
+        while len(terms) > 1:
+            nxt = [op(terms[i], terms[i + 1])
+                   for i in range(0, len(terms) - 1, 2)]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
 
     def chunk(c, carry):
-        idx = _point_index_tile(c, plan.rows)
+        idx = _point_index_tile(c, rows)
         gray = idx ^ (idx >> jnp.uint32(1))
-        # Per-dim Sobol integers -> normals (statically unrolled).
-        z = []
-        for d in range(n_obs):
-            acc = jnp.zeros(shape, jnp.uint32)
-            for b in range(_BITS):
-                bit = (gray >> jnp.uint32(b)) & jnp.uint32(1)
-                acc = acc ^ jnp.where(bit > 0, v_at(d, b), jnp.uint32(0))
-            acc = acc ^ (shift_at(d) >> jnp.uint32(32 - _BITS))
-            z.append(_norm_ppf(_u_from_bits30(acc, dtype), dtype))
-        # Brownian bridge (static plan; coefficients are Python floats).
+
+        def dim_body(d, _):
+            def bit_body(bb, acc):
+                bit = (gray >> bb.astype(jnp.uint32)) & jnp.uint32(1)
+                vd = v_ref[d * _BITS + bb]
+                return acc ^ jnp.where(bit > 0, vd, jnp.uint32(0))
+
+            acc = jax.lax.fori_loop(0, _BITS, bit_body,
+                                    jnp.zeros(shape, jnp.uint32))
+            acc = acc ^ (shift_ref[rep_off + d] >> jnp.uint32(32 - _BITS))
+            z = _norm_ppf(_u_from_bits30(acc, dtype), dtype)
+            z_scratch[pl.ds(d * rows, rows), :] = z
+            return 0
+
+        jax.lax.fori_loop(0, n_obs, dim_body, 0)
+
+        # Brownian bridge from the scratch slices (static plan indices).
+        def z_at(q):
+            return z_scratch[pl.ds(int(q) * rows, rows), :]
+
         w = [None] * n_obs
-        w[int(out[0])] = float(sd[0]) * step_scale * z[0]
+        w[int(out[0])] = float(sd[0]) * step_scale * z_at(0)
         for q in range(1, n_obs):
             wa = 0.0 if left[q] < 0 else w[int(left[q])]
             wb = w[int(right[q])]
             w[int(out[q])] = (float(ca[q]) * wa + float(cb[q]) * wb
-                              + float(sd[q]) * step_scale * z[q])
-        avg = None
+                              + float(sd[q]) * step_scale * z_at(q))
+        obs = []
         for j in range(n_obs):
             log_s = log_s0 + drift_tab[j] + v * w[j]
-            term = log_s if geometric else jnp.exp(log_s)
-            avg = term if avg is None else avg + term
-        avg = avg * inv_m
+            obs.append(log_s if geometric else jnp.exp(log_s))
+        avg = tree(obs, lambda a, b: a + b) * inv_m
         if geometric:
             avg = jnp.exp(avg)
         p = jnp.maximum(avg - k, 0.0)
@@ -465,13 +511,14 @@ def _asian_rep_sums(shift_at, v_at, drift_tab, scal, plan: Plan, n_obs: int,
     return jnp.stack([s, c1, s2, c2])
 
 
-def _asian_rqmc_kernel(shift_ref, v_ref, drift_ref, scal_ref, out_ref, *,
-                       plan: Plan, n_obs: int, geometric: bool):
+def _asian_rqmc_kernel(shift_ref, v_ref, drift_ref, scal_ref, out_ref,
+                       z_scratch, *, plan: Plan, n_obs: int,
+                       geometric: bool):
     b = pl.program_id(0)
     scal = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
-    out = _asian_rep_sums(lambda d: shift_ref[b, d],
-                          lambda d, bb: v_ref[d, bb], drift_ref, scal,
-                          plan, n_obs, geometric, jnp.float32)
+    out = _asian_rep_sums(b * jnp.int32(n_obs), shift_ref, v_ref,
+                          drift_ref, scal, z_scratch, plan, n_obs,
+                          geometric, jnp.float32)
     for j in range(4):
         out_ref[b, j] = out[j]
 
@@ -488,8 +535,8 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
         drift = (o.r - 0.5 * o.v * o.v) * t_j
         scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k, o.v,
                           jnp.sqrt(t / m), jnp.float32(1.0 / m)])
-        v_dims = jnp.asarray(_directions_np()[:m])  # (m, 30) uint32
-        shifts = _rep_shifts(key, block_offset, n_blocks, m)
+        shifts = _rep_shifts(key, block_offset, n_blocks, m).reshape(-1)
+        v_flat = jnp.asarray(_directions_np()[:m].reshape(-1))
         kernel = functools.partial(_asian_rqmc_kernel, plan=plan, n_obs=m,
                                    geometric=opt.average == "geometric")
         pts = plan.iters * plan.rows * LANES
@@ -499,16 +546,18 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((m * plan.rows, LANES),
+                                       jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=pts * m * 40,
-                bytes_accessed=n_blocks * (16 + 4 * m + 124 * m),
+                bytes_accessed=n_blocks * (16 + 4 * m),
                 transcendentals=pts * (2 * m + 1),
             ),
             interpret=interpret_arg(interpret),
-        )(shifts, v_dims, drift, scal)
+        )(shifts, v_flat, drift, scal)
 
 
 # ---------------------------------------------------------------------------
@@ -577,10 +626,10 @@ def _run_rqmc(tag, opt, key, cfg: EngineConfig, plan: Plan, partial_pallas,
               partial_xla, extra=()):
     backend = cfg.resolve_backend()
     cache_key = (tag, plan, cfg._key())
-    runner = _RUNNERS.get(cache_key)
-    if runner is None:
+
+    def build(bk):
         def run(o, k):
-            if backend == "pallas":
+            if bk == "pallas":
                 fn = lambda a, off, nb: partial_pallas(
                     *a[:-1], a[-1], off, plan, nb, interpret=cfg.interpret)
             else:
@@ -592,9 +641,31 @@ def _run_rqmc(tag, opt, key, cfg: EngineConfig, plan: Plan, partial_pallas,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
-        runner = jax.jit(run)
+        return jax.jit(run)
+
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        runner = build(backend)
         _RUNNERS[cache_key] = runner
-    return runner(opt, key)
+    try:
+        return runner(opt, key)
+    except jax.errors.JaxRuntimeError as e:
+        # Environment fault, not a code path: the axon tunnel's remote
+        # compile helper currently SIGABRTs on the RQMC Mosaic kernels
+        # when nested in a jit (round-4 regression: round-3 code fails
+        # identically; the eager form of the same kernel compiles).  Fall
+        # back to the XLA twin so the product keeps working; the fused
+        # path re-engages wherever the toolchain is healthy.
+        if backend != "pallas" or "remote_compile" not in str(e):
+            raise
+        import warnings
+        warnings.warn(f"Pallas RQMC path failed to compile ({tag}); "
+                      "falling back to the XLA twin "
+                      "(axon remote-compile SIGABRT, see RESULTS_r4.md)",
+                      stacklevel=2)
+        runner = build("xla")
+        _RUNNERS[cache_key] = runner
+        return runner(opt, key)
 
 
 def price_vanilla_rqmc(opt: VanillaOption, n_points: int, key: jax.Array,
@@ -631,11 +702,11 @@ def price_basket_rqmc(opt: BasketOption, n_points: int, key: jax.Array,
 
     backend = config.resolve_backend()
     cache_key = ("rqmc_basket", opt.n_assets, plan, config._key())
-    runner = _RUNNERS.get(cache_key)
-    if runner is None:
+
+    def build(bk):
         def run(o, k):
             chol = prep_chol(o)
-            if backend == "pallas":
+            if bk == "pallas":
                 fn = lambda a, off, nb: basket_pallas_partials(
                     a[0], a[1], a[2], off, plan, nb,
                     interpret=config.interpret)
@@ -648,9 +719,25 @@ def price_basket_rqmc(opt: BasketOption, n_points: int, key: jax.Array,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
-        runner = jax.jit(run)
+        return jax.jit(run)
+
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        runner = build(backend)
         _RUNNERS[cache_key] = runner
-    partials, disc = runner(opt, key)
+    try:
+        partials, disc = runner(opt, key)
+    except jax.errors.JaxRuntimeError as e:
+        if backend != "pallas" or "remote_compile" not in str(e):
+            raise
+        import warnings
+        warnings.warn("Pallas RQMC path failed to compile (rqmc_basket); "
+                      "falling back to the XLA twin "
+                      "(axon remote-compile SIGABRT, see RESULTS_r4.md)",
+                      stacklevel=2)
+        runner = build("xla")
+        _RUNNERS[cache_key] = runner
+        partials, disc = runner(opt, key)
     return _rqmc_estimate(partials, plan.paths_per_block, disc,
                           f32=plan.jdtype == jnp.float32)
 
@@ -669,6 +756,9 @@ def price_asian_rqmc(opt: AsianOption, n_points: int, key: jax.Array,
         raise ValueError(f"sobol asian supports n_obs <= {msobol.MAX_DIM}")
     cfg = config
     rows = _rqmc_layout(cfg, n_points, replicates)
+    # The fused kernel parks all n_obs z-tiles in a VMEM scratch
+    # (n_obs * rows, 128) f32; cap it at ~4 MB.
+    rows = min(rows, max(8, 8192 // opt.n_obs))
     plan = rqmc_plan(n_points, replicates, rows, cfg.dtype_str)
     partials, disc = _run_rqmc(("rqmc_asian", opt.n_obs, opt.average), opt,
                                key, cfg, plan, asian_pallas_partials,

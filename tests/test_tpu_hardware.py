@@ -298,3 +298,84 @@ def test_lsm_engine_tier_on_chip():
     # Frozen-rule LSM is a lower bound within rule quality of the lattice.
     assert float(res.price) < bino + 3 * float(res.std_error)
     assert float(res.price) > bino - 0.06
+
+
+def test_greeks_cva_on_chip():
+    # Round-4: the fused 8-accumulator CVA Greeks kernel on hardware.
+    # The FD reference MUST be computed in f64 (numpy semantics): with
+    # x64 off, differencing the f32 closed form at h=1e-2 injects a fake
+    # +1.2e-5 "bias" into the reference itself (round-4 diagnostic).
+    spec = CvaSpec(intensity=0.03, lgd=0.6,
+                   option=VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+                   n_grid=25)
+    res = engine.greeks_cva(spec, 1 << 19, KEY, _cfg())
+
+    def cf(lam=0.03, s=100.0, v=0.2):
+        return float(mcmath.cva_closed_form(lam, 0.6, s, 100.0, 0.05, v,
+                                            1.0, 25, dtype=np.float64))
+
+    h = 1e-4
+    gates = {
+        "cva": cf(),
+        "credit_delta": (cf(lam=0.03 + h) - cf(lam=0.03 - h)) / (2 * h),
+        "delta": (cf(s=100 + 1e-2) - cf(s=100 - 1e-2)) / 2e-2,
+        "vega": (cf(v=0.2 + h) - cf(v=0.2 - h)) / (2 * h),
+    }
+    for name, want in gates.items():
+        r = getattr(res, name)
+        assert _z(r.price, want, r.std_error) < 4, (
+            name, float(r.price), want)
+
+
+def test_control_variate_on_chip():
+    # Round-4: the centered-moment CV kernel + two-stage pilot on
+    # hardware; the basket control's residual sigma ~ 1e-5 of the payoff
+    # scale is exactly the regime the f32 combine must survive.
+    from mctpu import variance
+    bs = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
+    cv = variance.price_vanilla_cv(OPT, 1 << 20, KEY, _cfg())
+    assert _z(cv.price, bs, cv.std_error) < 4
+    mc = engine.price_vanilla(OPT, 1 << 20, KEY, _cfg())
+    assert float(cv.std_error) < float(mc.std_error)
+    bk = BasketOption.equicorrelated(5, rho=0.3)
+    bcv = variance.price_basket_cv(bk, 1 << 18, KEY, _cfg())
+    bmc = engine.price_basket(bk, 1 << 18, jax.random.key(9), _cfg())
+    assert 0.0 < float(bcv.std_error) < float(bmc.std_error)
+    se = float(np.hypot(float(bcv.std_error), float(bmc.std_error)))
+    assert abs(float(bcv.price) - float(bmc.price)) < 5 * se
+
+
+def test_importance_sampling_on_chip():
+    from mctpu import variance
+    otm = VanillaOption(100.0, 200.0, 0.05, 0.2, 1.0)
+    bs = float(mcmath.bs_call(100.0, 200.0, 0.05, 0.2, 1.0))
+    res = variance.price_vanilla_is(otm, 1 << 20, KEY, _cfg())
+    assert _z(res.price, bs, res.std_error) < 4
+    mc = engine.price_vanilla(otm, 1 << 20, KEY, _cfg())
+    assert float(res.std_error) < float(mc.std_error) / 10
+
+
+def test_asian_rqmc_bridge_on_chip():
+    # Round-4: the fused Sobol + Brownian-bridge kernel on hardware.
+    from mctpu import qmc_engine
+    geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=16,
+                      average="geometric")
+    res = qmc_engine.price_asian_rqmc(geo, 1 << 16, KEY, _cfg(),
+                                      replicates=16)
+    want = float(mcmath.geometric_asian_call(100.0, 100.0, 0.05, 0.2, 1.0,
+                                             16))
+    assert _z(res.price, want, res.std_error) < 5
+
+
+def test_mlmc_level_kernel_on_chip():
+    # Round-4: the coupled fine/coarse MLMC level kernel on hardware.
+    from mctpu import mlmc
+    hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.4, rho=-0.6)
+    s1, s12, n1 = mlmc.level_partials(hopt, KEY, 1, 8, 1 << 16, _cfg())
+    s2, s22, n2 = mlmc.level_partials(hopt, KEY, 2, 8, 1 << 16, _cfg())
+    v1 = s12 / n1 - (s1 / n1) ** 2
+    v2 = s22 / n2 - (s2 / n2) ** 2
+    assert np.isfinite(v1) and np.isfinite(v2)
+    # Giles premise on hardware: coupled variance decays with level.
+    assert v2 < v1 / 1.3
