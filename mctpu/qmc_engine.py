@@ -14,9 +14,10 @@ This module gives the Sobol family the same treatment as the MC pricers:
   (``rows x 128`` per chunk) *inside* the jitted program — the gray-code
   XOR construction is O(30) uint32 ops per point, fully vectorized — so
   memory stays O(chunk), never O(n, dim), at any point count.
-* **Fused Pallas kernels** for the vanilla and basket nets: generation,
-  digital shift, normal inversion (``erf_inv``) and payoff never leave
-  VMEM.  The Asian bridge runs on the XLA twin (mesh-sharded + chunked).
+* **Fused Pallas kernels** for the vanilla, basket and Asian-bridge nets:
+  generation, digital shift, normal inversion (``erf_inv``), Brownian
+  bridge and payoff never leave VMEM; each has an XLA twin (mesh-sharded
+  + chunked) for non-TPU backends and as the compile-fault fallback.
 
 Estimator: the per-replicate payoff sums are combined in the fixed
 pairwise order; the price is the replicate-mean and the CI the honest
@@ -567,6 +568,26 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
 _RUNNERS: dict = {}
 
 
+@functools.cache
+def _eager_pallas_workaround() -> bool:
+    """True when the RQMC Pallas path should skip the enclosing ``jax.jit``.
+
+    The axon tunnel's remote compile helper wedges (multi-minute queue, or
+    SIGABRT) on the RQMC Mosaic kernels *when they are nested in a jit
+    program*, while the identical ``pallas_call`` compiles eagerly in
+    ~15-30 s (round-4 regression, RESULTS_r4.md — round-3 code fails the
+    same way, so it is an environment fault).  Eager dispatch costs a few
+    host-side op launches around the one big kernel; the kernel itself is
+    unchanged.  Only engaged on the axon platform with no mesh (eager
+    ``shard_map`` would re-enter the jit compile path)."""
+    try:
+        from jax._src import xla_bridge as xb
+        ver = getattr(xb.get_backend(), "platform_version", "") or ""
+    except Exception:
+        return False
+    return ver.startswith("axon")
+
+
 # Relative accuracy floor of an f32 net evaluation: erf_inv + exp + payoff
 # in f32 carry a ~1e-5-relative systematic error (measured |bias| ~ 7e-6
 # relative vs the closed form at 2^21-point nets on chip).  RQMC replicate
@@ -641,6 +662,8 @@ def _run_rqmc(tag, opt, key, cfg: EngineConfig, plan: Plan, partial_pallas,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
+        if bk == "pallas" and cfg.mesh is None and _eager_pallas_workaround():
+            return run
         return jax.jit(run)
 
     runner = _RUNNERS.get(cache_key)
@@ -719,6 +742,9 @@ def price_basket_rqmc(opt: BasketOption, n_points: int, key: jax.Array,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
+        if (bk == "pallas" and config.mesh is None
+                and _eager_pallas_workaround()):
+            return run
         return jax.jit(run)
 
     runner = _RUNNERS.get(cache_key)
