@@ -26,8 +26,11 @@ def main(argv=None):
     p.add_argument("--maturity", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
-                   choices=["vanilla", "asian", "heston", "cva"],
+                   choices=["vanilla", "basket", "asian", "lookback",
+                            "heston", "cva"],
                    default="vanilla")
+    p.add_argument("--assets", type=int, default=3,
+                   help="basket size for --product basket")
     p.add_argument("--obs", type=int, default=12,
                    help="observation dates (asian) / steps (heston) / "
                         "exposure grid (cva)")
@@ -81,6 +84,40 @@ def main(argv=None):
         for name in ("price", "delta", "vega", "rho"):
             print(f"{name:>6} | {float(mc[name]):12.6f} | "
                   f"{float(cf[name]):12.6f}")
+        return 0
+
+    if args.product == "basket":
+        from mctpu import engine
+        from mctpu.types import BasketOption
+        bopt = BasketOption.default_reference(args.assets)
+        res, dt = common.timed(engine.greeks_basket, bopt, args.paths, key)
+        print(f"\nbasket-{args.assets} per-asset Greeks, engine tier, "
+              f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | per-asset values (MC pathwise, ±95% CI)")
+        p_ = res.price
+        print(f"{'price':>6} | {float(p_.price):.6f} ± {float(p_.ci):.6f}")
+        for name in ("delta", "vega"):
+            r = getattr(res, name)
+            vals = " ".join(f"{v:.5f}±{c:.5f}" for v, c in
+                            zip(jnp.atleast_1d(r.price),
+                                jnp.atleast_1d(r.ci)))
+            print(f"{name:>6} | {vals}")
+        return 0
+
+    if args.product == "lookback":
+        from mctpu import engine
+        from mctpu.types import LookbackOption
+        lopt = LookbackOption(s=args.spot, r=args.rate, v=args.vol,
+                              t=args.maturity, n_obs=args.obs)
+        res, dt = common.timed(engine.greeks_lookback, lopt, args.paths,
+                               key)
+        print(f"\nfloating-strike lookback ({args.obs} obs), engine tier, "
+              f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10}")
+        for name in ("price", "delta", "vega"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):8.6f}")
         return 0
 
     if args.product == "cva":
