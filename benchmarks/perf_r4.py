@@ -74,20 +74,21 @@ def heston_qe_rate():
         return jnp.int32(100 + i) + (out[0, 0] * 0).astype(jnp.int32)
 
     rate, dt = _chained_rate(build, jnp.int32(42), chain, steps)
-    # Budget = the r3 roofline QE budget with the fused-sqrt micro-opt
-    # applied (sqrt(q)*sqrt(q-1) -> one sqrt(q(q-1)): 4 -> 3 sqrts/step;
-    # the shared-reciprocal change trades divisions already inside the
-    # 45-vop bucket).  See models/heston.py::qe_step.
+    # Budget prices divisions as their own measured op class (~6 fma slots
+    # each).  qe_step is division-minimized: the exponential branch's
+    # p-compare, 1-p and 1/beta are all reformulated division-free, leaving
+    # 4 divides (inv_m, 2/psi, a, log_arg) + 3 sqrts (fused b2 product).
     ceil = load_ceilings()
     ps = (1.0 / ceil["normal_pair"] + 0.3 / ceil["exp"] + 1.0 / ceil["cnd"]
-          + 3.0 / ceil["sqrt"] + 0.5 / ceil["log"] + 45.0 / ceil["fma"])
+          + 3.0 / ceil["sqrt"] + 0.5 / ceil["log"] + 4.0 / ceil["divide"]
+          + 32.0 / ceil["fma"])
     ceiling = 1.0 / ps / 1e9  # Gsteps/s
     return {"kernel": "heston_qe100", "gsteps_per_s": rate / 1e9,
             "dt_s": dt, "paths": plan.total_paths, "n_steps": n_steps,
             "budget_ceiling_gsteps": ceiling,
             "pct_of_ceiling": round(100 * rate / 1e9 / ceiling, 1),
             "budget": "1 normal-pair + 0.3 exp + 1 cnd + 3 sqrt + 0.5 log"
-                      " + ~45 vec ops/step"}
+                      " + 4 divide + ~32 vec ops/step"}
 
 
 def lsm_forward_rate():
@@ -114,17 +115,22 @@ def lsm_forward_rate():
     rate, dt = _chained_rate(build, jnp.int32(7), chain, steps)
     # Op budget per path-step (f32, measured ceilings in
     # roofline_results.json): half a Box-Muller pair (both branches of one
-    # pair drive two grid steps via walk_pairwise), one exp, ~18 vector
-    # ops (walk FMA x2, payoff sub+max, moneyness FMA, cubic Horner x3,
-    # exercise-rule cmp/and/selects x6, cashflow FMA x2, alive update).
+    # pair drive two grid steps via walk_pairwise), one exp, and ~16
+    # vector ops counted from the kernel source (walk FMA, payoff
+    # sub+max, moneyness mul + cubic Horner x3, exercise-rule
+    # cmp/cmp/and/select, ex max+mul, cashflow mul+FMA, alive sub).
+    # Measured rates can land a few % ABOVE this ceiling: Mosaic folds
+    # part of the compare/select chain, so the source count is an upper
+    # bound on the true per-step op cost.
     ceil = load_ceilings()
     t_step = (0.5 / ceil["normal_pair"] + 1.0 / ceil["exp"]
-              + 18.0 / ceil["fma"])  # seconds per path-step at op ceilings
+              + 16.0 / ceil["fma"])  # seconds per path-step at op ceilings
     ceiling = 1.0 / t_step / 1e9  # Gsteps/s
     return {"kernel": "lsm_forward50", "gsteps_per_s": rate / 1e9,
             "dt_s": dt, "budget_ceiling_gsteps": ceiling,
             "pct_of_ceiling": round(100 * rate / 1e9 / ceiling, 1),
-            "budget": "0.5 normal-pair + 1 exp + ~18 vector ops/step"}
+            "budget": "0.5 normal-pair + 1 exp + ~16 vector ops/step "
+                      "(source count; Mosaic fuses below it)"}
 
 
 def asian_rqmc_rate():
@@ -168,22 +174,23 @@ def asian_rqmc_rate():
     t_lo, w_lo = timed_at(1 << 24)
     t_hi, w_hi = timed_at(1 << 30)
     rate, dt = (w_hi - w_lo) / (t_hi - t_lo), t_hi
-    # Budget per path-step (point x obs-dim): the kernel rebuilds each
-    # Sobol coordinate by the full 30-bit random-access construction
-    # (shift/mask/select/xor ~ 4 u32 vops per direction bit = ~120 vops;
-    # gray-code 1-xor streaming does not vectorize across a lane tile),
-    # then 1 erf_inv; bridge/payoff ~8 vops and exp/m amortize small.
+    # Budget per path-step (point x obs-dim): the hoisted-LOW chunk-split
+    # Sobol construction (qmc_engine._sobol_low_tile/_sobol_chunk_const)
+    # reduces per-point generation to ONE tile XOR against a per-chunk
+    # scalar constant (the 30-bit build is chunk-invariant and hoisted),
+    # leaving 1 erf_inv + ~9 vops (xor, mantissa map, bridge FMAs,
+    # payoff); exp/m and the per-chunk scalar loops amortize to ~0.
     ceil = load_ceilings()
-    t_step = (120.0 / ceil["fma"] + 1.0 / ceil["erfinv"]
-              + (1.0 / m) / ceil["exp"] + 8.0 / ceil["fma"])
+    t_step = (1.0 / ceil["erfinv"] + (1.0 / m) / ceil["exp"]
+              + 9.0 / ceil["fma"])
     ceiling = 1.0 / t_step / 1e9
     return {"kernel": "asian_rqmc16", "gsteps_per_s": rate / 1e9,
             "dt_s": dt, "budget_ceiling_gsteps": ceiling,
             "pct_of_ceiling": round(100 * rate / 1e9 / ceiling, 1),
             "method": "k-differenced eager calls, 2^24 vs 2^30 points, "
                       "median of 3 (fixed overhead cancels)",
-            "budget": "30-bit sobol build ~120 u32 vops + 1 erf_inv "
-                      "+ ~8 vec/step"}
+            "budget": "1 erf_inv + ~9 vec ops/step (hoisted-LOW sobol: "
+                      "1 xor/point)"}
 
 
 def load_ceilings():
@@ -196,6 +203,7 @@ def load_ceilings():
         "log": d["log"]["gops"] * 1e9,
         "sqrt": d["sqrt"]["gops"] * 1e9,
         "cnd": d["cnd"]["gops"] * 1e9,
+        "divide": d["divide"]["gops"] * 1e9,
         "erfinv": d["erfinv"]["gops"] * 1e9,
         # Box-Muller pair rate (pairs/s): measured composite when present.
         "normal_pair": (d["normal_pair"]["gpairs"] if "normal_pair" in d

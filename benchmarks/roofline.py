@@ -231,6 +231,8 @@ def measure_ceilings():
     c["exp"] = _measure_op(lambda x: jnp.exp(-x), "exp(-x)", 0.5)
     c["log"] = _measure_op(lambda x: jnp.log(x + 1.0), "log(x+1)", 0.5)
     c["sqrt"] = _measure_op(lambda x: jnp.sqrt(x + 1.0), "sqrt(x+1)", 0.5)
+    c["divide"] = _measure_op(lambda x: 2.0 / (x + 1.5), "divide", 0.5)
+    c["rsqrt"] = _measure_op(lambda x: jax.lax.rsqrt(x + 1.0), "rsqrt", 0.5)
     c["cos"] = _measure_op(jnp.cos, "cos", 0.5)
 
     def _folded(x):
@@ -350,11 +352,12 @@ def main():
         "cva500": {"normal_pair": 0.5, "exp": 1.0, "cnd": 2.0, "fma": 14},
         # heston QE step (mctpu/models/heston.py qe_step): 1 pair (2
         # normals: vol + spot); 1 cnd (uniform for the exponential branch);
-        # 4 sqrt (b2 assembly x2, b, diffusion); ~0.5 log + 0.3 exp
-        # (exponential branch, ~prob-weighted); 5 divisions (~3 fma-equiv
-        # each) + ~30 vops of branch algebra and selects.
+        # 3 sqrt (fused b2 product, b, diffusion); ~0.5 log + 0.3 exp
+        # (exponential branch, ~prob-weighted); 4 divisions (measured as
+        # their own op class — a divide costs ~6 fma slots) + ~32 vops of
+        # branch algebra and selects.
         "heston_qe100": {"normal_pair": 1.0, "exp": 0.3, "cnd": 1.0,
-                         "sqrt": 4.0, "log": 0.5, "fma": 45},
+                         "sqrt": 3.0, "log": 0.5, "divide": 4.0, "fma": 32},
     }
 
     key_for = {"normal_pair": "gpairs", "prng_u32": "gwords"}

@@ -131,7 +131,7 @@ def qe_step(x, v, z_v, z_s, c, norm_cdf):
 
     m = c["theta"] + (v - c["theta"]) * c["e"]
     s2 = v * c["c1"] + c["c2"]
-    inv_m = 1.0 / jnp.maximum(m, 1e-30)  # shared: psi, beta
+    inv_m = 1.0 / jnp.maximum(m, 1e-30)  # shared: psi, exp-branch scale
     psi = s2 * inv_m * inv_m
     quad = psi <= 1.5
     # Quadratic branch (psi <= 1.5).  The unselected branch's sqrt(0) has an
@@ -145,13 +145,19 @@ def qe_step(x, v, z_v, z_s, c, norm_cdf):
     b2 = jnp.where(quad, two_over - 1.0 + jnp.sqrt(quad_arg), 0.0)
     a = m / (1.0 + b2)
     v_quad = a * (jnp.sqrt(b2) + z_v) ** 2
-    # Exponential branch (psi > 1.5)
-    p = (psi - 1.0) / (psi + 1.0)
-    beta = (1.0 - p) * inv_m
+    # Exponential branch (psi > 1.5), division-minimized (measured: one f32
+    # divide costs ~6 FMA slots, benchmarks/roofline_results.json):
+    #   p       = (psi-1)/(psi+1)    -> "u <= p" tested as u(psi+1) <= psi-1
+    #   1-p     = 2/(psi+1)          -> log_arg = 2 / ((psi+1)(1-u))
+    #   1/beta  = m(psi+1)/2         -> the log is SCALED, never divided
+    # leaving a single divide (log_arg) where the textbook form takes three.
+    psip1 = psi + 1.0
     u = jnp.clip(norm_cdf(z_v), 0.0, 1.0 - 1e-7)
-    log_arg = jnp.where(u <= p, 1.0,
-                        (1.0 - p) / jnp.maximum(1.0 - u, 1e-30))
-    v_exp = jnp.where(u <= p, 0.0, jnp.log(log_arg) / beta)
+    at_zero = u * psip1 <= psi - 1.0  # u <= p
+    log_arg = jnp.where(at_zero, 1.0,
+                        2.0 / jnp.maximum(psip1 * (1.0 - u), 1e-30))
+    v_exp = jnp.where(at_zero, 0.0,
+                      jnp.log(log_arg) * (0.5 * m * psip1))
     v_new = jnp.where(quad, v_quad, v_exp)
     # 1e-20 floor: sqrt'(0) is infinite and v = v' = 0 is reachable (the
     # exponential branch puts mass at zero); the value change is ~1e-10.

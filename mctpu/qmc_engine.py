@@ -147,6 +147,57 @@ def _sobol_tile(idx_u32, v_bits, shift_u32):
     return acc ^ (shift_u32 >> jnp.uint32(32 - _BITS))
 
 
+# --- Hoisted (chunk-split) Sobol construction -----------------------------
+#
+# Point index ``n = base + j`` with ``base = chunk * 2**L`` aligned and
+# ``j < 2**L`` splits the gray code exactly:
+#
+#   gray(n) = gray(j)                      (bits < L-1)
+#           ^ (bit_L(base) << (L-1))       (carry of bit L into bit L-1)
+#           ^ gray(base)|_{bits >= L}      (constant within the chunk)
+#
+# and because the direction-XOR is linear over the bit selects, the Sobol
+# integer factors into
+#
+#   sobol(n) = LOW(j) ^ CONST(chunk)
+#
+# where LOW(j) (the per-point tile term) is IDENTICAL for every chunk —
+# callers hoist it out of the chunk loop entirely — and CONST(chunk) is one
+# scalar/row XOR constant: the high-bit gray XOR, the boundary-bit select,
+# and the digital shift folded together.  Per point-step this replaces the
+# 30 select+xor tile ops of :func:`_sobol_tile` with a single XOR (pure
+# reassociation: bitwise-identical integers, verified in
+# tests/test_qmc_engine.py).
+
+def _chunk_log2(pts_per_chunk: int):
+    """log2 of the chunk size, or None when the split does not apply."""
+    if pts_per_chunk < 2 or (pts_per_chunk & (pts_per_chunk - 1)):
+        return None
+    lb = pts_per_chunk.bit_length() - 1
+    return lb if lb <= _BITS else None
+
+
+def _sobol_low_tile(j_tile, v_bits, low_bits: int):
+    """Chunk-invariant LOW(j) term over within-chunk offsets ``j < 2^L``."""
+    gray = j_tile ^ (j_tile >> jnp.uint32(1))
+    acc = jnp.zeros_like(j_tile)
+    for b in range(low_bits):
+        bit = (gray >> jnp.uint32(b)) & jnp.uint32(1)
+        acc = acc ^ jnp.where(bit > 0, v_bits[b], jnp.uint32(0))
+    return acc
+
+
+def _sobol_chunk_const(base_u32, v_bits, shift_u32, low_bits: int):
+    """Per-chunk CONST: high-bit gray XOR + boundary select + shift fold."""
+    gray = base_u32 ^ (base_u32 >> jnp.uint32(1))
+    const = shift_u32 >> jnp.uint32(32 - _BITS)
+    for b in range(low_bits, _BITS):
+        bit = (gray >> jnp.uint32(b)) & jnp.uint32(1)
+        const = const ^ jnp.where(bit > 0, v_bits[b], jnp.uint32(0))
+    flip = (base_u32 >> jnp.uint32(low_bits)) & jnp.uint32(1)
+    return const ^ jnp.where(flip > 0, v_bits[low_bits - 1], jnp.uint32(0))
+
+
 def _point_index_tile(chunk, rows):
     """(rows, 128) uint32 point indices for one chunk (row-major)."""
     base = (jnp.uint32(chunk) * jnp.uint32(rows * LANES))
@@ -173,10 +224,21 @@ def _vanilla_rep_sums(shift, params, plan: Plan, v_scalars, dtype, put):
     nets; the f64 combine outside reconstructs full precision.
     """
     s0, k, mu, sig = params
+    lb = _chunk_log2(plan.rows * LANES)
+    if lb is not None:
+        # LOW(j) is chunk-invariant: build it once, outside the loop.
+        j = (jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 0)
+             * jnp.uint32(LANES)
+             + jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 1))
+        low = _sobol_low_tile(j, v_scalars, lb)
 
     def chunk(c, carry):
-        idx = _point_index_tile(c, plan.rows)
-        bits = _sobol_tile(idx, v_scalars, shift)
+        if lb is None:
+            idx = _point_index_tile(c, plan.rows)
+            bits = _sobol_tile(idx, v_scalars, shift)
+        else:
+            base = jnp.uint32(c) * jnp.uint32(plan.rows * LANES)
+            bits = low ^ _sobol_chunk_const(base, v_scalars, shift, lb)
         z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
         st = s0 * jnp.exp(mu + sig * z)
         p = jnp.maximum(k - st, 0.0) if put else jnp.maximum(st - k, 0.0)
@@ -282,11 +344,19 @@ def _basket_rep_sums(shift_row, ops, k, plan: Plan, v_rows, dtype, mxu):
     lane = jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, width), 1)
     path_in_row = lane // jnp.uint32(a_tile)  # packed path within the row
     row = jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, width), 0)
+    v_list = [v_rows[b] for b in range(_BITS)]
+    lb = _chunk_log2(plan.rows * c)
+    if lb is not None:
+        j = row * jnp.uint32(c) + path_in_row  # within-chunk point offsets
+        low = _sobol_low_tile(j, v_list, lb)
 
     def chunk(ch, carry):
         base = jnp.uint32(ch) * jnp.uint32(plan.rows * c)
-        idx = base + row * jnp.uint32(c) + path_in_row  # point id per slot
-        bits = _sobol_tile(idx, [v_rows[b] for b in range(_BITS)], shift_row)
+        if lb is None:
+            idx = base + row * jnp.uint32(c) + path_in_row  # point per slot
+            bits = _sobol_tile(idx, v_list, shift_row)
+        else:
+            bits = low ^ _sobol_chunk_const(base, v_list, shift_row, lb)
         z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
         p = kbasket._payoff_tile(ops, k, z, False, mxu=mxu)
         return acc_add_n(carry, (jnp.sum(p), jnp.sum(p * p)), True)
@@ -395,13 +465,23 @@ def asian_xla_partials(opt: AsianOption, key, block_offset, plan: Plan,
     shifts = _rep_shifts(key, block_offset, n_blocks, m)
     chunk_pts = plan.rows * LANES
 
+    v_list = [v_dims[:, b][None, :] for b in range(_BITS)]
+    lb = _chunk_log2(chunk_pts)
+
     def one(shift):
+        if lb is not None:
+            j = jnp.arange(chunk_pts, dtype=jnp.uint32)[:, None]
+            low = _sobol_low_tile(j, v_list, lb)
+
         def chunk(ch, carry):
-            idx = (jnp.uint32(ch) * jnp.uint32(chunk_pts)
-                   + jnp.arange(chunk_pts, dtype=jnp.uint32))[:, None]
-            bits = _sobol_tile(idx, [v_dims[:, b][None, :]
-                                     for b in range(_BITS)],
-                               shift[None, :])
+            if lb is None:
+                idx = (jnp.uint32(ch) * jnp.uint32(chunk_pts)
+                       + jnp.arange(chunk_pts, dtype=jnp.uint32))[:, None]
+                bits = _sobol_tile(idx, v_list, shift[None, :])
+            else:
+                base = jnp.uint32(ch) * jnp.uint32(chunk_pts)
+                bits = low ^ _sobol_chunk_const(base, v_list,
+                                                shift[None, :], lb)
             z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)  # (pts, m)
             w = msobol.bridge_paths(z, t, dtype)  # (m, pts)
             log_s = jnp.log(s) + (r - 0.5 * v * v) * t_j[:, None] + v * w
@@ -432,7 +512,8 @@ def asian_xla_partials(opt: AsianOption, key, block_offset, plan: Plan,
 
 
 def _asian_rep_sums(rep_off, shift_ref, v_ref, drift_tab, scal, z_scratch,
-                    plan: Plan, n_obs: int, geometric: bool, dtype):
+                    plan: Plan, n_obs: int, geometric: bool, dtype,
+                    acc_scratch=None):
     """Kahan (sum, comp, sum2, comp2) of one replicate of the Asian net.
 
     The fused kernel body: streams the net chunk-by-chunk; per chunk, a
@@ -466,22 +547,69 @@ def _asian_rep_sums(rep_off, shift_ref, v_ref, drift_tab, scal, z_scratch,
             terms = nxt
         return terms[0]
 
-    def chunk(c, carry):
-        idx = _point_index_tile(c, rows)
-        gray = idx ^ (idx >> jnp.uint32(1))
+    lb = _chunk_log2(rows * LANES) if acc_scratch is not None else None
+    if lb is not None:
+        # LOW(j) per dim, chunk-invariant: built ONCE per replicate into
+        # the u32 scratch; the chunk loop then pays one XOR per point-dim
+        # instead of the 30-bit construction (see _sobol_chunk_const).
+        j = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+             * jnp.uint32(LANES)
+             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        gray_j = j ^ (j >> jnp.uint32(1))
 
-        def dim_body(d, _):
+        def low_body(d, _):
             def bit_body(bb, acc):
-                bit = (gray >> bb.astype(jnp.uint32)) & jnp.uint32(1)
+                bit = (gray_j >> bb.astype(jnp.uint32)) & jnp.uint32(1)
                 vd = v_ref[d * _BITS + bb]
                 return acc ^ jnp.where(bit > 0, vd, jnp.uint32(0))
 
-            acc = jax.lax.fori_loop(0, _BITS, bit_body,
+            acc = jax.lax.fori_loop(0, lb, bit_body,
                                     jnp.zeros(shape, jnp.uint32))
-            acc = acc ^ (shift_ref[rep_off + d] >> jnp.uint32(32 - _BITS))
-            z = _norm_ppf(_u_from_bits30(acc, dtype), dtype)
-            z_scratch[pl.ds(d * rows, rows), :] = z
+            acc_scratch[pl.ds(d * rows, rows), :] = acc
             return 0
+
+        jax.lax.fori_loop(0, n_obs, low_body, 0)
+
+    def chunk(c, carry):
+        if lb is not None:
+            base = jnp.uint32(c) * jnp.uint32(rows * LANES)
+            gray_base = base ^ (base >> jnp.uint32(1))
+            flip = (base >> jnp.uint32(lb)) & jnp.uint32(1)
+
+            def dim_body(d, _):
+                def hi_body(bb, cst):
+                    bit = ((gray_base >> bb.astype(jnp.uint32))
+                           & jnp.uint32(1))
+                    vd = v_ref[d * _BITS + bb]
+                    return cst ^ jnp.where(bit > 0, vd, jnp.uint32(0))
+
+                cst = jax.lax.fori_loop(
+                    lb, _BITS, hi_body,
+                    shift_ref[rep_off + d] >> jnp.uint32(32 - _BITS))
+                cst = cst ^ jnp.where(flip > 0,
+                                      v_ref[d * _BITS + (lb - 1)],
+                                      jnp.uint32(0))
+                acc = acc_scratch[pl.ds(d * rows, rows), :] ^ cst
+                z = _norm_ppf(_u_from_bits30(acc, dtype), dtype)
+                z_scratch[pl.ds(d * rows, rows), :] = z
+                return 0
+        else:
+            idx = _point_index_tile(c, rows)
+            gray = idx ^ (idx >> jnp.uint32(1))
+
+            def dim_body(d, _):
+                def bit_body(bb, acc):
+                    bit = (gray >> bb.astype(jnp.uint32)) & jnp.uint32(1)
+                    vd = v_ref[d * _BITS + bb]
+                    return acc ^ jnp.where(bit > 0, vd, jnp.uint32(0))
+
+                acc = jax.lax.fori_loop(0, _BITS, bit_body,
+                                        jnp.zeros(shape, jnp.uint32))
+                acc = acc ^ (shift_ref[rep_off + d]
+                             >> jnp.uint32(32 - _BITS))
+                z = _norm_ppf(_u_from_bits30(acc, dtype), dtype)
+                z_scratch[pl.ds(d * rows, rows), :] = z
+                return 0
 
         jax.lax.fori_loop(0, n_obs, dim_body, 0)
 
@@ -513,13 +641,15 @@ def _asian_rep_sums(rep_off, shift_ref, v_ref, drift_tab, scal, z_scratch,
 
 
 def _asian_rqmc_kernel(shift_ref, v_ref, drift_ref, scal_ref, out_ref,
-                       z_scratch, *, plan: Plan, n_obs: int,
+                       z_scratch, *acc_scratch, plan: Plan, n_obs: int,
                        geometric: bool):
     b = pl.program_id(0)
     scal = (scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4])
     out = _asian_rep_sums(b * jnp.int32(n_obs), shift_ref, v_ref,
                           drift_ref, scal, z_scratch, plan, n_obs,
-                          geometric, jnp.float32)
+                          geometric, jnp.float32,
+                          acc_scratch=(acc_scratch[0] if acc_scratch
+                                       else None))
     for j in range(4):
         out_ref[b, j] = out[j]
 
@@ -541,14 +671,19 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
         kernel = functools.partial(_asian_rqmc_kernel, plan=plan, n_obs=m,
                                    geometric=opt.average == "geometric")
         pts = plan.iters * plan.rows * LANES
+        scratch = [pltpu.VMEM((m * plan.rows, LANES), jnp.float32)]
+        # Hoisted-LOW u32 scratch (same footprint as the z scratch) when
+        # the chunk-split applies and both fit comfortably in ~16MB VMEM.
+        if (_chunk_log2(plan.rows * LANES) is not None
+                and m * plan.rows * LANES * 8 <= 8 << 20):
+            scratch.append(pltpu.VMEM((m * plan.rows, LANES), jnp.uint32))
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((m * plan.rows, LANES),
-                                       jnp.float32)],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),

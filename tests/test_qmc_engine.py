@@ -195,3 +195,51 @@ class TestEstimatorContract:
             qmc_engine.F32_ACCURACY_FLOOR * abs(float(res.price)))
         assert abs(float(res.price) - BS) < 5 * max(
             float(res.std_error), 1e-7)
+
+
+class TestSobolChunkSplit:
+    """The hoisted LOW/CONST construction is pure XOR reassociation of the
+    30-bit form: the integers must be BITWISE identical for every chunk."""
+
+    def test_split_equals_plain_scalar_dims(self):
+        v0 = qmc_engine._directions_np()[0]
+        v_bits = [jnp.uint32(int(v0[b])) for b in range(qmc_engine._BITS)]
+        shift = jnp.uint32(0x9E3779B9)
+        rows, lanes = 8, qmc_engine.LANES
+        lb = qmc_engine._chunk_log2(rows * lanes)
+        assert lb == 10
+        j = (jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 0)
+             * jnp.uint32(lanes)
+             + jax.lax.broadcasted_iota(jnp.uint32, (rows, lanes), 1))
+        low = qmc_engine._sobol_low_tile(j, v_bits, lb)
+        for chunk in (0, 1, 2, 7, 31, 1023, 2**19, 2**20 - 3):
+            base = jnp.uint32(chunk) * jnp.uint32(rows * lanes)
+            plain = qmc_engine._sobol_tile(base + j, v_bits, shift)
+            split = low ^ qmc_engine._sobol_chunk_const(base, v_bits,
+                                                        shift, lb)
+            np.testing.assert_array_equal(np.asarray(plain),
+                                          np.asarray(split))
+
+    def test_split_equals_plain_row_dims(self):
+        """Multi-dim (per-lane direction rows), the packed-basket layout."""
+        rng = np.random.default_rng(3)
+        m = 16
+        v = qmc_engine._directions_np()[:m]  # (m, 30)
+        v_bits = [jnp.asarray(v[:, b][None, :]) for b in range(30)]
+        shift = jnp.asarray(
+            rng.integers(0, 2**32, size=(1, m), dtype=np.uint32))
+        pts = 1 << 12
+        lb = qmc_engine._chunk_log2(pts)
+        j = jnp.arange(pts, dtype=jnp.uint32)[:, None]
+        low = qmc_engine._sobol_low_tile(j, v_bits, lb)
+        for chunk in (0, 5, 255, 2**17 + 9):
+            base = jnp.uint32(chunk) * jnp.uint32(pts)
+            plain = qmc_engine._sobol_tile(base + j, v_bits, shift)
+            split = low ^ qmc_engine._sobol_chunk_const(base, v_bits,
+                                                        shift, lb)
+            np.testing.assert_array_equal(np.asarray(plain),
+                                          np.asarray(split))
+
+    def test_non_power_of_two_chunk_disables_split(self):
+        assert qmc_engine._chunk_log2(3 * 128) is None
+        assert qmc_engine._chunk_log2(1) is None
