@@ -193,3 +193,21 @@ def test_greeks_cli_cva(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "credit_delta" in out and "closed-form FD" in out
+
+
+def test_greeks_cli_basket(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "basket", "--paths", "16384",
+                    "--assets", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "per-asset" in out and "delta" in out and "vega" in out
+
+
+def test_greeks_cli_lookback(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "lookback", "--paths", "16384",
+                    "--obs", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "lookback" in out and "delta" in out
