@@ -27,8 +27,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
-                            "heston", "cva"],
+                            "barrier", "heston", "cva"],
                    default="vanilla")
+    p.add_argument("--barrier", type=float, default=130.0,
+                   help="knock-out level for --product barrier")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for --product basket")
     p.add_argument("--obs", type=int, default=12,
@@ -120,6 +122,38 @@ def main(argv=None):
                   f"±{float(r.ci):8.6f}")
         return 0
 
+    if args.product == "barrier":
+        from mctpu import engine
+        from mctpu.types import BarrierOption
+        bopt = BarrierOption(args.spot, args.strike, args.rate, args.vol,
+                             args.maturity, barrier=args.barrier,
+                             n_obs=args.obs)
+        res, dt = common.timed(engine.greeks_barrier, bopt, args.paths, key)
+
+        def cf(s=args.spot, v=args.vol, r=args.rate):
+            beff = float(mcmath.barrier_continuity_correction(
+                args.barrier, s, v, args.maturity, args.obs, up=True))
+            return float(mcmath.up_and_out_call(
+                s, args.strike, r, v, args.maturity, beff))
+
+        h = 1e-3
+        col = {
+            "price": cf(),
+            "delta": (cf(s=args.spot + 0.05) - cf(s=args.spot - 0.05)) / 0.1,
+            "vega": (cf(v=args.vol + h) - cf(v=args.vol - h)) / (2 * h),
+            "rho": (cf(r=args.rate + h) - cf(r=args.rate - h)) / (2 * h),
+        }
+        print(f"\nup-and-out barrier {args.barrier} ({args.obs} obs), "
+              f"likelihood-ratio Greeks (unbiased under the knock-out "
+              f"discontinuity), paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'LR MC':>12} | {'95% CI':>10} | "
+              f"{'BGK closed-form FD':>18}")
+        for name in ("price", "delta", "vega", "rho"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):8.6f} | {col[name]:18.6f}")
+        return 0
+
     if args.product == "cva":
         import dataclasses
 
@@ -164,6 +198,35 @@ def main(argv=None):
         hopt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
                             t=args.maturity, v0=args.vol ** 2, kappa=2.0,
                             theta=args.vol ** 2, xi=0.3, rho=-0.7)
+        if args.engine:
+            import dataclasses
+
+            from mctpu import engine
+            res, dt = common.timed(engine.greeks_heston, hopt, args.paths,
+                                   key, n_steps=args.obs)
+
+            def cfp(**bump):
+                return float(mheston.cf_call_price(
+                    dataclasses.replace(hopt, **bump)))
+
+            col = {
+                "price": cfp(),
+                "delta": (cfp(s=args.spot + 0.05)
+                          - cfp(s=args.spot - 0.05)) / 0.1,
+                "vega": (cfp(v0=hopt.v0 + 1e-3)
+                         - cfp(v0=hopt.v0 - 1e-3)) / 2e-3,
+                "rho": (cfp(r=args.rate + 1e-3)
+                        - cfp(r=args.rate - 1e-3)) / 2e-3,
+            }
+            print(f"\nheston euler ({args.obs} steps), engine-tier pathwise "
+                  f"tangents, paths={args.paths}  time={dt * 1e3:.2f} ms")
+            print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
+                  f"{'char-fn FD':>12}   (vega = dV/dv0)")
+            for name in ("price", "delta", "vega", "rho"):
+                r = getattr(res, name)
+                print(f"{name:>6} | {float(r.price):12.6f} | "
+                      f"±{float(r.ci):8.6f} | {col[name]:12.6f}")
+            return 0
         mc, dt = common.timed(greeks.heston_greeks, hopt, args.paths, key,
                               n_steps=args.obs, scheme="qe")
         print(f"\nheston QE ({args.obs} steps), paths={args.paths}  "

@@ -63,7 +63,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
-           "greeks_asian", "greeks_lookback", "greeks_cva"]
+           "greeks_asian", "greeks_lookback", "greeks_barrier",
+           "greeks_heston", "greeks_cva"]
 
 
 def _default_backend() -> str:
@@ -702,10 +703,121 @@ def greeks_lookback(opt, n_paths: int, key: jax.Array,
     return GreeksResult(price=est(0), delta=est(1), vega=est(2))
 
 
+def greeks_barrier(opt, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Price + likelihood-ratio delta/vega/rho of a knock-out barrier call
+    at engine scale.
+
+    The knock-out indicator is discontinuous in every parameter, so
+    pathwise differentiation is biased here; the fused kernel accumulates
+    the Glasserman section-7.3 likelihood-ratio integrands instead — the
+    density scores need only three extra carried tiles and keep the walk
+    transcendental-free (``kernels/barrier.py``, Greeks section).  Each
+    Greek is unbiased for the discretely-monitored product and carries an
+    honest CI; LR variance grows ~linearly in ``n_obs`` (documented
+    there).  Gated against CRN bump-and-revalue in ``tests/test_greeks.py``.
+    """
+    from mctpu.kernels import barrier as kbar
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kbar.LANES * anti)
+    plan = kbar.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                          cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_barrier", opt.kind, opt.n_obs, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kbar.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kbar.greek_xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
+
+
+def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
+                  config: EngineConfig = EngineConfig(),
+                  n_steps: int = 100) -> "GreeksResult":
+    """Price + pathwise delta / vega(= dV/d v0) / rho of a Heston call at
+    engine scale (full-truncation Euler scheme).
+
+    Forward-mode tangents of the carried ``(log S, v)`` state ride the
+    fused walk (``kernels/heston.py``, Greeks section): the call payoff is
+    continuous in ``s0`` and ``v0``, so pathwise differentiation of the
+    DISCRETIZED scheme is unbiased for that scheme's own price.  ``vega``
+    is the sensitivity to the initial variance ``v0`` (chain through
+    ``2 sqrt(v0)`` for a vol-quoted vega); ``rho`` is exact in-kernel:
+    ``dx/dr = t`` pathwise, giving the ``t K 1{S_T>K}`` integrand.
+    Gated against CRN bumps of :func:`price_heston` and finite differences
+    of the characteristic-function price in ``tests/test_greeks.py``.
+    """
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kheston.LANES * anti)
+    plan = kheston.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_heston", n_steps, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kheston.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n_steps,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kheston.greek_xla_partials(
+                    a[0], a[1], off, plan, nb, n_steps)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
+
+
 def greeks(opt, n_paths: int, key: jax.Array,
            config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Engine-scale pathwise Greeks: dispatches on the product type."""
-    from mctpu.types import AsianOption, LookbackOption
+    from mctpu.types import (AsianOption, BarrierOption, LookbackOption)
     if isinstance(opt, VanillaOption):
         return greeks_vanilla(opt, n_paths, key, config)
     if isinstance(opt, BasketOption):
@@ -714,6 +826,10 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_asian(opt, n_paths, key, config)
     if isinstance(opt, LookbackOption):
         return greeks_lookback(opt, n_paths, key, config)
+    if isinstance(opt, BarrierOption):
+        return greeks_barrier(opt, n_paths, key, config)
+    if isinstance(opt, HestonOption):
+        return greeks_heston(opt, n_paths, key, config)
     if isinstance(opt, (CvaSpec, CvaPortfolioSpec)):
         return greeks_cva(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "

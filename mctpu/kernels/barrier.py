@@ -16,13 +16,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
                                   interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BarrierOption
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials",
+           "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
+
+N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega, rho
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -97,6 +101,199 @@ def xla_partials(opt: BarrierOption, key: jax.Array, block_offset,
 
     keys = mcrng.block_keys(key, block_offset, n_blocks)
     return jax.vmap(block_fn)(keys)
+
+
+# ---------------------------------------------------------------------------
+# Likelihood-ratio Greeks (delta, vega, rho)
+# ---------------------------------------------------------------------------
+# The knock-out indicator is DISCONTINUOUS in (s0, v, r): a bump can flip a
+# path from alive to knocked out, so plain pathwise differentiation drops
+# the barrier-boundary term and is biased (the fallback in mctpu/greeks.py
+# documents this; the reference ships no barrier Greeks at all).  The
+# likelihood-ratio method differentiates the sampling DENSITY instead of
+# the payoff (Glasserman 2004, section 7.3), so the discontinuity is
+# harmless and the estimator is unbiased for the discretely-monitored
+# product itself.
+#
+# With per-step log-increments x_j ~ N(mu, sigma^2), mu = (r - v^2/2) dt,
+# sigma = v sqrt(dt), and effective draws zeta_j = (x_j - mu)/sigma:
+#
+#   delta: s0 only moves the FIRST point's density (Markov) ->
+#          score = zeta_1 / (s0 sigma)
+#   vega:  v moves every step's mu and sigma ->
+#          score = sum_j [(zeta_j^2 - 1)/v - zeta_j sqrt(dt)]
+#   rho:   r moves every step's mu ->
+#          score = sum_j zeta_j sqrt(dt)/v, plus the -t*P discount term
+#          folded into the integrand (like the vanilla/Asian rho).
+#
+# The walk only has to carry three extra tiles (zeta_1, sum zeta, sum
+# zeta^2) — no transcendentals are added.  LR variance grows ~linearly in
+# the number of observations (each Greek's CI is reported honestly by the
+# estimator), which is the textbook price of unbiasedness here; CRN
+# bump-and-revalue (mctpu/greeks.py) remains available when a smoother
+# target is acceptable.
+
+
+def _greek_scalars(o, n_obs: int, dtype):
+    """Per-option constants of the LR integrands (see module comment)."""
+    dt = o.t / n_obs
+    vol = o.v * jnp.sqrt(dt)          # sigma per step
+    return {
+        "drift": (o.r - 0.5 * o.v * o.v) * dt,
+        "vol": vol,
+        "c_d": 1.0 / (o.s * vol),     # zeta_1 multiplier of the delta score
+        "inv_v": 1.0 / o.v,
+        "sqdt": jnp.sqrt(dt),
+        "n_over_v": n_obs / o.v,
+        "c_r": jnp.sqrt(dt) / o.v,
+        "t": o.t * jnp.ones((), dtype),
+    }
+
+
+def _greek_step(drift, vol, log_h, up: bool):
+    """Walk step advancing (log_s, alive, z1, zs, z2s) from draw ``z``."""
+    def step(j, z, carry, sgn):
+        log_s, alive, z1, zs, z2s = carry
+        zeta = sgn * z
+        log_s = log_s + drift + vol * zeta
+        alive = _alive_update(alive, log_s, log_h, up)
+        z1 = jnp.where(j == 0, zeta, z1)
+        return (log_s, alive, z1, zs + zeta, z2s + zeta * zeta)
+
+    return step
+
+
+def _greek_quants(log_s, alive, z1, zs, z2s, k, c):
+    """(p, gd, gv, gr) integrand tiles from the walk carries."""
+    p = alive * jnp.maximum(jnp.exp(log_s) - k, 0.0)
+    gd = p * z1 * c["c_d"]
+    gv = p * (z2s * c["inv_v"] - zs * c["sqdt"] - c["n_over_v"])
+    gr = p * (zs * c["c_r"] - c["t"])
+    return p, gd, gv, gr
+
+
+def _greek_sums(tiles):
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def greek_xla_partials(opt: BarrierOption, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int):
+    """Per-block LR Greek partials ``(n_blocks, 8)``: payoff/delta/vega/rho
+    (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    g = opt.n_obs
+    up = opt.kind == "up-and-out"
+    c = _greek_scalars(o, g, dtype)
+    log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+    log_h = jnp.log(jnp.asarray(o.barrier, dtype))
+    shape = (plan.rows, LANES)
+    step = _greek_step(c["drift"], c["vol"], log_h, up)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            return step(j, z_seq[j], carry, sgn)
+
+        z = jnp.zeros(shape, dtype)
+        init = (jnp.full(shape, log_s0, dtype), jnp.ones(shape, dtype),
+                z, z, z)
+        log_s, alive, z1, zs, z2s = jax.lax.fori_loop(0, g, body, init)
+        return _greek_quants(log_s, alive, z1, zs, z2s, o.k, c)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            tiles = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                m = walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+            return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(
+            0, plan.iters, body, acc_init_n(N_GREEK_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _barrier_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
+                           plan: Plan, n_obs: int, up: bool):
+    log_s0, k, log_h = scal_ref[0], scal_ref[1], scal_ref[2]
+    c = {"drift": scal_ref[3], "vol": scal_ref[4], "c_d": scal_ref[5],
+         "inv_v": scal_ref[6], "sqdt": scal_ref[7], "n_over_v": scal_ref[8],
+         "c_r": scal_ref[9], "t": scal_ref[10]}
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    step = _greek_step(c["drift"], c["vol"], log_h, up)
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def pair_step(j, z, carry):
+            return step(j, z, carry, sgn)
+
+        z = jnp.zeros(shape, jnp.float32)
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.ones(shape, jnp.float32), z, z, z)
+        log_s, alive, z1, zs, z2s = walk_pairwise(shape, n_obs, pair_step,
+                                                  init)
+        return _greek_quants(log_s, alive, z1, zs, z2s, k, c)
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            m = walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+        return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(
+        0, plan.iters, body,
+        acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
+    sums = acc_final_n(carry, plan.kahan)
+    for j, sj in enumerate(sums):
+        out_ref[b, j] = sj
+
+
+def greek_pallas_partials(opt: BarrierOption, seed, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Per-block LR Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        c = _greek_scalars(o, opt.n_obs, jnp.float32)
+        scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k,
+                          jnp.log(jnp.asarray(o.barrier, jnp.float32)),
+                          c["drift"], c["vol"], c["c_d"], c["inv_v"],
+                          c["sqdt"], c["n_over_v"], c["c_r"], c["t"]])
+        kernel = functools.partial(_barrier_greeks_kernel, plan=plan,
+                                   n_obs=opt.n_obs,
+                                   up=opt.kind == "up-and-out")
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=16 * plan.iters * paths_iter * opt.n_obs,
+                bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
+                transcendentals=4 * plan.iters * paths_iter * opt.n_obs,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
 
 
 # ---------------------------------------------------------------------------

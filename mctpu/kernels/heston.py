@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
@@ -31,7 +32,10 @@ from mctpu.models import heston as mheston
 from mctpu.types import HestonOption
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials",
-           "level_xla_partials", "level_pallas_partials"]
+           "level_xla_partials", "level_pallas_partials",
+           "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
+
+N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega(v0), rho
 
 # Order of the QE constant vector passed to the kernel (SMEM scalars).
 _QE_KEYS = ("e", "c1", "c2", "r_dt", "k0", "k1", "k2", "k3", "k4", "theta")
@@ -189,6 +193,189 @@ def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
     with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,
                                 n_steps, interpret, scheme)
+
+
+# ---------------------------------------------------------------------------
+# Pathwise Greeks (delta, d/d v0, rho) — forward-mode tangents in the walk
+# ---------------------------------------------------------------------------
+# The call payoff is CONTINUOUS in s0 and v0 (unlike the barrier), so
+# pathwise differentiation of the discretized scheme is unbiased for that
+# scheme's own price (Glasserman section 7.2).  The kernel carries the
+# forward-mode tangents (d log S / d v0, d v / d v0) alongside the Euler
+# state — each step's tangent costs one guarded rsqrt + a handful of FMAs:
+#
+#   vp  = max(v, 0),  m = 1{v > 0}          (full-truncation subgradient)
+#   dvp = m * av                            (av = dv/dv0 carry)
+#   al' = al + dvp * (z_s * dsq - dt/2)     (al = d log S/dv0 carry)
+#   av' = av + dvp * (xi z_v * dsq - kappa dt)
+#   dsq = d sqrt(vp dt)/d vp = sqdt / (2 sqrt(vp)),  guarded at vp = 0.
+#
+# Terminal integrands (I = 1{S_T > K}): delta = I e^x (homogeneity — no
+# division), vega_v0 = I S_T al, and rho is EXACT pathwise: r enters the
+# log-spot drift only, dx/dr = t, so the integrand is t K I after the
+# -t*P discount fold.  Delta/vega are gated against CRN bumps of the same
+# scheme and FD of the characteristic-function price in tests.
+
+
+def _greek_step(x, v, al, av, z_v, z_perp, k_dt, th, xi, rho_c, rho_s,
+                r_dt, sqdt, half_dt):
+    """One Euler step advancing state AND (d/dv0) tangents."""
+    vp = jnp.maximum(v, 0.0)
+    sq = jnp.sqrt(vp)
+    sq_v = sq * sqdt
+    dsq = jnp.where(vp > 0.0, (0.5 * sqdt) * jax.lax.rsqrt(vp), 0.0)
+    dvp = jnp.where(v > 0.0, av, 0.0)
+    z_s = rho_c * z_v + rho_s * z_perp
+    x = x + r_dt - half_dt * vp + sq_v * z_s
+    al = al + dvp * (z_s * dsq - half_dt)
+    v = v + k_dt * (th - vp) + xi * sq_v * z_v
+    av = av + dvp * (xi * dsq * z_v - k_dt)
+    return x, v, al, av
+
+
+def _greek_quants(x, al, s0, k, t_k):
+    """(p, gd, gv, gr) integrand tiles; ``t_k = t * K`` (rho integrand)."""
+    e_x = jnp.exp(x)
+    st = s0 * e_x
+    ind = jnp.where(st > k, 1.0, 0.0)
+    p = jnp.maximum(st - k, 0.0)
+    return p, ind * e_x, ind * st * al, t_k * ind
+
+
+def _greek_sums(tiles):
+    out = []
+    for q in tiles:
+        out.append(jnp.sum(q))
+        out.append(jnp.sum(q * q))
+    return tuple(out)
+
+
+def greek_xla_partials(opt: HestonOption, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int, n_steps: int):
+    """Per-block Greek partials ``(n_blocks, 8)``: payoff/delta/vega/rho
+    (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns.  Euler scheme only."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    dt = o.t / n_steps
+    sqdt = jnp.sqrt(dt)
+    k_dt = o.kappa * dt
+    r_dt = o.r * dt
+    half_dt = 0.5 * dt
+    rho_c = o.rho
+    rho_s = jnp.sqrt(1.0 - o.rho * o.rho)
+    t_k = o.t * o.k
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            x, v, al, av = carry
+            return _greek_step(x, v, al, av, sgn * z_seq[j, 0],
+                               sgn * z_seq[j, 1], k_dt, o.theta, o.xi,
+                               rho_c, rho_s, r_dt, sqdt, half_dt)
+
+        init = (jnp.zeros(shape, dtype), jnp.full(shape, o.v0, dtype),
+                jnp.zeros(shape, dtype), jnp.ones(shape, dtype))
+        x, _, al, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return _greek_quants(x, al, o.s, o.k, t_k)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_steps, 2) + shape, dtype)
+            tiles = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                m = walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+            return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(
+            0, plan.iters, body, acc_init_n(N_GREEK_SUMS, dtype, plan.kahan))
+        return jnp.stack(acc_final_n(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
+                          plan: Plan, n_steps: int):
+    s0, k, v0 = scal_ref[0], scal_ref[1], scal_ref[2]
+    k_dt, th, xi = scal_ref[3], scal_ref[4], scal_ref[5]
+    rho_c, rho_s = scal_ref[6], scal_ref[7]
+    r_dt, sqdt = scal_ref[8], scal_ref[9]
+    half_dt, t_k = scal_ref[10], scal_ref[11]
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def walk(i, sgn):
+        # Re-seed per (block, iter): antithetic mirror replays the stream.
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def body(j, carry):
+            x, v, al, av = carry
+            z_v, z_perp = draw_normal_pair(shape, j)
+            return _greek_step(x, v, al, av, sgn * z_v, sgn * z_perp,
+                               k_dt, th, xi, rho_c, rho_s, r_dt, sqdt,
+                               half_dt)
+
+        init = (jnp.zeros(shape, jnp.float32),
+                jnp.full(shape, v0, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.ones(shape, jnp.float32))
+        x, _, al, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        return _greek_quants(x, al, s0, k, t_k)
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            m = walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
+        return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(
+        0, plan.iters, body,
+        acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
+    sums = acc_final_n(carry, plan.kahan)
+    for j, sj in enumerate(sums):
+        out_ref[b, j] = sj
+
+
+def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
+                          n_blocks: int, n_steps: int,
+                          interpret: bool = False):
+    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        dt = o.t / n_steps
+        scal = jnp.stack([
+            o.s, o.k, o.v0,
+            o.kappa * dt, o.theta, o.xi,
+            o.rho, jnp.sqrt(1.0 - o.rho * o.rho),
+            o.r * dt, jnp.sqrt(dt),
+            0.5 * dt, o.t * o.k,
+        ])
+        kernel = functools.partial(_heston_greeks_kernel, plan=plan,
+                                   n_steps=n_steps)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=24 * plan.iters * paths_iter * n_steps,
+                bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
+                transcendentals=7 * plan.iters * paths_iter * n_steps,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
 
 
 # ---------------------------------------------------------------------------

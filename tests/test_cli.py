@@ -211,3 +211,21 @@ def test_greeks_cli_lookback(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "lookback" in out and "delta" in out
+
+
+def test_greeks_cli_barrier(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "barrier", "--paths", "16384",
+                    "--obs", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "likelihood-ratio" in out and "BGK closed-form FD" in out
+
+
+def test_greeks_cli_heston_engine(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "heston", "--engine", "--paths", "16384",
+                    "--obs", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "engine-tier pathwise tangents" in out and "char-fn FD" in out

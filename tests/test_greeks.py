@@ -388,12 +388,12 @@ class TestEngineGreeksVanilla:
         res = engine.greeks(OPT, 1 << 16, KEY, self._cfg())
         assert float(res.delta.price) == pytest.approx(CF["delta"], abs=0.02)
         with pytest.raises(TypeError):
-            # Heston has no in-kernel Greeks (mctpu.greeks.heston_greeks
-            # is the autodiff fallback); asian joined the dispatcher in r3.
-            from mctpu.types import HestonOption
-            engine.greeks(HestonOption(s=100.0, k=100.0, r=0.03, t=1.0,
-                                       v0=0.04, kappa=1.5, theta=0.04,
-                                       xi=0.5, rho=-0.7),
+            # American exercise has no in-kernel Greeks (the LSM stopping
+            # rule is the sensitivity path there); heston/barrier joined
+            # the dispatcher in r4, asian/lookback in r3.
+            from mctpu.types import AmericanOption
+            engine.greeks(AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2,
+                                         t=1.0, n_steps=8, payoff="put"),
                           1 << 10, KEY, self._cfg())
 
 
@@ -648,3 +648,218 @@ class TestEngineGreeksCva:
             b, s = getattr(base, name), getattr(shard, name)
             assert float(b.price) == float(s.price), name
             assert float(b.ci) == float(s.ci), name
+
+
+class TestEngineGreeksBarrier:
+    """Round-4 engine-tier barrier Greeks: likelihood-ratio estimators
+    (unbiased under the knock-out discontinuity, Glasserman sec. 7.3),
+    gated against CRN bumps of the MC pricer and FD of the BGK-corrected
+    closed form."""
+
+    @staticmethod
+    def _opt(n_obs=16, kind="up-and-out", barrier=130.0):
+        from mctpu.types import BarrierOption
+        return BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=barrier,
+                             n_obs=n_obs, kind=kind)
+
+    @staticmethod
+    def _cfg(**kw):
+        from mctpu import engine
+        kw.setdefault("num_blocks", 16)
+        kw.setdefault("rows", 8)
+        kw.setdefault("backend", "xla")
+        return engine.EngineConfig(**kw)
+
+    def test_price_matches_pricer(self):
+        from mctpu import engine
+        opt = self._opt()
+        g = engine.greeks_barrier(opt, 1 << 17, KEY, self._cfg())
+        p = engine.price_barrier(opt, 1 << 17, KEY, self._cfg())
+        assert float(g.price.price) == pytest.approx(float(p.price),
+                                                     rel=1e-6)
+
+    def test_delta_vega_rho_match_crn_bumps(self):
+        import dataclasses
+
+        from mctpu import engine
+        opt = self._opt()
+        cfg = self._cfg()
+        g = engine.greeks_barrier(opt, 1 << 19, KEY, cfg)
+
+        def crn(**bump):
+            ob = dataclasses.replace(opt, **bump)
+            return float(engine.price_barrier(ob, 1 << 19, KEY, cfg).price)
+
+        fd = {
+            "delta": (crn(s=100.5) - crn(s=99.5)) / 1.0,
+            "vega": (crn(v=0.2 + 5e-3) - crn(v=0.2 - 5e-3)) / 1e-2,
+            "rho": (crn(r=0.05 + 1e-3) - crn(r=0.05 - 1e-3)) / 2e-3,
+        }
+        for name, want in fd.items():
+            r = getattr(g, name)
+            # LR variance is the price of unbiasedness; CRN FD has its own
+            # noise + O(h^2) bias -> combined gate.
+            tol = 5 * float(r.std_error) + abs(want) * 2e-2 + 2e-3
+            assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                      want)
+
+    def test_delta_matches_bgk_closed_form_fd(self):
+        from mctpu import engine
+        opt = self._opt(n_obs=50)
+        g = engine.greeks_barrier(opt, 1 << 20, KEY, self._cfg())
+
+        def cf(s):
+            beff = float(mcmath.barrier_continuity_correction(
+                130.0, s, 0.2, 1.0, 50, up=True))
+            return float(mcmath.up_and_out_call(s, 100.0, 0.05, 0.2, 1.0,
+                                                beff))
+
+        want = (cf(100.5) - cf(99.5)) / 1.0
+        z = (float(g.delta.price) - want) / float(g.delta.std_error)
+        # BGK is itself an O(1/sqrt(n_obs)) approximation -> wide gate.
+        assert abs(z) < 6, (z, float(g.delta.price), want)
+
+    def test_down_and_out_variant(self):
+        import dataclasses
+
+        from mctpu import engine
+        opt = self._opt(kind="down-and-out", barrier=80.0)
+        cfg = self._cfg()
+        g = engine.greeks_barrier(opt, 1 << 18, KEY, cfg)
+
+        def crn(s):
+            ob = dataclasses.replace(opt, s=s)
+            return float(engine.price_barrier(ob, 1 << 18, KEY, cfg).price)
+
+        want = (crn(100.5) - crn(99.5)) / 1.0
+        tol = 5 * float(g.delta.std_error) + abs(want) * 2e-2
+        assert abs(float(g.delta.price) - want) < tol
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = self._opt(n_obs=8)
+        x = engine.greeks_barrier(opt, 1 << 15, KEY, self._cfg())
+        pcfg = self._cfg(num_blocks=4, backend="pallas", interpret=True)
+        p = engine.greeks_barrier(opt, 1 << 15, KEY, pcfg)
+        for name in ("price", "delta", "vega", "rho"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._opt(n_obs=8)
+        g = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert g.rho is not None
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        base = engine.greeks_barrier(opt, 1 << 14, KEY, self._cfg())
+        shard = engine.greeks_barrier(opt, 1 << 14, KEY,
+                                      self._cfg(mesh=path_mesh(devs[:8])))
+        for name in ("price", "delta", "vega", "rho"):
+            assert float(getattr(base, name).price) == float(
+                getattr(shard, name).price), name
+
+
+class TestEngineGreeksHeston:
+    """Round-4 engine-tier Heston Greeks: forward-mode tangents of the
+    full-truncation Euler walk (pathwise — the call payoff is continuous
+    in s0/v0/r), gated against CRN bumps of the same scheme and FD of the
+    characteristic-function price."""
+
+    @staticmethod
+    def _opt(**kw):
+        from mctpu.types import HestonOption
+        d = dict(s=100.0, k=100.0, t=1.0, r=0.03, v0=0.09, kappa=2.0,
+                 theta=0.09, xi=0.4, rho=-0.6)
+        d.update(kw)
+        return HestonOption(**d)
+
+    @staticmethod
+    def _cfg(**kw):
+        from mctpu import engine
+        kw.setdefault("num_blocks", 16)
+        kw.setdefault("rows", 8)
+        kw.setdefault("backend", "xla")
+        return engine.EngineConfig(**kw)
+
+    def test_price_matches_pricer(self):
+        from mctpu import engine
+        opt = self._opt()
+        g = engine.greeks_heston(opt, 1 << 17, KEY, self._cfg(), n_steps=24)
+        p = engine.price_heston(opt, 1 << 17, KEY, self._cfg(), n_steps=24)
+        # Same streams/geometry; the tangent walk folds dt slightly
+        # differently (half_dt vs sqdt^2) -> last-ulps drift over steps.
+        assert float(g.price.price) == pytest.approx(float(p.price),
+                                                     rel=1e-4)
+
+    def test_greeks_match_crn_bumps(self):
+        import dataclasses
+
+        from mctpu import engine
+        opt = self._opt()
+        cfg = self._cfg()
+        g = engine.greeks_heston(opt, 1 << 19, KEY, cfg, n_steps=30)
+
+        def crn(**bump):
+            ob = dataclasses.replace(opt, **bump)
+            return float(engine.price_heston(ob, 1 << 19, KEY, cfg,
+                                             n_steps=30).price)
+
+        fd = {
+            "delta": (crn(s=100.5) - crn(s=99.5)) / 1.0,
+            "vega": (crn(v0=0.092) - crn(v0=0.088)) / 4e-3,
+            "rho": (crn(r=0.032) - crn(r=0.028)) / 4e-3,
+        }
+        for name, want in fd.items():
+            r = getattr(g, name)
+            tol = 5 * float(r.std_error) + abs(want) * 1e-2
+            assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                      want)
+
+    def test_delta_matches_cf_finite_difference(self):
+        import dataclasses as dc
+
+        from mctpu import engine
+        from mctpu.models import heston as mheston
+        opt = self._opt()
+        g = engine.greeks_heston(opt, 1 << 19, KEY, self._cfg(),
+                                 n_steps=100)
+        eps = 0.5
+        fd = (float(mheston.cf_call_price(dc.replace(opt, s=100 + eps)))
+              - float(mheston.cf_call_price(dc.replace(opt, s=100 - eps)))
+              ) / (2 * eps)
+        # Pathwise delta is unbiased for the DISCRETIZED scheme; at 100
+        # Euler steps the O(dt) scheme bias is within this gate.
+        assert float(g.delta.price) == pytest.approx(fd, abs=0.01)
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = self._opt()
+        x = engine.greeks_heston(opt, 1 << 15, KEY, self._cfg(), n_steps=12)
+        pcfg = self._cfg(num_blocks=4, backend="pallas", interpret=True)
+        p = engine.greeks_heston(opt, 1 << 15, KEY, pcfg, n_steps=12)
+        for name in ("price", "delta", "vega", "rho"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._opt()
+        g = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert g.vega is not None
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        base = engine.greeks_heston(opt, 1 << 14, KEY, self._cfg(),
+                                    n_steps=12)
+        shard = engine.greeks_heston(opt, 1 << 14, KEY,
+                                     self._cfg(mesh=path_mesh(devs[:8])),
+                                     n_steps=12)
+        for name in ("price", "delta", "vega", "rho"):
+            assert float(getattr(base, name).price) == float(
+                getattr(shard, name).price), name
