@@ -828,10 +828,19 @@ class McResult:
     n_paths: int = _static(default=0)  # GBM paths actually simulated
 
     def __repr__(self):  # compact human-readable form
-        return (
-            f"McResult(price={float(self.price):.6f}, ci=±{float(self.ci):.6f}, "
-            f"n={self.n}, n_paths={self.n_paths})"
-        )
+        try:  # scalar result (the common case)
+            body = f"price={float(self.price):.6f}, ci=±{float(self.ci):.6f}"
+        except TypeError:  # vector result (e.g. a strike ladder): show pairs
+            import numpy as _np
+
+            pairs = ", ".join(
+                f"{p:.4f}±{c:.4f}"
+                for p, c in zip(
+                    _np.asarray(self.price).ravel(), _np.asarray(self.ci).ravel()
+                )
+            )
+            body = f"prices=[{pairs}]"
+        return f"McResult({body}, n={self.n}, n_paths={self.n_paths})"
 
     def to_dict(self) -> dict:
         """Plain-Python record (JSON-ready) for logging/automation."""

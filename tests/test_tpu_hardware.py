@@ -379,3 +379,54 @@ def test_mlmc_level_kernel_on_chip():
     assert np.isfinite(v1) and np.isfinite(v2)
     # Giles premise on hardware: coupled variance decays with level.
     assert v2 < v1 / 1.3
+
+
+def test_greeks_barrier_on_chip():
+    """Round-4: likelihood-ratio barrier Greeks kernel on the hardware
+    PRNG, gated against FD of the BGK-corrected closed form (the LR
+    estimator is unbiased for the discrete product; BGK approximates it
+    to O(1/sqrt(n_obs)) — hence the additive slack)."""
+    uo = BarrierOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                       barrier=130.0, n_obs=50, kind="up-and-out")
+    res = engine.greeks_barrier(uo, 1 << 21, KEY, _cfg())
+
+    def cf(s=100.0, v=0.2, r=0.05):
+        beff = float(mcmath.barrier_continuity_correction(
+            130.0, s, v, 1.0, 50, up=True))
+        return float(mcmath.up_and_out_call(s, 100.0, r, v, 1.0, beff))
+
+    gates = {
+        "delta": ((cf(s=100.5) - cf(s=99.5)) / 1.0, 0.01),
+        "vega": ((cf(v=0.205) - cf(v=0.195)) / 0.01, 0.6),
+        "rho": ((cf(r=0.051) - cf(r=0.049)) / 0.002, 0.7),
+    }
+    for name, (want, slack) in gates.items():
+        r = getattr(res, name)
+        tol = 4 * float(r.std_error) + slack
+        assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                  want)
+
+
+def test_greeks_heston_on_chip():
+    """Round-4: forward-tangent Heston Greeks kernel on hardware, gated
+    against FD of the characteristic-function price (pathwise is unbiased
+    for the discretized scheme; 100 Euler steps keep the O(dt) scheme
+    bias inside the slack)."""
+    import dataclasses as dc
+    hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                        kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+    res = engine.greeks_heston(hopt, 1 << 20, KEY, _cfg(), n_steps=100)
+
+    def cfp(**bump):
+        return float(mheston.cf_call_price(dc.replace(hopt, **bump)))
+
+    gates = {
+        "delta": ((cfp(s=100.5) - cfp(s=99.5)) / 1.0, 0.01),
+        "vega": ((cfp(v0=0.041) - cfp(v0=0.039)) / 0.002, 1.0),
+        "rho": ((cfp(r=0.031) - cfp(r=0.029)) / 0.002, 0.6),
+    }
+    for name, (want, slack) in gates.items():
+        r = getattr(res, name)
+        tol = 4 * float(r.std_error) + slack
+        assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                  want)
