@@ -336,9 +336,10 @@ def main():
         # reduce adds ≈ 7 vops.
         "vanilla": {"normal_pair": 0.5, "exp": 1.0, "fma": 7},
         # greeks path (kernels/greeks.py): vanilla + delta/vega/rho/theta
-        # integrands (~6 fma) + 10 accumulator tile-reductions amortized
-        # (~10 extra vops incl. squares).
-        "greeks_vanilla": {"normal_pair": 0.5, "exp": 1.0, "fma": 23},
+        # integrands (~6 fma) + the mixed PW-LR gamma integrand (~2 vops)
+        # + 12 accumulator tile-reductions amortized (~12 extra vops incl.
+        # squares).
+        "greeks_vanilla": {"normal_pair": 0.5, "exp": 1.0, "fma": 28},
         # basket path (kernels/basket.py asset-major, a=3): a/2 = 1.5 pairs
         # per path (every Box-Muller branch feeds a path tile), a = 3 exps,
         # lower-tri correlation a(a+1)/2 = 6 FMAs + 2a arg FMAs + a

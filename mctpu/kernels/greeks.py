@@ -23,14 +23,25 @@ a plain MC mean with an honest per-Greek CI — no post-hoc covariance needed.
 The put mirrors every identity with ``I = -1{S_T < K}``.
 
 Pathwise differentiation is unbiased here because the payoff kink has
-measure zero (Glasserman, *MC Methods in Financial Engineering*, §7.2);
-gamma (a Dirac second derivative) is intentionally absent — use
-:func:`mctpu.greeks.bump_and_revalue` with common random numbers.
+measure zero (Glasserman, *MC Methods in Financial Engineering*, §7.2).
+Gamma is a Dirac second derivative, so pure pathwise fails — the kernel
+instead uses the **mixed pathwise-then-likelihood-ratio estimator**
+(Glasserman §7.3): differentiate the pathwise delta ``E[I S_T]/s0`` once
+more with the lognormal score ``d ln p/d s0 = z/(s0 v sqrt(t))``, which
+after the product rule collapses (via ``E[I S_T (z/sig - 1)] =
+E[K I z]/sig``, both sides checked against BS gamma) to
 
-Per block the kernels emit 10 partial sums
+    gamma integrand = (K / (s0^2 v sqrt(t))) * ind * z
+
+— one FMA on values already in registers, unbiased for calls AND puts
+(``ind`` carries the put's sign; both reduce to ``e^{-rt} K phi(d2) /
+(s0^2 v sqrt(t)) = phi(d1)/(s0 v sqrt(t))``, the BS gamma).
+
+Per block the kernels emit 12 partial sums
 ``(sum_p, sum_p2, sum_gd, sum_gd2, sum_gv, sum_gv2, sum_gr, sum_gr2,
-sum_gt, sum_gt2)`` — same mesh / fixed-order-combine / estimator contract
-as the pricing kernels, so Greeks are bitwise shard-invariant too.
+sum_gt, sum_gt2, sum_gg, sum_gg2)`` — same mesh / fixed-order-combine /
+estimator contract as the pricing kernels, so Greeks are bitwise
+shard-invariant too.
 
 The basket kernel accumulates per-asset delta and vega *vectors* in the
 packed lane layout of ``kernels/basket.py``:
@@ -62,7 +73,7 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "N_SUMS",
            "make_basket_plan", "xla_basket_partials",
            "pallas_basket_partials"]
 
-N_SUMS = 10  # (sum, sum^2) for each of: payoff, delta, vega, rho, theta
+N_SUMS = 12  # (sum, sum^2) of: payoff, delta, vega, rho, theta, gamma
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -75,8 +86,9 @@ def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
 
 def _greek_tile(s0, k, r, v, t, mu, sig, sqt, z, antithetic: bool,
                 put: bool):
-    """Payoff + 4 Greek integrands of one tile of normals (pair-mean when
-    antithetic).  Returns a 5-tuple of arrays shaped like ``z``."""
+    """Payoff + 5 Greek integrands of one tile of normals (pair-mean when
+    antithetic).  Returns a 6-tuple of arrays shaped like ``z``."""
+    cg = k / (s0 * s0 * sig)  # mixed PW-LR gamma scale (module docstring)
 
     def quants(zz):
         st = s0 * jnp.exp(mu + sig * zz)
@@ -91,7 +103,8 @@ def _greek_tile(s0, k, r, v, t, mu, sig, sqt, z, antithetic: bool,
         gv = w * (sqt * zz - v * t)
         gr = (t * k) * ind
         gt = w * (r - 0.5 * v * v + 0.5 * v * zz / sqt) - r * p
-        return (p, gd, gv, gr, gt)
+        gg = cg * (ind * zz)
+        return (p, gd, gv, gr, gt, gg)
 
     if antithetic:
         a = quants(z)
@@ -119,7 +132,7 @@ def _pair_sums(t1, t2):
 
 def xla_partials(opt: VanillaOption, key: jax.Array, block_offset,
                  plan: Plan, n_blocks: int):
-    """Per-block Greek partial sums, shape ``(n_blocks, 10)``."""
+    """Per-block Greek partial sums, shape ``(n_blocks, 12)``."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     mu = (o.r - 0.5 * o.v * o.v) * o.t
@@ -171,7 +184,8 @@ def _greeks_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
 
 def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
-    """Per-block Greek partial sums, shape ``(n_blocks, 10)``, fused on TPU."""
+    """Per-block Greek partial sums, shape ``(n_blocks, 12)``, fused
+    on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         return _pallas_partials(opt, seed, block_offset, plan, n_blocks,

@@ -907,9 +907,10 @@ class GreeksResult:
     integrands are accumulated in-kernel alongside the payoff (see
     :mod:`mctpu.kernels.greeks`), so each is a plain MC mean under the same
     estimator/combine contract as the price.  ``delta``/``vega`` are
-    per-asset vectors for baskets; ``rho``/``theta`` are ``None`` where not
-    computed (basket).  ``theta`` is d/d(maturity), matching
-    :func:`mctpu.math.bs_greeks`.
+    per-asset vectors for baskets; ``rho``/``theta``/``gamma`` are ``None``
+    where not computed.  ``theta`` is d/d(maturity), matching
+    :func:`mctpu.math.bs_greeks`; ``gamma`` (vanilla) is the mixed
+    pathwise-likelihood-ratio estimator of :mod:`mctpu.kernels.greeks`.
     """
 
     price: McResult
@@ -917,6 +918,7 @@ class GreeksResult:
     vega: McResult
     rho: Any = None
     theta: Any = None
+    gamma: Any = None
 
     def __repr__(self):
         import numpy as _np
@@ -931,7 +933,8 @@ class GreeksResult:
 
         return (f"GreeksResult(price={fmt(self.price)}, "
                 f"delta={fmt(self.delta)}, vega={fmt(self.vega)}, "
-                f"rho={fmt(self.rho)}, theta={fmt(self.theta)})")
+                f"rho={fmt(self.rho)}, theta={fmt(self.theta)}, "
+                f"gamma={fmt(self.gamma)})")
 
 
 @dataclasses.dataclass(frozen=True)

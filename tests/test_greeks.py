@@ -339,7 +339,7 @@ class TestEngineGreeksVanilla:
         return engine.greeks_vanilla(OPT, 1 << 20, KEY, self._cfg())
 
     @pytest.mark.parametrize("name", ["price", "delta", "vega", "rho",
-                                      "theta"])
+                                      "theta", "gamma"])
     def test_each_greek_within_4_sigma_of_bs(self, res, name):
         r = getattr(res, name)
         z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
@@ -349,7 +349,7 @@ class TestEngineGreeksVanilla:
         from mctpu import engine
         res = engine.greeks_vanilla(OPT, 1 << 19, KEY,
                                     self._cfg(antithetic=True))
-        for name in ("price", "delta", "vega", "rho", "theta"):
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
             r = getattr(res, name)
             z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
             assert abs(z) < 4.0, (name, z)
@@ -366,6 +366,7 @@ class TestEngineGreeksVanilla:
             "vega": CF["vega"],
             "rho": CF["rho"] - OPT.t * OPT.k * disc,
             "theta": CF["theta"] - OPT.r * OPT.k * disc,
+            "gamma": CF["gamma"],  # put gamma == call gamma
         }
         for name, want in expected.items():
             r = getattr(res, name)
@@ -378,7 +379,7 @@ class TestEngineGreeksVanilla:
         cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
                                   interpret=True)
         res = engine.greeks_vanilla(OPT, 1 << 16, KEY, cfg)
-        for name in ("price", "delta", "vega", "rho", "theta"):
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
             r = getattr(res, name)
             z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
             assert abs(z) < 4.5, (name, float(r.price), CF[name], z)

@@ -91,7 +91,8 @@ class TestShardInvariance:
     def test_greeks_vanilla_bitwise_invariant(self, mesh8):
         base = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=None))
         shard = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=mesh8))
-        for name in ("price", "delta", "vega", "rho", "theta"):
+        for name in ("price", "delta", "vega", "rho", "theta",
+                     "gamma"):
             b, s = getattr(base, name), getattr(shard, name)
             assert float(b.price) == float(s.price), name
             assert float(b.ci) == float(s.ci), name
