@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
-                            "barrier", "heston", "cva"],
+                            "barrier", "heston", "cva", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -190,6 +190,37 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>12} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f} | {col[name]:28.6f}")
+        return 0
+
+    if args.product == "american":
+        from mctpu import engine, reference
+        from mctpu.types import AmericanOption
+        aopt = AmericanOption(s=args.spot, k=args.strike, r=args.rate,
+                              v=args.vol, t=args.maturity, n_steps=args.obs,
+                              payoff="put")
+        res, dt = common.timed(engine.greeks_american, aopt, args.paths, key)
+
+        def bino(s=args.spot, v=args.vol, r=args.rate):
+            return reference.binomial_american(s, args.strike, r, v,
+                                               args.maturity, 2000, "put")
+
+        col = {
+            "price": bino(),
+            "delta": (bino(s=args.spot + 0.25)
+                      - bino(s=args.spot - 0.25)) / 0.5,
+            "vega": (bino(v=args.vol + 5e-3)
+                     - bino(v=args.vol - 5e-3)) / 1e-2,
+            "rho": (bino(r=args.rate + 2e-3)
+                    - bino(r=args.rate - 2e-3)) / 4e-3,
+        }
+        print(f"\namerican put ({args.obs} exercise dates), frozen-rule "
+              f"pathwise Greeks, paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
+              f"{'binomial FD':>12}")
+        for name in ("price", "delta", "vega", "rho"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):8.6f} | {col[name]:12.6f}")
         return 0
 
     if args.product == "heston":

@@ -64,7 +64,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_barrier",
-           "greeks_heston", "greeks_cva"]
+           "greeks_heston", "greeks_cva", "greeks_american"]
 
 
 def _default_backend() -> str:
@@ -706,6 +706,76 @@ def greeks_lookback(opt, n_paths: int, key: jax.Array,
     return GreeksResult(price=est(0), delta=est(1), vega=est(2))
 
 
+def greeks_american(opt, n_paths: int, key: jax.Array,
+                    config: EngineConfig = EngineConfig(),
+                    pilot_paths: int | None = None,
+                    fit_dtype=None) -> "GreeksResult":
+    """Price + fixed-rule pathwise delta/vega/rho of an American put/call.
+
+    Two-pass like :func:`mctpu.lsm.price_american` (same pilot-key
+    derivation, so CRN comparisons against the pricer share the exercise
+    rule AND the pricing streams): pass 1 fits the Longstaff-Schwartz
+    continuation regressions on an independent pilot set; pass 2 runs the
+    fused forward walk with three extra Greek accumulators
+    (:mod:`mctpu.kernels.lsm`, Greeks section).  The Greeks are the exact
+    pathwise derivatives of the frozen-policy value — the standard
+    production estimator for American sensitivities (Piterbarg 2004) —
+    and are gated against frozen-rule CRN finite differences and the
+    binomial-lattice delta in ``tests/test_greeks.py``.  No theta: the
+    exercise grid itself moves with maturity.
+    """
+    from mctpu import lsm as mclsm
+    from mctpu.kernels import lsm as klsm
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, klsm.LANES * anti)
+    plan = klsm.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                          cfg.dtype_str, cfg.precision.kahan)
+    if pilot_paths is None:
+        pilot_paths = min(n_paths, 1 << 15)
+    if fit_dtype is None:
+        # Widest float for the pilot regression; on TPU pass f32 explicitly
+        # (the normal-equation solve has no f64 lowering there).
+        fit_dtype = mcmath.wide_dtype()
+    k_fit, k_price = jax.random.split(jax.random.fold_in(key, 0x15A1))
+    beta = mclsm.fit_exercise_rule(opt.s, opt.k, opt.r, opt.v, opt.t,
+                                   k_fit, pilot_paths, opt.n_steps,
+                                   opt.payoff, dtype=fit_dtype)
+    put = opt.payoff == "put"
+    cache_key = ("greeks_american", opt.n_steps, put, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, b, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: klsm.greek_pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    opt.n_steps, put, interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: klsm.greek_xla_partials(
+                    a[0], a[1], a[2], off, plan, nb, opt.n_steps, put)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, b, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            return pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total = runner(opt, beta, k_price)
+    n = plan.total_units
+
+    def est(i):
+        # Cashflows (and their derivatives) are already present-value.
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=1.0, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
+
+
 def greeks_barrier(opt, n_paths: int, key: jax.Array,
                    config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Price + likelihood-ratio delta/vega/rho of a knock-out barrier call
@@ -820,7 +890,10 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
 def greeks(opt, n_paths: int, key: jax.Array,
            config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Engine-scale pathwise Greeks: dispatches on the product type."""
-    from mctpu.types import (AsianOption, BarrierOption, LookbackOption)
+    from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
+                             LookbackOption)
+    if isinstance(opt, AmericanOption):
+        return greeks_american(opt, n_paths, key, config)
     if isinstance(opt, VanillaOption):
         return greeks_vanilla(opt, n_paths, key, config)
     if isinstance(opt, BasketOption):

@@ -389,13 +389,10 @@ class TestEngineGreeksVanilla:
         res = engine.greeks(OPT, 1 << 16, KEY, self._cfg())
         assert float(res.delta.price) == pytest.approx(CF["delta"], abs=0.02)
         with pytest.raises(TypeError):
-            # American exercise has no in-kernel Greeks (the LSM stopping
-            # rule is the sensitivity path there); heston/barrier joined
-            # the dispatcher in r4, asian/lookback in r3.
-            from mctpu.types import AmericanOption
-            engine.greeks(AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2,
-                                         t=1.0, n_steps=8, payoff="put"),
-                          1 << 10, KEY, self._cfg())
+            # Unknown product types still fail fast (every shipped family
+            # — vanilla/basket/asian/lookback/barrier/heston/cva/american —
+            # now routes through the dispatcher).
+            engine.greeks(object(), 1 << 10, KEY, self._cfg())
 
 
 class TestEngineGreeksBasket:
@@ -864,3 +861,150 @@ class TestEngineGreeksHeston:
         for name in ("price", "delta", "vega", "rho"):
             assert float(getattr(base, name).price) == float(
                 getattr(shard, name).price), name
+
+
+class TestEngineGreeksAmerican:
+    """Fixed-rule pathwise American Greeks (kernels/lsm.py Greeks section).
+
+    Ground truth: finite differences of the CRR binomial lattice for the
+    put (true American sensitivities — the frozen-rule estimator tracks
+    them to within the rule's suboptimality), and exact Black-Scholes for
+    the call (no dividends: never exercised early, so the American call
+    IS European and every Greek must match the closed form).
+    """
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        kw.setdefault("num_blocks", 32)
+        kw.setdefault("rows", 8)
+        kw.setdefault("backend", "xla")
+        return engine.EngineConfig(**kw)
+
+    def _put(self, n_steps=50):
+        from mctpu.types import AmericanOption
+        return AmericanOption(100.0, 100.0, 0.05, 0.2, 1.0,
+                              n_steps=n_steps, payoff="put")
+
+    @pytest.fixture(scope="class")
+    def bino(self):
+        from mctpu import reference
+
+        def fd(h, **kw):
+            base = dict(s=100.0, r=0.05, v=0.2)
+
+            def at(sign):
+                p = dict(base)
+                for nm, dh in kw.items():
+                    p[nm] = p[nm] + sign * dh
+                return reference.binomial_american(p["s"], 100.0, p["r"],
+                                                   p["v"], 1.0, 4000, "put")
+            return (at(+1) - at(-1)) / (2 * h)
+
+        return {"delta": fd(0.25, s=0.25), "vega": fd(0.005, v=0.005),
+                "rho": fd(0.002, r=0.002)}
+
+    @pytest.fixture(scope="class")
+    def res(self):
+        from mctpu import engine
+        return engine.greeks_american(self._put(), 1 << 18, KEY,
+                                      self._cfg())
+
+    def test_delta_matches_binomial(self, res, bino):
+        z = (float(res.delta.price) - bino["delta"]) / float(
+            res.delta.std_error)
+        assert abs(z) < 4.0, (float(res.delta.price), bino["delta"], z)
+
+    def test_vega_matches_binomial(self, res, bino):
+        z = (float(res.vega.price) - bino["vega"]) / float(
+            res.vega.std_error)
+        assert abs(z) < 4.0, (float(res.vega.price), bino["vega"], z)
+
+    def test_rho_matches_binomial_with_rule_slack(self, res, bino):
+        # rho carries the frozen-rule boundary term (O(regression error) —
+        # kernels/lsm.py Greeks docstring): allow 0.5 absolute on top of
+        # the sampling CI (observed offset ~0.4 at pilot 2^15).
+        err = abs(float(res.rho.price) - bino["rho"])
+        assert err < 4 * float(res.rho.std_error) + 0.5, (
+            float(res.rho.price), bino["rho"])
+
+    def test_price_matches_pricer_crn(self, res):
+        from mctpu import lsm
+        p = lsm.price_american(self._put(), 1 << 18, KEY, antithetic=False,
+                               config=self._cfg())
+        # Same rule, same streams; fusion differences only.
+        assert float(res.price.price) == pytest.approx(
+            float(p.price), rel=2e-6)
+
+    def test_delta_matches_frozen_rule_crn_fd(self, res):
+        # The estimator's own definition: derivative of the frozen-policy
+        # value.  CRN finite differences at h=0.5 include O(h) boundary-
+        # flip noise; agreement within ~0.02 pins the pathwise identity.
+        import dataclasses
+
+        from mctpu import lsm
+        opt = self._put()
+        k_fit, k_price = jax.random.split(jax.random.fold_in(KEY, 0x15A1))
+        beta = lsm.fit_exercise_rule(opt.s, opt.k, opt.r, opt.v, opt.t,
+                                     k_fit, 1 << 15, opt.n_steps, "put",
+                                     dtype=jnp.float64)
+        h = 0.5
+
+        def pr(ds):
+            o2 = dataclasses.replace(opt, s=opt.s + ds)
+            return float(lsm._price_forward_engine(
+                o2, beta, k_price, 1 << 18, self._cfg(), False).price)
+
+        fd = (pr(h) - pr(-h)) / (2 * h)
+        assert abs(float(res.delta.price) - fd) < 0.02, (
+            float(res.delta.price), fd)
+
+    def test_call_greeks_match_black_scholes(self):
+        # American call on a non-dividend asset == European call.
+        from mctpu import engine
+        from mctpu.types import AmericanOption
+        opt = AmericanOption(100.0, 100.0, 0.05, 0.2, 1.0, n_steps=20,
+                             payoff="call")
+        cf = mcmath.bs_greeks(100.0, 100.0, 0.05, 0.2, 1.0)
+        g = engine.greeks_american(opt, 1 << 17, KEY, self._cfg())
+        for name in ("delta", "vega", "rho"):
+            r = getattr(g, name)
+            z = (float(r.price) - float(cf[name])) / float(r.std_error)
+            assert abs(z) < 4.0, (name, float(r.price), float(cf[name]), z)
+
+    def test_antithetic_tightens_ci(self):
+        from mctpu import engine
+        opt = self._put(n_steps=20)
+        a = engine.greeks_american(opt, 1 << 16, KEY,
+                                   self._cfg(antithetic=True))
+        b = engine.greeks_american(opt, 1 << 16, KEY, self._cfg())
+        assert float(a.price.ci) < float(b.price.ci)
+        assert np.isfinite(float(a.delta.price))
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = self._put(n_steps=20)
+        x = engine.greeks_american(opt, 1 << 15, KEY,
+                                   self._cfg(num_blocks=8))
+        pcfg = self._cfg(num_blocks=8, backend="pallas", interpret=True)
+        p = engine.greeks_american(opt, 1 << 15, KEY, pcfg)
+        for name in ("price", "delta", "vega", "rho"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._put(n_steps=20)
+        g = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert g.rho is not None and g.theta is None
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        base = engine.greeks_american(opt, 1 << 14, KEY, self._cfg())
+        shard = engine.greeks_american(opt, 1 << 14, KEY,
+                                       self._cfg(mesh=path_mesh(devs[:8])))
+        for name in ("price", "delta", "vega", "rho"):
+            b, s = getattr(base, name), getattr(shard, name)
+            assert float(b.price) == float(s.price), name
+            assert float(b.ci) == float(s.ci), name

@@ -430,3 +430,30 @@ def test_greeks_heston_on_chip():
         tol = 4 * float(r.std_error) + slack
         assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                   want)
+
+
+def test_greeks_american_on_chip():
+    """Fused fixed-rule American Greeks vs binomial-lattice FD (hardware)."""
+    import jax.numpy as jnp
+
+    from mctpu import reference
+    from mctpu.types import AmericanOption
+    put = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0, n_steps=50,
+                         payoff="put")
+    g = engine.greeks_american(put, 1 << 20, KEY, _cfg(),
+                               fit_dtype=jnp.float32)
+
+    def bino(s=100.0, r=0.05, v=0.2):
+        return reference.binomial_american(s, 100.0, r, v, 1.0, 2000, "put")
+
+    d = (bino(s=100.25) - bino(s=99.75)) / 0.5
+    ve = (bino(v=0.205) - bino(v=0.195)) / 0.01
+    rh = (bino(r=0.052) - bino(r=0.048)) / 0.004
+    assert _z(g.delta.price, d, g.delta.std_error) < 4
+    # vega/rho differ from the continuous-exercise lattice by the 50-date
+    # Bermudan grid + frozen-rule quality (see kernels/lsm.py): allow 1%
+    # slack on top of the sampling CI (observed offsets 0.75% / 1.5%).
+    assert abs(float(g.vega.price) - ve) < (
+        4 * float(g.vega.std_error) + 0.01 * abs(ve))
+    assert abs(float(g.rho.price) - rh) < (
+        4 * float(g.rho.std_error) + 0.02 * abs(rh))
