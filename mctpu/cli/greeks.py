@@ -104,6 +104,9 @@ def main(argv=None):
                             zip(jnp.atleast_1d(r.price),
                                 jnp.atleast_1d(r.ci)))
             print(f"{name:>6} | {vals}")
+        for name in ("rho", "theta"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):.6f} ± {float(r.ci):.6f}")
         return 0
 
     if args.product == "lookback":

@@ -520,13 +520,17 @@ def greeks_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
 
 def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
-    """Price + per-asset pathwise delta/vega vectors of the basket call.
+    """Price + per-asset pathwise delta/vega vectors of the basket call,
+    plus scalar rho and theta.
 
     Same kernel layout and RNG streams as :func:`price_basket` in both
     regimes — asset-major for small baskets, packed-lane MXU beyond
     (``kernels/greeks.py``) — so CRN bump comparisons against the pricer
     are exact.  Delta/vega are gated against common-random-number bumps in
-    ``tests/test_greeks.py``.
+    ``tests/test_greeks.py``; rho (``t K E[1{B>K}]``, pre-discount) and
+    theta (d/d(maturity), :func:`mctpu.math.bs_greeks` convention) are
+    exact pathwise scalars gated against the Black-Scholes limit and CRN
+    bumps there too.
     """
     from mctpu.kernels import greeks as kgreeks
     from mctpu.types import GreeksResult
@@ -562,10 +566,10 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                                      P(PATH_AXIS, None))
             wide = mcest.wide_dtype()
             total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
-            # Rows 2.. are per-asset (gd, gd2, gv, gv2) quads.
-            vtot = total[2:].reshape(a, 4).T
+            # Rows 6.. are per-asset (gd, gd2, gv, gv2) quads.
+            vtot = total[6:].reshape(a, 4).T
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return total[:2], vtot, disc
+            return total[:6], vtot, disc
 
         runner = jax.jit(run)
         _RUNNERS[cache_key] = runner
@@ -595,13 +599,17 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
         _RUNNERS[cache_key] = runner
     total, vtot, disc = runner(opt, key)
     n = plan.total_units
-    price = mcest.estimate(total[0], total[1], n, discount=disc,
-                           n_paths=plan.total_paths)
+
+    def scal_est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
     delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
                            n_paths=plan.total_paths)
     vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
                           n_paths=plan.total_paths)
-    return GreeksResult(price=price, delta=delta, vega=vega)
+    return GreeksResult(price=scal_est(0), delta=delta, vega=vega,
+                        rho=scal_est(1), theta=scal_est(2))
 
 
 def greeks_asian(opt, n_paths: int, key: jax.Array,

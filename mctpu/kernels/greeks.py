@@ -249,13 +249,18 @@ def make_basket_plan(n_paths: int, num_blocks: int, rows: int,
 # price_basket exactly (the CRN property the bump gates rely on).
 # ---------------------------------------------------------------------------
 
-def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t,
+def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t, r,
                      antithetic: bool):
-    """One path tile -> ``(p, [gd_i], [gv_i])`` (pair-means if antithetic).
+    """One path tile -> ``(p, [gd_i], [gv_i], ind, th)`` (pair-means if
+    antithetic).
 
     ``gd_i = 1{basket>k} * w_i s0_i exp(arg_i)`` (the per-asset ``1/s0_i``
     factor is applied to the scalar sums by the caller); ``gv_i`` carries
-    the pathwise dd(arg)/dv_i factor ``sqt*btd_i - v_i*t``.
+    the pathwise dd(arg)/dv_i factor ``sqt*btd_i - v_i*t``.  ``ind`` is the
+    exercise indicator (the rho integrand is ``t*K*ind`` — ``dS_i/dr =
+    t S_i`` collapses ``ind*B - p`` to ``ind*K``); ``th`` is the pathwise
+    maturity derivative ``sum_i gd_i (drift_i + vol_i btd_i / 2) / t
+    - r p``.
     """
     def one(sgn):
         terms, btds = [], []
@@ -275,35 +280,45 @@ def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t,
         gds = [ind * terms[i] for i in range(a)]
         gvs = [gds[i] * (sqt * btds[i] - (par_at(1, i) / sqt) * t)
                for i in range(a)]
-        return p, gds, gvs
+        th = None
+        for i in range(a):
+            x = gds[i] * (par_at(0, i) + 0.5 * par_at(1, i) * btds[i])
+            th = x if th is None else th + x
+        th = th * (1.0 / t) - r * p
+        return p, gds, gvs, ind, th
 
     if antithetic:
         pa, pb = one(1.0), one(-1.0)
         return (0.5 * (pa[0] + pb[0]),
                 [0.5 * (x + y) for x, y in zip(pa[1], pb[1])],
-                [0.5 * (x + y) for x, y in zip(pa[2], pb[2])])
+                [0.5 * (x + y) for x, y in zip(pa[2], pb[2])],
+                0.5 * (pa[3] + pb[3]), 0.5 * (pa[4] + pb[4]))
     return one(1.0)
 
 
-def _am_greek_sums(zs_a, zs_b, lt_at, par_at, inv_s0_at, k, a, sqt, t,
+def _am_greek_sums(zs_a, zs_b, lt_at, par_at, inv_s0_at, k, a, sqt, t, r,
                    antithetic: bool):
-    """Both path tiles of one iteration -> flat tuple of 2 + 4a sums."""
+    """Both path tiles of one iteration -> flat tuple of 6 + 4a sums."""
+    tk = t * k
     sums = None
     for zs in (zs_a, zs_b):
-        p, gds, gvs = _am_greek_quants(zs, lt_at, par_at, k, a, sqt, t,
-                                       antithetic)
-        row = [jnp.sum(p), jnp.sum(p * p)]
+        p, gds, gvs, ind, th = _am_greek_quants(zs, lt_at, par_at, k, a,
+                                                sqt, t, r, antithetic)
+        ri = tk * ind
+        row = [jnp.sum(p), jnp.sum(p * p), jnp.sum(ri), jnp.sum(ri * ri),
+               jnp.sum(th), jnp.sum(th * th)]
         for i in range(a):
             inv = inv_s0_at(i)
             row += [inv * jnp.sum(gds[i]), inv * inv * jnp.sum(gds[i] ** 2),
                     jnp.sum(gvs[i]), jnp.sum(gvs[i] ** 2)]
-        sums = row if sums is None else [s + r for s, r in zip(sums, row)]
+        sums = row if sums is None else [s + r2 for s, r2 in zip(sums, row)]
     return tuple(sums)
 
 
 def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
                            plan: Plan, n_blocks: int):
-    """Per-block partials ``(n_blocks, 2 + 4*a)``: price sums then per-asset
+    """Per-block partials ``(n_blocks, 6 + 4*a)``: scalar
+    ``(price, rho, theta)`` sum/sum² pairs then per-asset
     ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` quads."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
@@ -312,7 +327,7 @@ def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
     inv_s0 = 1.0 / (jnp.broadcast_to(jnp.asarray(o.s, dtype), (a,)))
     sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
     shape = (plan.rows, kbasket.LANES)
-    n_sums = 2 + 4 * a
+    n_sums = 6 + 4 * a
 
     def block_fn(bkey):
         def body(i, carry):
@@ -321,7 +336,8 @@ def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
             sums = _am_greek_sums(
                 [z[0, j] for j in range(a)], [z[1, j] for j in range(a)],
                 lambda ii, jj: lt[ii, jj], lambda rr, ii: params[rr, ii],
-                lambda ii: inv_s0[ii], o.k, a, sqt, o.t, plan.antithetic)
+                lambda ii: inv_s0[ii], o.k, a, sqt, o.t, o.r,
+                plan.antithetic)
             return acc_add_n(carry, sums, plan.kahan)
 
         carry = jax.lax.fori_loop(0, plan.iters, body,
@@ -335,9 +351,9 @@ def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
 def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
                              invs0_ref, out_ref, *, plan: Plan, a: int):
     seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
-    k, t, sqt = scal_ref[0], scal_ref[1], scal_ref[2]
+    k, t, sqt, r = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     shape = (plan.rows, kbasket.LANES)
-    n_sums = 2 + 4 * a
+    n_sums = 6 + 4 * a
 
     def body(i, carry):
         za, zb = [], []
@@ -348,7 +364,7 @@ def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
         sums = _am_greek_sums(
             za, zb, lambda ii, jj: lt_ref[ii, jj],
             lambda rr, ii: par_ref[rr, ii], lambda ii: invs0_ref[ii],
-            k, a, sqt, t, plan.antithetic)
+            k, a, sqt, t, r, plan.antithetic)
         return acc_add_n(carry, sums, plan.kahan)
 
     carry = jax.lax.fori_loop(0, plan.iters, body,
@@ -362,7 +378,7 @@ def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
 def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
                               plan: Plan, n_blocks: int,
                               interpret: bool = False):
-    """Asset-major basket Greek partials ``(n_blocks, 2 + 4*a)`` on TPU."""
+    """Asset-major basket Greek partials ``(n_blocks, 6 + 4*a)`` on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
@@ -370,7 +386,7 @@ def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
         lt, params = kbasket.asset_major_ops(o, chol, jnp.float32)
         inv_s0 = 1.0 / jnp.broadcast_to(jnp.asarray(o.s, jnp.float32), (a,))
         t = jnp.asarray(o.t, jnp.float32)
-        scal = jnp.stack([o.k, t, jnp.sqrt(t)])
+        scal = jnp.stack([o.k, t, jnp.sqrt(t), o.r])
         seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
         off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
         kernel = functools.partial(_basket_greeks_am_kernel, plan=plan, a=a)
@@ -380,14 +396,14 @@ def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2 + 4 * a),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 6 + 4 * a),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=plan.iters * paths_iter * (a * (a + 1) + 12 * a),
-                bytes_accessed=n_blocks * 4 * (2 + 4 * a),
+                flops=plan.iters * paths_iter * (a * (a + 1) + 16 * a + 8),
+                bytes_accessed=n_blocks * 4 * (6 + 4 * a),
                 transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
             ),
             interpret=interpret_arg(interpret),
@@ -411,19 +427,31 @@ def _basket_greek_ops(opt: BasketOption, chol, dtype):
             esel, jnp.ones((1, a_tile), dtype), (p, p * a_tile))
     s0 = ops["s0"]
     ops["esel"] = esel
+    ops["eselT"] = esel.T  # (width, c): slot -> path fold for theta
     ops["inv_s0"] = jnp.where(s0 > 0, 1.0 / jnp.where(s0 > 0, s0, 1.0), 0.0)
     # w_row: per-slot weights (the wsel columns collapsed onto the slots).
     ops["w_row"] = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
     return ops
 
 
-def _basket_greek_tile(ops, k, v_row, t, sqt, z, antithetic: bool,
+def _basket_greek_tile(ops, k, v_row, t, sqt, r, z, antithetic: bool,
                        mxu: bool):
     """One packed tile -> (payoff (rows, c), delta (rows, width),
-    vega (rows, width)); pair-means when antithetic."""
+    vega (rows, width), indicator (rows, c), theta (rows, c));
+    pair-means when antithetic.
+
+    The scalar tails are exact pathwise derivatives of the discounted
+    payoff with the discount factored out (the estimator applies it):
+    ``dS_i/dr = t S_i`` collapses the rho integrand to ``t K 1{B>K}``
+    (accumulated by the caller), and ``dS_i/dT = S_i ((r - v_i^2/2)
+    + v_i bt_i / (2 sqrt(T)))`` gives ``theta = sum_i I w_i dS_i/dT
+    - r * payoff`` (``bt`` is T-independent: correlated standard
+    normals plus the constant Brownian shift ``d``).
+    """
     prec = kbasket.MATMUL_PRECISION
     c = ops["wsel"].shape[1]
     a_tile = ops["chol_bd"].shape[0] // c
+    inv_t = 1.0 / t
 
     def quants(zz):
         bt = jnp.dot(zz, ops["chol_bd"], precision=prec,
@@ -445,7 +473,15 @@ def _basket_greek_tile(ops, k, v_row, t, sqt, z, antithetic: bool,
         ws = ind_wide * ops["w_row"] * s_t  # I w_i S_i per slot
         gd = ws * ops["inv_s0"]
         gv = ws * (sqt * bt - v_row * t)
-        return p, gd, gv
+        # theta slots: I w_i S_i (drift_i + vol_i bt_i / 2) / t
+        ths = ws * ((ops["drift"] + 0.5 * ops["vol"] * bt) * inv_t)
+        if mxu:
+            th = jnp.dot(ths, ops["eselT"], precision=prec,
+                         preferred_element_type=jnp.float32)
+        else:
+            th = ths.reshape(ths.shape[0], c, a_tile).sum(axis=-1)
+        th = th - r * p
+        return p, gd, gv, ind, th
 
     if antithetic:
         a = quants(z)
@@ -457,23 +493,30 @@ def _basket_greek_tile(ops, k, v_row, t, sqt, z, antithetic: bool,
 def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
                         block_offset, plan: Plan, n_blocks: int):
     """Per-block basket Greek partials:
-    ``((n_blocks, 2), (n_blocks, 4, width))`` — scalar payoff sums plus
-    per-asset-slot ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` rows."""
+    ``((n_blocks, 6), (n_blocks, 4, width))`` — scalar
+    ``(payoff, rho, theta)`` sum/sum² pairs plus per-asset-slot
+    ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` rows."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     ops = _basket_greek_ops(o, chol, dtype)
     width = ops["chol_bd"].shape[0]
     sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
     v_row = ops["vol"] / sqt  # per-slot vols (vol = v * sqrt(t))
+    tk = jnp.asarray(o.t, dtype) * jnp.asarray(o.k, dtype)
 
     def block_fn(bkey):
         def body(i, carry):
             acc, vecs = carry
             zk = jax.random.fold_in(bkey, i)
             z = jax.random.normal(zk, (2 * plan.rows, width), dtype)
-            p, gd, gv = _basket_greek_tile(ops, o.k, v_row, o.t, sqt, z,
-                                           plan.antithetic, mxu=False)
-            acc = acc_add_n(acc, (jnp.sum(p), jnp.sum(p * p)), plan.kahan)
+            p, gd, gv, ind, th = _basket_greek_tile(
+                ops, o.k, v_row, o.t, sqt, o.r, z, plan.antithetic,
+                mxu=False)
+            ri = tk * ind
+            acc = acc_add_n(acc, (jnp.sum(p), jnp.sum(p * p),
+                                  jnp.sum(ri), jnp.sum(ri * ri),
+                                  jnp.sum(th), jnp.sum(th * th)),
+                            plan.kahan)
             vecs = vecs + jnp.stack([
                 jnp.sum(gd, axis=0), jnp.sum(gd * gd, axis=0),
                 jnp.sum(gv, axis=0), jnp.sum(gv * gv, axis=0)])
@@ -481,7 +524,7 @@ def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
 
         acc, vecs = jax.lax.fori_loop(
             0, plan.iters, body,
-            (acc_init_n(2, dtype, plan.kahan), jnp.zeros((4, width), dtype)))
+            (acc_init_n(6, dtype, plan.kahan), jnp.zeros((4, width), dtype)))
         return jnp.stack(acc_final_n(acc, plan.kahan)), vecs
 
     keys = mcrng.block_keys(key, block_offset, n_blocks)
@@ -490,28 +533,33 @@ def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
 
 def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
                           vol_ref, d_ref, lt_ref, wsel_ref, esel_ref,
-                          invs0_ref, wrow_ref, out_ref, vec_ref, *,
-                          plan: Plan):
+                          eselt_ref, invs0_ref, wrow_ref, out_ref, vec_ref,
+                          *, plan: Plan):
     seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
-    k, t, sqt = scal_ref[0], scal_ref[1], scal_ref[2]
+    k, t, sqt, r = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     ops = {
         "s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
         "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
-        "esel": esel_ref[:], "inv_s0": invs0_ref[:], "w_row": wrow_ref[:],
+        "esel": esel_ref[:], "eselT": eselt_ref[:],
+        "inv_s0": invs0_ref[:], "w_row": wrow_ref[:],
     }
     width = lt_ref.shape[0]
     v_row = ops["vol"] / sqt
+    tk = t * k
 
     def body(i, carry):
         acc, vecs = carry
         z1, z2 = draw_normal_pair((plan.rows, width), i)
-        p1, gd1, gv1 = _basket_greek_tile(ops, k, v_row, t, sqt, z1,
-                                          plan.antithetic, mxu=True)
-        p2, gd2, gv2 = _basket_greek_tile(ops, k, v_row, t, sqt, z2,
-                                          plan.antithetic, mxu=True)
-        cs = jnp.sum(p1) + jnp.sum(p2)
-        cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
-        acc = acc_add_n(acc, (cs, cs2), plan.kahan)
+        p1, gd1, gv1, i1, th1 = _basket_greek_tile(
+            ops, k, v_row, t, sqt, r, z1, plan.antithetic, mxu=True)
+        p2, gd2, gv2, i2, th2 = _basket_greek_tile(
+            ops, k, v_row, t, sqt, r, z2, plan.antithetic, mxu=True)
+        r1, r2 = tk * i1, tk * i2
+        pair = lambda x1, x2: jnp.sum(x1) + jnp.sum(x2)
+        acc = acc_add_n(acc, (pair(p1, p2), pair(p1 * p1, p2 * p2),
+                              pair(r1, r2), pair(r1 * r1, r2 * r2),
+                              pair(th1, th2), pair(th1 * th1, th2 * th2)),
+                        plan.kahan)
         row = lambda x1, x2: (jnp.sum(x1, axis=0) + jnp.sum(x2, axis=0))
         vecs = vecs + jnp.stack([
             row(gd1, gd2), row(gd1 * gd1, gd2 * gd2),
@@ -520,12 +568,12 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
 
     acc, vecs = jax.lax.fori_loop(
         0, plan.iters, body,
-        (acc_init_n(2, jnp.float32, plan.kahan),
+        (acc_init_n(6, jnp.float32, plan.kahan),
          jnp.zeros((4, width), jnp.float32)))
-    s, s2 = acc_final_n(acc, plan.kahan)
+    vals = acc_final_n(acc, plan.kahan)
     b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    for j in range(6):
+        out_ref[b, j] = vals[j]
     vec_ref[0] = vecs
 
 
@@ -546,7 +594,7 @@ def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
     t = jnp.asarray(o.t, jnp.float32)
-    scal = jnp.stack([o.k, t, jnp.sqrt(t)])
+    scal = jnp.stack([o.k, t, jnp.sqrt(t), o.r])
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
 
@@ -555,14 +603,14 @@ def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
         kernel,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 6), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -570,13 +618,13 @@ def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
         ),
         cost_estimate=pl.CostEstimate(
             flops=plan.iters * 2 * plan.rows * (2 * width * width
-                                                + 4 * width * c + 16 * width),
-            bytes_accessed=n_blocks * (2 + 4 * width) * 4
+                                                + 5 * width * c + 22 * width),
+            bytes_accessed=n_blocks * (6 + 4 * width) * 4
             + 2 * width * width * 4,
             transcendentals=plan.iters * 2 * plan.rows * (2 * width + 2),
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
-      ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"], ops["inv_s0"],
-      ops["w_row"])
+      ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"], ops["eselT"],
+      ops["inv_s0"], ops["w_row"])
     return out, vecs

@@ -457,6 +457,47 @@ class TestEngineGreeksBasket:
             fd = (float(up.price) - float(dn.price)) / (2 * eps)
             assert float(res.vega.price[i]) == pytest.approx(fd, abs=0.02)
 
+    def test_rho_theta_match_crn_bumps(self, res):
+        """Scalar rho/theta vs common-random-number central differences
+        (asset-major regime)."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = BasketOption.default_reference(3)
+        cfg = self._cfg()
+        h = 1e-3
+        up = engine.price_basket(dc.replace(opt, r=opt.r + h), 1 << 19,
+                                 KEY, cfg)
+        dn = engine.price_basket(dc.replace(opt, r=opt.r - h), 1 << 19,
+                                 KEY, cfg)
+        fd_rho = (float(up.price) - float(dn.price)) / (2 * h)
+        assert float(res.rho.price) == pytest.approx(fd_rho, abs=0.02)
+        up = engine.price_basket(dc.replace(opt, t=opt.t + h), 1 << 19,
+                                 KEY, cfg)
+        dn = engine.price_basket(dc.replace(opt, t=opt.t - h), 1 << 19,
+                                 KEY, cfg)
+        fd_th = (float(up.price) - float(dn.price)) / (2 * h)
+        assert float(res.theta.price) == pytest.approx(fd_th, abs=0.02)
+
+    def test_rho_theta_packed_regime(self):
+        """Same CRN gates through the packed-lane MXU kernel (a > 8)."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = BasketOption.default_reference(12)
+        cfg = self._cfg()
+        g = engine.greeks_basket(opt, 1 << 17, KEY, cfg)
+        h = 1e-3
+        for field, greek in (("r", g.rho), ("t", g.theta)):
+            up = engine.price_basket(
+                dc.replace(opt, **{field: getattr(opt, field) + h}),
+                1 << 17, KEY, cfg)
+            dn = engine.price_basket(
+                dc.replace(opt, **{field: getattr(opt, field) - h}),
+                1 << 17, KEY, cfg)
+            fd = (float(up.price) - float(dn.price)) / (2 * h)
+            assert float(greek.price) == pytest.approx(fd, abs=0.05), field
+
     @pytest.mark.slow
     def test_single_asset_reduces_to_vanilla(self):
         from mctpu import engine
@@ -468,7 +509,11 @@ class TestEngineGreeksBasket:
             / float(res.delta.std_error[0])
         zv = (float(res.vega.price[0]) - CF["vega"]) \
             / float(res.vega.std_error[0])
+        zr = (float(res.rho.price) - CF["rho"]) / float(res.rho.std_error)
+        zt = (float(res.theta.price) - CF["theta"]) \
+            / float(res.theta.std_error)
         assert abs(zd) < 4.0 and abs(zv) < 4.0, (zd, zv)
+        assert abs(zr) < 4.0 and abs(zt) < 4.0, (zr, zt)
 
     @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
@@ -479,6 +524,16 @@ class TestEngineGreeksBasket:
                                    1 << 14, KEY, cfg)
         np.testing.assert_allclose(np.asarray(res.delta.price), 1 / 3,
                                    atol=0.01)
+        # rho/theta ride the same kernel; statistical agreement with the
+        # XLA twin (independent streams) pins the interpret-mode math.
+        xcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla")
+        ref = engine.greeks_basket(BasketOption.default_reference(3),
+                                   1 << 14, KEY, xcfg)
+        for a, b in ((res.rho, ref.rho), (res.theta, ref.theta)):
+            # The anti-correlated basket exercises a.s., so rho is the
+            # degenerate constant t*K on both backends (se == 0).
+            se = np.hypot(float(a.std_error), float(b.std_error))
+            assert abs(float(a.price) - float(b.price)) <= 5 * se + 1e-9
 
 
 class TestEngineGreeksCva:

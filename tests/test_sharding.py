@@ -107,6 +107,8 @@ class TestShardInvariance:
                                       np.asarray(shard.delta.price))
         np.testing.assert_array_equal(np.asarray(base.vega.ci),
                                       np.asarray(shard.vega.ci))
+        assert float(base.rho.price) == float(shard.rho.price)
+        assert float(base.theta.price) == float(shard.theta.price)
 
     def test_sharded_result_is_correct(self, mesh8):
         res = engine.price_vanilla(OPT, 1 << 19, KEY, _cfg(mesh=mesh8))

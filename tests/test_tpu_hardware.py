@@ -252,6 +252,13 @@ def test_greeks_basket_on_chip():
     np.testing.assert_allclose(d, 1 / 3, atol=0.01)
     assert np.isfinite(np.asarray(res.vega.price)).all()
     assert (np.asarray(res.delta.std_error) > 0).all()
+    # rho = t K df P(B>K): the anti-correlated basket forward is above K
+    # almost surely, so rho ~ t K df and theta ~ r K df (tiny diffusion
+    # term).  Both sit in narrow bands around their degenerate limits.
+    df = np.exp(-float(opt.r) * float(opt.t))
+    assert 0.9 * float(opt.k) * df < float(res.rho.price) <= float(opt.k) * df
+    assert np.isfinite(float(res.theta.price))
+    assert float(res.theta.std_error) > 0
 
 
 def test_greeks_asian_on_chip():
