@@ -173,23 +173,38 @@ def main(argv=None):
               f"paths={args.paths}  time={dt * 1e3:.2f} ms")
 
         def cf(lam=0.03, s=args.spot, v=args.vol):
-            return float(mcmath.cva_closed_form(
-                lam, 0.6, s, args.strike, args.rate, v, args.maturity,
-                args.obs))
+            # f64 is mandatory for the FD reference columns: second
+            # differences of the f32 closed form at h=1e-2 are ~60% noise
+            # on gamma (the round-4 x64 lesson, test_greeks_cva_on_chip).
+            with jax.enable_x64(True):
+                return float(mcmath.cva_closed_form(
+                    lam, 0.6, s, args.strike, args.rate, v, args.maturity,
+                    args.obs, dtype=jnp.float64))
 
         h = 1e-4
+        hs, hl = 1e-2, 1e-3
         col = {
             "cva": cf(),
             "credit_delta": (cf(lam=0.03 + h) - cf(lam=0.03 - h)) / (2 * h),
             "delta": (cf(s=args.spot + 1e-2) - cf(s=args.spot - 1e-2))
             / 2e-2,
             "vega": (cf(v=args.vol + h) - cf(v=args.vol - h)) / (2 * h),
+            "gamma": (cf(s=args.spot + hs) - 2 * cf()
+                      + cf(s=args.spot - hs)) / (hs * hs),
+            "credit_gamma": (cf(lam=0.03 + hl) - 2 * cf()
+                             + cf(lam=0.03 - hl)) / (hl * hl),
+            "cross_gamma": (cf(lam=0.03 + hl, s=args.spot + hs)
+                            - cf(lam=0.03 + hl, s=args.spot - hs)
+                            - cf(lam=0.03 - hl, s=args.spot + hs)
+                            + cf(lam=0.03 - hl, s=args.spot - hs))
+            / (4 * hs * hl),
         }
         tag = ("closed-form FD" if args.wwr_b == 0.0
                else "wwr_b=0 closed-form FD (reference column)")
         print(f"{'output':>12} | {'pathwise MC':>12} | {'95% CI':>10} | "
               f"{tag:>28}")
-        for name in ("cva", "credit_delta", "delta", "vega"):
+        for name in ("cva", "credit_delta", "delta", "vega", "gamma",
+                     "credit_gamma", "cross_gamma"):
             r = getattr(res, name)
             print(f"{name:>12} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f} | {col[name]:28.6f}")

@@ -1169,10 +1169,11 @@ def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,
 
 def greeks_cva(spec, n_paths: int, key: jax.Array,
                config: EngineConfig = EngineConfig()) -> "CvaGreeksResult":
-    """CVA + pathwise credit delta / spot delta / vega, fused in one sweep.
+    """CVA + pathwise credit delta / spot delta / vega / spot gamma /
+    credit gamma / cross gamma, fused in one sweep.
 
     Accepts a :class:`CvaSpec` or :class:`CvaPortfolioSpec` (netting +
-    wrong-way risk).  Runs the flagship engine contract on 8 accumulators
+    wrong-way risk).  Runs the flagship engine contract on 14 accumulators
     (:mod:`mctpu.kernels.cva`, Greeks section): fused Pallas kernel (or
     XLA twin), mesh-sharded blocks, fixed-order f64 combine, the CVA
     estimator's undiscounted-mean semantics for every output.  The WWR
@@ -1222,4 +1223,5 @@ def greeks_cva(spec, n_paths: int, key: jax.Array,
                               discount=1.0, n_paths=plan.total_paths)
 
     return CvaGreeksResult(cva=est(0), credit_delta=est(1), delta=est(2),
-                           vega=est(3))
+                           vega=est(3), gamma=est(4), credit_gamma=est(5),
+                           cross_gamma=est(6))

@@ -38,7 +38,8 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "node_constants",
 
 # (sum, sum^2) for each of: CVA, credit delta (dCVA/dlambda), spot delta
 # (dCVA/dS0), vega (dCVA/dv).
-N_GREEK_SUMS = 8
+N_GREEK_SUMS = 14  # (sum, sum^2) of: cva, credit delta, spot delta, vega,
+#                    spot gamma, credit gamma, cross gamma
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -200,6 +201,19 @@ def credit_delta_weights(port: CvaPortfolioSpec, dtype):
     return (w[1:] - w[:-1]).astype(dtype)
 
 
+def credit_gamma_weights(port: CvaPortfolioSpec, dtype):
+    """Node table ``d2(dp_j)/dlambda2``: with ``dp_j = e^{-lam t_{j-1}}
+    - e^{-lam t_j}``, the second derivative is ``t_{j-1}^2 e^{-lam t_{j-1}}
+    - t_j^2 e^{-lam t_j}``."""
+    g = port.n_grid
+    t = jnp.asarray(port.t, dtype)
+    lam = jnp.asarray(port.intensity, dtype)
+    j = jnp.arange(0, g + 1, dtype=dtype)
+    tj = t * j / g
+    u = tj * tj * jnp.exp(-lam * tj)
+    return (u[:-1] - u[1:]).astype(dtype)
+
+
 def wwr_grad_constants(port: CvaPortfolioSpec, dtype):
     """Vega sensitivities of the WWR standardization constants:
     ``dmu_j = -v t_j``, ``disig_j = -isig_j / v``."""
@@ -215,14 +229,21 @@ def wwr_grad_constants(port: CvaPortfolioSpec, dtype):
 
 def _exposure_grads(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
                     vsig_j, disc_j, inv_v, last, n_options: int):
-    """(ee, dV_ds, vega_bs) at one node from the log-space walk state.
+    """(ee, dV_ds, vega_bs, gam_bs, gl) at one node from the walk state.
 
     ``dV_ds``: 1{V>0} * sum_m w_m N(d1_m) (indicator selects at the last
     node); ``vega_bs``: 1{V>0} * sum_m w_m s phi(d1_m) sqrt(tau_j) — the
     explicit-sigma BS vega (0 at the last node).  ``sqrt(tau_j)`` is
-    recovered as ``vsig_j / v``.
+    recovered as ``vsig_j / v``.  For second-order spot sensitivity:
+    ``gam_bs = 1{V>0} * sum_m w_m phi(d1_m) * isig_j`` is the inner-node
+    BS gamma times ``s`` (the caller multiplies by ``s/s0^2``), and
+    ``gl = 1{V>0} * sum_m w_m k_m 1{s>k_m}`` is the terminal-node
+    mixed pathwise-likelihood-ratio integrand's option factor (the
+    intrinsic value's second derivative is a Dirac, so the caller applies
+    the LR weight ``z / (s0^2 v sqrt(T))`` there — the same estimator the
+    vanilla Greeks kernel's gamma uses).
     """
-    value = dvds = veg = None
+    value = dvds = veg = gam = gl = None
     for m in range(n_options):
         d1 = (log_s - log_strikes[m] + c1_j) * isig_j
         d2 = d1 - vsig_j
@@ -233,20 +254,37 @@ def _exposure_grads(s, log_s, log_strikes, strikes, weights, c1_j, isig_j,
         dv_m = jnp.where(last, itm, nd1)
         phi = _INV_SQRT_2PI * jnp.exp(-0.5 * d1 * d1)
         veg_m = jnp.where(last, 0.0, s * phi * vsig_j * inv_v)
+        gam_m = phi * isig_j
+        gl_m = strikes[m] * itm
         value = weights[m] * v_m if value is None else value + weights[m] * v_m
         dvds = weights[m] * dv_m if dvds is None else dvds + weights[m] * dv_m
         veg = weights[m] * veg_m if veg is None else veg + weights[m] * veg_m
+        gam = weights[m] * gam_m if gam is None else gam + weights[m] * gam_m
+        gl = weights[m] * gl_m if gl is None else gl + weights[m] * gl_m
     ind = jnp.where(value > 0.0, 1.0, 0.0)
-    return jnp.maximum(value, 0.0), ind * dvds, ind * veg
+    return (jnp.maximum(value, 0.0), ind * dvds, ind * veg, ind * gam,
+            ind * gl)
 
 
-def _wwr_hazard_step_grads(log_rel, dxv, surv, dsl, dsv, mu_j, isig_j,
-                           dmu_j, disig_j, lam, bw, dt):
-    """One WWR hazard step with forward-mode (lambda, v) sensitivities.
+def _wwr_hazard_step_grads(log_rel, dxv, surv, dsl, dsv, csum, dsz, mu_j,
+                           isig_j, dmu_j, disig_j, tz_j, lam, bw, dt):
+    """One WWR hazard step with forward-mode (lambda, v, z-tilt)
+    sensitivities.
 
-    Returns updated ``(surv, dsl, dsv)`` carries and the node's
-    ``(dp, ddp_dlambda, ddp_dv)``.  ``dE/dh = e^{-h dt} dt`` (exact for
-    both the direct and the series branch to the tolerance used).
+    Returns updated ``(surv, dsl, dsv, csum, dsz)`` carries and the node's
+    ``(dp, ddp_dlambda, ddp_dv, ddp2_dlambda2, ddp_dz)``.  ``dE/dh =
+    e^{-h dt} dt`` (exact for both the direct and the series branch to the
+    tolerance used).  ``csum`` carries the lambda-free integrated hazard
+    ``C_j = dt * sum_i h_i / lam``; since the hazard is linear in lambda,
+    ``surv_j = exp(-lam C_j)`` exactly, so ``d2 surv/dlam2 = C^2 surv``
+    and the node's second-order default-leg weight telescopes to
+    ``C_{j-1}^2 surv_{j-1} - C_j^2 surv_j``.  ``dsz`` carries
+    ``d surv/d z_std_total`` — the derivative along a uniform tilt of the
+    standardized TOTAL normal (``d log_rel_j / d z = v t_j / sqrt(T)``
+    = ``tz_j``), needed by the terminal-node mixed-LR spot gamma: Stein's
+    identity there reads ``dp(z*) phi(z*) = E[dp 1 z] - E[(d dp/dz) 1]``,
+    so ignoring the hazard's correlation with the terminal normal would
+    bias gamma (measured +4% at wwr_b=0.5).
     """
     zstd = (log_rel - mu_j) * isig_j
     h = lam * jnp.exp(bw * zstd - 0.5 * bw * bw)
@@ -258,9 +296,15 @@ def _wwr_hazard_step_grads(log_rel, dxv, surv, dsl, dsv, mu_j, isig_j,
     de_dh = emy * dt
     dh_dl = h / lam
     dh_dv = h * bw * ((dxv - dmu_j) * isig_j + (log_rel - mu_j) * disig_j)
+    dh_dz = h * bw * isig_j * tz_j
     ddp_l = dsl * e + surv * de_dh * dh_dl
     ddp_v = dsv * e + surv * de_dh * dh_dv
-    return (surv - dp, dsl - ddp_l, dsv - ddp_v, dp, ddp_l, ddp_v)
+    ddp_z = dsz * e + surv * de_dh * dh_dz
+    surv_new = surv - dp
+    csum_new = csum + dt * dh_dl
+    ddp2_l = csum * csum * surv - csum_new * csum_new * surv_new
+    return (surv_new, dsl - ddp_l, dsv - ddp_v, csum_new, dsz - ddp_z,
+            dp, ddp_l, ddp_v, ddp2_l, ddp_z)
 
 
 # ---------------------------------------------------------------------------
@@ -524,40 +568,75 @@ def _greek_step(tb, sc, sgn, wwr: bool, n_options: int, n_grid: int):
 
     ``tb``: node tables / per-option operands (arrays in the XLA twin,
     SMEM refs in the kernel — both index identically); ``sc``: scalars.
-    Carry: ``(log_s, dxv, [surv, dsl, dsv,] acc, acc_lam, acc_del,
-    acc_veg)``.
+    Carry: ``(log_s, dxv, [surv, dsl, dsv, csum,] acc, acc_lam, acc_del,
+    acc_veg, acc_gam, acc_cgam, acc_xgam)``.
+
+    Second-order outputs: the inner-node exposure is the smooth
+    closed-form BS value, so spot gamma is purely pathwise there
+    (``dp_j * gam_bs * s^2 / s0^2 / s``); the terminal node's intrinsic
+    value has a Dirac second derivative, handled by the mixed
+    pathwise-LR weight ``z_std / (s0^2 v sqrt(T))`` (vanilla-gamma
+    estimator, ``kernels/greeks.py``).  Credit gamma uses the
+    deterministic ``d2 dp/dlam2`` table (non-WWR) or the exact identity
+    ``d2 surv/dlam2 = C^2 surv`` with ``C = integrated hazard / lam``
+    carried as ``csum`` (WWR: the hazard is linear in lambda).  Cross
+    gamma ``d2CVA/ds0 dlam = sum_j ddp_l_j * dee_ds0_j`` in both
+    variants (the hazard depends on ``log(s/s0)`` only, which is
+    s0-free).  For netted portfolios that cross V=0 the second-order
+    outputs ignore the Dirac at the netting kink (first-order Greeks are
+    unbiased there; see module docstring) — exact for positive-weight
+    portfolios.
     """
     def step(j, z, carry):
         if wwr:
-            log_s, dxv, surv, dsl, dsv, a, al, ad, av = carry
+            (log_s, dxv, surv, dsl, dsv, csum, dsz,
+             a, al, ad, av, ag, acg, axg) = carry
         else:
-            log_s, dxv, a, al, ad, av = carry
+            log_s, dxv, a, al, ad, av, ag, acg, axg = carry
         zs = sgn * z
         log_s = log_s + sc["drift"] + sc["vol"] * zs
         dxv = dxv - sc["v_dt"] + sc["sqdt"] * zs
         s = jnp.exp(log_s)
-        ee, dvds, veg_bs = _exposure_grads(
+        last = j == n_grid - 1
+        ee, dvds, veg_bs, gam_bs, gl = _exposure_grads(
             s, log_s, tb["logk"], tb["k"], tb["w"], tb["c1"][j],
             tb["isigbs"][j], tb["vsig"][j], tb["disc"][j], sc["inv_v"],
-            j == n_grid - 1, n_options)
+            last, n_options)
         dee_ds0 = dvds * s * sc["inv_s0"]
         dee_dv = dvds * s * dxv + veg_bs
+        # d2 ee/ds0^2: inner nodes pathwise through the smooth BS surface;
+        # the terminal node via the mixed-LR weight on the standardized
+        # total normal z_std = (dxv + v T) / sqrt(T).
+        z_std = (dxv + sc["v_t"]) * sc["isqt"]
+        inv_s0_2 = sc["inv_s0"] * sc["inv_s0"]
+        gl_scale = inv_s0_2 * sc["inv_v"] * sc["isqt"]
         if wwr:
-            surv, dsl, dsv, dp_j, ddp_l, ddp_v = _wwr_hazard_step_grads(
-                log_s - sc["log_s0"], dxv, surv, dsl, dsv, tb["mu"][j],
-                tb["isig"][j], tb["dmu"][j], tb["disig"][j], sc["lam"],
-                sc["bw"], sc["dt"])
+            (surv, dsl, dsv, csum, dsz, dp_j, ddp_l, ddp_v, ddp2_j,
+             ddp_z) = _wwr_hazard_step_grads(
+                log_s - sc["log_s0"], dxv, surv, dsl, dsv, csum, dsz,
+                tb["mu"][j], tb["isig"][j], tb["dmu"][j], tb["disig"][j],
+                tb["tz"][j], sc["lam"], sc["bw"], sc["dt"])
             av = av + dp_j * dee_dv + ddp_v * ee
         else:
             dp_j = tb["dp"][j]
             ddp_l = tb["ddp"][j]
+            ddp2_j = tb["ddp2"][j]
+            ddp_z = 0.0
             av = av + dp_j * dee_dv
         a = a + dp_j * ee
         al = al + ddp_l * ee
         ad = ad + dp_j * dee_ds0
+        # Terminal-node mixed-LR gamma with the Stein correction for a
+        # path-dependent default leg: dp(z*) phi(z*) = E[dp 1 z_std]
+        # - E[(d dp/dz_std) 1] (ddp_z == 0 when dp is deterministic).
+        ag = ag + jnp.where(last, (dp_j * z_std - ddp_z) * (gl * gl_scale),
+                            dp_j * gam_bs * s * inv_s0_2)
+        acg = acg + ddp2_j * ee
+        axg = axg + ddp_l * dee_ds0
         if wwr:
-            return (log_s, dxv, surv, dsl, dsv, a, al, ad, av)
-        return (log_s, dxv, a, al, ad, av)
+            return (log_s, dxv, surv, dsl, dsv, csum, dsz,
+                    a, al, ad, av, ag, acg, axg)
+        return (log_s, dxv, a, al, ad, av, ag, acg, axg)
 
     return step
 
@@ -566,9 +645,9 @@ def _greek_walk_init(shape, dtype, log_s0, wwr: bool):
     full = jnp.full(shape, log_s0, dtype)
     zero = jnp.zeros(shape, dtype)
     if wwr:
-        return (full, zero, jnp.ones(shape, dtype), zero, zero,
-                zero, zero, zero, zero)
-    return (full, zero, zero, zero, zero, zero)
+        return (full, zero, jnp.ones(shape, dtype), zero, zero, zero, zero,
+                zero, zero, zero, zero, zero, zero, zero)
+    return (full, zero, zero, zero, zero, zero, zero, zero, zero)
 
 
 def _greek_sums(tiles):
@@ -585,6 +664,7 @@ def _greek_tables(sp, dtype):
     tb = {
         "dp": dp,
         "ddp": credit_delta_weights(sp, dtype),
+        "ddp2": credit_gamma_weights(sp, dtype),
         "c1": c1, "isigbs": isig_bs, "vsig": vsig, "disc": disc,
         "k": sp.strikes, "w": sp.weights,
         "logk": jnp.log(jnp.asarray(sp.strikes, dtype)),
@@ -593,7 +673,12 @@ def _greek_tables(sp, dtype):
     dmu, disig = wwr_grad_constants(sp, dtype)
     tb.update(mu=mu, isig=isig, dmu=dmu, disig=disig)
     g = sp.n_grid
-    dt = jnp.asarray(sp.t, dtype) / g
+    t = jnp.asarray(sp.t, dtype)
+    dt = t / g
+    # d log_rel_j / d z_std_total = v t_j / sqrt(T) (WWR gamma Stein term).
+    jj = jnp.arange(1, g + 1, dtype=dtype)
+    tb["tz"] = (jnp.asarray(sp.v, dtype) * (t * jj / g)
+                / jnp.sqrt(t)).astype(dtype)
     sc = {
         "drift": drift, "vol": vol,
         "v_dt": jnp.asarray(sp.v, dtype) * dt,
@@ -604,14 +689,17 @@ def _greek_tables(sp, dtype):
         "lam": jnp.asarray(sp.intensity, dtype),
         "bw": jnp.asarray(sp.wwr_b, dtype),
         "dt": dt,
+        "v_t": jnp.asarray(sp.v, dtype) * t,
+        "isqt": 1.0 / jnp.sqrt(t),
     }
     return tb, sc
 
 
 def greek_xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
                        plan: Plan, n_blocks: int, wwr: bool = False):
-    """Per-block Greek partials ``(n_blocks, 8)``: (sum, sum^2) pairs of
-    CVA / credit delta / spot delta / vega path values."""
+    """Per-block Greek partials ``(n_blocks, 14)``: (sum, sum^2) pairs of
+    CVA / credit delta / spot delta / vega / spot gamma / credit gamma /
+    cross gamma path values."""
     from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
 
     dtype = plan.jdtype
@@ -629,7 +717,7 @@ def greek_xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
 
         out = jax.lax.fori_loop(
             0, g, body, _greek_walk_init(shape, dtype, sc["log_s0"], wwr))
-        return tuple(sp.lgd * q for q in out[-4:])
+        return tuple(sp.lgd * q for q in out[-7:])
 
     def block_fn(bkey):
         def body(i, carry):
@@ -651,24 +739,25 @@ def greek_xla_partials(port: CvaPortfolioSpec, key: jax.Array, block_offset,
 
 
 def _cva_greek_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref,
-                      dp_ref, ddp_ref, c1_ref, isigbs_ref, vsig_ref,
-                      disc_ref, mu_ref, isig_ref, dmu_ref, disig_ref,
-                      out_ref, *, plan: Plan, n_grid: int, n_options: int,
-                      wwr: bool):
+                      dp_ref, ddp_ref, ddp2_ref, c1_ref, isigbs_ref,
+                      vsig_ref, disc_ref, mu_ref, isig_ref, dmu_ref,
+                      disig_ref, tz_ref, out_ref, *, plan: Plan,
+                      n_grid: int, n_options: int, wwr: bool):
     from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
 
     sc = {
         "drift": scal_ref[0], "vol": scal_ref[1], "v_dt": scal_ref[2],
         "sqdt": scal_ref[3], "inv_v": scal_ref[4], "inv_s0": scal_ref[5],
         "log_s0": scal_ref[6], "lam": scal_ref[7], "bw": scal_ref[8],
-        "dt": scal_ref[9],
+        "dt": scal_ref[9], "v_t": scal_ref[11], "isqt": scal_ref[12],
     }
     lgd = scal_ref[10]
     tb = {
-        "dp": dp_ref, "ddp": ddp_ref, "c1": c1_ref, "isigbs": isigbs_ref,
-        "vsig": vsig_ref, "disc": disc_ref, "k": k_ref, "w": w_ref,
-        "logk": logk_ref, "mu": mu_ref, "isig": isig_ref, "dmu": dmu_ref,
-        "disig": disig_ref,
+        "dp": dp_ref, "ddp": ddp_ref, "ddp2": ddp2_ref, "c1": c1_ref,
+        "isigbs": isigbs_ref, "vsig": vsig_ref, "disc": disc_ref,
+        "k": k_ref, "w": w_ref, "logk": logk_ref, "mu": mu_ref,
+        "isig": isig_ref, "dmu": dmu_ref, "disig": disig_ref,
+        "tz": tz_ref,
     }
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
@@ -682,7 +771,7 @@ def _cva_greek_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref,
         out = walk_pairwise(shape, n_grid, step,
                             _greek_walk_init(shape, jnp.float32,
                                              sc["log_s0"], wwr))
-        return tuple(lgd * q for q in out[-4:])
+        return tuple(lgd * q for q in out[-7:])
 
     def body(i, carry):
         tiles = walk(i, 1.0)
@@ -702,7 +791,7 @@ def _cva_greek_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref,
 def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
                           plan: Plan, n_blocks: int, interpret: bool = False,
                           wwr: bool = False):
-    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    """Per-block Greek partials ``(n_blocks, 14)``, fused on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         sp = port.astype(jnp.float32)
@@ -712,14 +801,15 @@ def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
         scal = jnp.stack([sc["drift"], sc["vol"], sc["v_dt"], sc["sqdt"],
                           sc["inv_v"], sc["inv_s0"], sc["log_s0"],
                           sc["lam"], sc["bw"], sc["dt"],
-                          jnp.asarray(sp.lgd, jnp.float32)])
+                          jnp.asarray(sp.lgd, jnp.float32),
+                          sc["v_t"], sc["isqt"]])
         kernel = functools.partial(_cva_greek_kernel, plan=plan, n_grid=g,
                                    n_options=m, wwr=wwr)
         paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 16,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 18,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
                                            jnp.float32),
@@ -727,7 +817,7 @@ def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=32 * plan.iters * paths_iter * g * m,
+                flops=38 * plan.iters * paths_iter * g * m,
                 bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
                 transcendentals=10 * plan.iters * paths_iter * g * m,
             ),
@@ -735,5 +825,5 @@ def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
           jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal,
           sp.strikes, sp.weights, tb["logk"], tb["dp"], tb["ddp"],
-          tb["c1"], tb["isigbs"], tb["vsig"], tb["disc"], tb["mu"],
-          tb["isig"], tb["dmu"], tb["disig"])
+          tb["ddp2"], tb["c1"], tb["isigbs"], tb["vsig"], tb["disc"],
+          tb["mu"], tb["isig"], tb["dmu"], tb["disig"], tb["tz"])

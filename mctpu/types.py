@@ -954,11 +954,23 @@ class CvaGreeksResult:
     credit_delta: McResult
     delta: McResult
     vega: McResult
+    # Second-order sensitivities (round-4 close-out): gamma = d2CVA/dS0^2
+    # (mixed pathwise-LR at the terminal node, pathwise through the smooth
+    # BS exposure at inner nodes), credit_gamma = d2CVA/dlambda^2,
+    # cross_gamma = d2CVA/dS0 dlambda.
+    gamma: Any = None
+    credit_gamma: Any = None
+    cross_gamma: Any = None
 
     def __repr__(self):
         def fmt(r):
+            if r is None:
+                return "None"
             return f"{float(r.price):.6f}±{float(r.ci):.6f}"
 
         return (f"CvaGreeksResult(cva={fmt(self.cva)}, "
                 f"credit_delta={fmt(self.credit_delta)}, "
-                f"delta={fmt(self.delta)}, vega={fmt(self.vega)})")
+                f"delta={fmt(self.delta)}, vega={fmt(self.vega)}, "
+                f"gamma={fmt(self.gamma)}, "
+                f"credit_gamma={fmt(self.credit_gamma)}, "
+                f"cross_gamma={fmt(self.cross_gamma)})")

@@ -572,6 +572,7 @@ class TestEngineGreeksCva:
                                                 v, 1.0, 25))
 
         h = 1e-4
+        hs, hl = 1e-2, 1e-3  # second-difference steps (f64 closed form)
         gates = {
             "cva": (res.cva, cf()),
             "credit_delta": (res.credit_delta,
@@ -579,6 +580,18 @@ class TestEngineGreeksCva:
             "delta": (res.delta,
                       (cf(s=100 + 1e-2) - cf(s=100 - 1e-2)) / 2e-2),
             "vega": (res.vega, (cf(v=0.2 + h) - cf(v=0.2 - h)) / (2 * h)),
+            "gamma": (res.gamma,
+                      (cf(s=100 + hs) - 2 * cf() + cf(s=100 - hs))
+                      / (hs * hs)),
+            "credit_gamma": (res.credit_gamma,
+                             (cf(lam=0.03 + hl) - 2 * cf()
+                              + cf(lam=0.03 - hl)) / (hl * hl)),
+            "cross_gamma": (res.cross_gamma,
+                            (cf(lam=0.03 + hl, s=100 + hs)
+                             - cf(lam=0.03 + hl, s=100 - hs)
+                             - cf(lam=0.03 - hl, s=100 + hs)
+                             + cf(lam=0.03 - hl, s=100 - hs))
+                            / (4 * hs * hl)),
         }
         for name, (r, want) in gates.items():
             z = (float(r.price) - want) / float(r.std_error)
@@ -621,6 +634,32 @@ class TestEngineGreeksCva:
         for name, want in fd.items():
             r = getattr(res, name)
             tol = 5 * float(r.std_error) + abs(want) * 5e-3  # CRN + O(h^2)
+            assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                      want)
+
+        # Second-order outputs: CRN central differences of the (already
+        # gated) FIRST-order outputs are a far lower-noise reference than
+        # second differences of the price.  The gamma gate in particular
+        # pins the Stein correction for the hazard's correlation with the
+        # terminal normal (ddp_z): without it gamma reads ~4% high.
+        def crn_g(name, **bump):
+            pb = dataclasses.replace(port, **bump)
+            return float(getattr(engine.greeks_cva(pb, 1 << 17, KEY, cfg),
+                                 name).price)
+
+        hs = 0.5
+        fd2 = {
+            "gamma": (crn_g("delta", s=100 + hs)
+                      - crn_g("delta", s=100 - hs)) / (2 * hs),
+            "credit_gamma": (crn_g("credit_delta", intensity=0.03 + h)
+                             - crn_g("credit_delta", intensity=0.03 - h))
+            / (2 * h),
+            "cross_gamma": (crn_g("credit_delta", s=100 + hs)
+                            - crn_g("credit_delta", s=100 - hs)) / (2 * hs),
+        }
+        for name, want in fd2.items():
+            r = getattr(res, name)
+            tol = 5 * float(r.std_error) + abs(want) * 5e-3
             assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                       want)
 

@@ -322,11 +322,21 @@ def test_greeks_cva_on_chip():
                                             1.0, 25, dtype=np.float64))
 
     h = 1e-4
+    hs, hl = 1e-2, 1e-3
     gates = {
         "cva": cf(),
         "credit_delta": (cf(lam=0.03 + h) - cf(lam=0.03 - h)) / (2 * h),
         "delta": (cf(s=100 + 1e-2) - cf(s=100 - 1e-2)) / 2e-2,
         "vega": (cf(v=0.2 + h) - cf(v=0.2 - h)) / (2 * h),
+        # Second-order outputs (mixed-LR terminal node + smooth BS inner
+        # nodes; deterministic d2dp/dlam2 table; ddp_l x dee_ds0 cross).
+        "gamma": (cf(s=100 + hs) - 2 * cf() + cf(s=100 - hs)) / (hs * hs),
+        "credit_gamma": (cf(lam=0.03 + hl) - 2 * cf()
+                         + cf(lam=0.03 - hl)) / (hl * hl),
+        "cross_gamma": (cf(lam=0.03 + hl, s=100 + hs)
+                        - cf(lam=0.03 + hl, s=100 - hs)
+                        - cf(lam=0.03 - hl, s=100 + hs)
+                        + cf(lam=0.03 - hl, s=100 - hs)) / (4 * hs * hl),
     }
     for name, want in gates.items():
         r = getattr(res, name)
