@@ -119,7 +119,7 @@ def main(argv=None):
         print(f"\nfloating-strike lookback ({args.obs} obs), engine tier, "
               f"paths={args.paths}  time={dt * 1e3:.2f} ms")
         print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10}")
-        for name in ("price", "delta", "vega"):
+        for name in ("price", "delta", "vega", "rho"):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")

@@ -666,12 +666,15 @@ def greeks_asian(opt, n_paths: int, key: jax.Array,
 
 def greeks_lookback(opt, n_paths: int, key: jax.Array,
                     config: EngineConfig = EngineConfig()) -> "GreeksResult":
-    """Price + pathwise delta/vega of a lookback option at engine scale.
+    """Price + pathwise delta/vega/rho of a lookback option at engine
+    scale.
 
     Delta is the homogeneity identity (every spot scales with ``s0``);
     vega tracks ``d(s)/dv`` at the arg-extreme via two extra selects per
-    step — the walk still has zero per-step transcendentals
-    (``kernels/lookback.py``, Greeks section).
+    step; rho rides the same select with the arg-extreme TIME
+    (``ds_j/dr = t_j s_j``, so the floating-call integrand collapses to
+    ``ext (T - t_ext)``) — the walk still has zero per-step
+    transcendentals (``kernels/lookback.py``, Greeks section).
     """
     from mctpu.kernels import lookback as klookback
     from mctpu.types import GreeksResult
@@ -711,7 +714,8 @@ def greeks_lookback(opt, n_paths: int, key: jax.Array,
         return mcest.estimate(total[2 * i], total[2 * i + 1], n,
                               discount=disc, n_paths=plan.total_paths)
 
-    return GreeksResult(price=est(0), delta=est(1), vega=est(2))
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
 
 
 def greeks_american(opt, n_paths: int, key: jax.Array,

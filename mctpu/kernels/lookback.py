@@ -164,7 +164,7 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
 
 
 # ---------------------------------------------------------------------------
-# Pathwise Greeks (delta, vega) — extreme-tracking in log space
+# Pathwise Greeks (delta, vega, rho) — extreme-tracking in log space
 # ---------------------------------------------------------------------------
 # Every s_j is proportional to s0 under GBM, so every lookback payoff is
 # homogeneous of degree <= 1 in s0 and delta comes for free:
@@ -192,26 +192,37 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
 # (floating), CRN bumps at off-atom strikes, and the interpret/shard
 # contracts.
 
-N_GREEK_SUMS = 6  # (sum, sum^2) for each of: payoff, delta, vega
+N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega, rho
 
 
-def _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min):
-    """One (log_s, log_ext, f_ext, cj) update; shared by both backends."""
+def _greek_step_fn(log_s0, inv_v, c1, drift, vol, dt, use_min):
+    """One (log_s, log_ext, f_ext, t_ext, cj, tj) update; shared by both
+    backends.  ``t_ext`` tracks the arg-extreme TIME (for rho: ``ds_j/dr
+    = t_j s_j`` makes ``d ext/dr = t_ext ext``); ``tj`` is the running
+    observation time — both ride the same extreme-improvement select."""
     def step(z, carry, sgn):
-        log_s, log_ext, f_ext, cj = carry
+        log_s, log_ext, f_ext, t_ext, cj, tj = carry
         log_s = log_s + drift + vol * (sgn * z)
+        tj = tj + dt
         f = (log_s - log_s0) * inv_v + cj
         upd = log_s < log_ext if use_min else log_s > log_ext
         log_ext = jnp.where(upd, log_s, log_ext)
         f_ext = jnp.where(upd, f, f_ext)
-        return (log_s, log_ext, f_ext, cj + c1)
+        t_ext = jnp.where(upd, tj, t_ext)
+        return (log_s, log_ext, f_ext, t_ext, cj + c1, tj)
 
     return step
 
 
-def _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind, put, n_obs,
-                    inv_v, c1):
-    """(p, gd, gv) integrand tiles from the final walk state; shared."""
+def _greek_epilogue(log_s, log_ext, f_ext, t_ext, log_s0, s0, k, kind, put,
+                    n_obs, inv_v, c1, t_mat):
+    """(p, gd, gv, gr) integrand tiles from the final walk state; shared.
+
+    Rho folds the discount term in (the estimator applies e^{-rT} only):
+    ``d/dr e^{-rT} P = e^{-rT} (dP/dr - T P)``.  With ``ds_j/dr = t_j
+    s_j`` the floating call collapses to ``gr = ext (T - t_ext)`` (put:
+    negated) and the fixed call to ``1{ext>k} t_ext ext - T p``.
+    """
     s_t = jnp.exp(log_s)
     ext = jnp.exp(log_ext)
     f_t = (log_s - log_s0) * inv_v + c1 * n_obs
@@ -219,38 +230,43 @@ def _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind, put, n_obs,
         p = (ext - s_t) if put else (s_t - ext)
         gd = p / s0
         gv = s_t * f_t - ext * f_ext
+        gr = ext * (t_mat - t_ext)
         if put:
             gv = -gv
+            gr = -gr
     elif put:  # fixed put: ext tracks the min
         ind = jnp.where(ext < k, 1.0, 0.0)
         p = jnp.maximum(k - ext, 0.0)
         gd = -ind * ext / s0
         gv = -ind * ext * f_ext
+        gr = -ind * t_ext * ext - t_mat * p
     else:      # fixed call: ext tracks the max
         ind = jnp.where(ext > k, 1.0, 0.0)
         p = jnp.maximum(ext - k, 0.0)
         gd = ind * ext / s0
         gv = ind * ext * f_ext
-    return p, gd, gv
+        gr = ind * t_ext * ext - t_mat * p
+    return p, gd, gv, gr
 
 
 def _greek_init(shape, log_s0, c1, dtype):
     return (jnp.full(shape, log_s0, dtype), jnp.full(shape, log_s0, dtype),
-            jnp.zeros(shape, dtype), c1 * jnp.ones((), dtype))
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            c1 * jnp.ones((), dtype), jnp.zeros((), dtype))
 
 
 def _greek_walk_quants(log_s0, s0, k, kind, put, use_min, n_obs, inv_v, c1,
-                       drift, vol, z_at, sgn, shape, dtype):
-    """One XLA-backend walk -> (p, gd, gv) integrand tiles."""
-    step = _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min)
+                       drift, vol, dt, t_mat, z_at, sgn, shape, dtype):
+    """One XLA-backend walk -> (p, gd, gv, gr) integrand tiles."""
+    step = _greek_step_fn(log_s0, inv_v, c1, drift, vol, dt, use_min)
 
     def body(j, carry):
         return step(z_at(j), carry, sgn)
 
-    log_s, log_ext, f_ext, _ = jax.lax.fori_loop(
+    log_s, log_ext, f_ext, t_ext, _, _ = jax.lax.fori_loop(
         0, n_obs, body, _greek_init(shape, log_s0, c1, dtype))
-    return _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind, put,
-                           n_obs, inv_v, c1)
+    return _greek_epilogue(log_s, log_ext, f_ext, t_ext, log_s0, s0, k,
+                           kind, put, n_obs, inv_v, c1, t_mat)
 
 
 def _greek_sums(tiles):
@@ -262,7 +278,8 @@ def _greek_sums(tiles):
 
 
 def greek_xla_partials(opt, key, block_offset, plan: Plan, n_blocks: int):
-    """Per-block Greek partials ``(n_blocks, 6)``: payoff/delta/vega sums."""
+    """Per-block Greek partials ``(n_blocks, 8)``:
+    payoff/delta/vega/rho sums."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     g = opt.n_obs
@@ -282,12 +299,12 @@ def greek_xla_partials(opt, key, block_offset, plan: Plan, n_blocks: int):
             z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
             tiles = _greek_walk_quants(
                 log_s0, o.s, o.k, opt.kind, put, use_min, g, inv_v, c1,
-                drift, vol, lambda j: z_seq[j], jnp.asarray(1.0, dtype),
-                shape, dtype)
+                drift, vol, dt, o.t, lambda j: z_seq[j],
+                jnp.asarray(1.0, dtype), shape, dtype)
             if plan.antithetic:
                 m = _greek_walk_quants(
                     log_s0, o.s, o.k, opt.kind, put, use_min, g, inv_v, c1,
-                    drift, vol, lambda j: z_seq[j],
+                    drift, vol, dt, o.t, lambda j: z_seq[j],
                     jnp.asarray(-1.0, dtype), shape, dtype)
                 tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, m))
             return acc_add_n(carry, _greek_sums(tiles), plan.kahan)
@@ -305,11 +322,12 @@ def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
     log_s0, s0, k = scal_ref[0], scal_ref[1], scal_ref[2]
     drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
                              scal_ref[6])
+    dt, t_mat = scal_ref[7], scal_ref[8]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
     use_min = _tracks_min(kind, put)
 
-    step_fn = _greek_step_fn(log_s0, inv_v, c1, drift, vol, use_min)
+    step_fn = _greek_step_fn(log_s0, inv_v, c1, drift, vol, dt, use_min)
 
     def walk(i, sgn):
         seed_prng(seed_ref[0],
@@ -318,10 +336,10 @@ def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
         def step(j, z, carry):
             return step_fn(z, carry, sgn)
 
-        log_s, log_ext, f_ext, _ = walk_pairwise(
+        log_s, log_ext, f_ext, t_ext, _, _ = walk_pairwise(
             shape, n_obs, step, _greek_init(shape, log_s0, c1, jnp.float32))
-        return _greek_epilogue(log_s, log_ext, f_ext, log_s0, s0, k, kind,
-                               put, n_obs, inv_v, c1)
+        return _greek_epilogue(log_s, log_ext, f_ext, t_ext, log_s0, s0, k,
+                               kind, put, n_obs, inv_v, c1, t_mat)
 
     def body(i, carry):
         tiles = walk(i, 1.0)
@@ -340,7 +358,7 @@ def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
 
 def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
                           n_blocks: int, interpret: bool = False):
-    """Per-block Greek partials ``(n_blocks, 6)``, fused on TPU."""
+    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
@@ -353,7 +371,8 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
         scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)),
                           jnp.asarray(o.s, jnp.float32),
                           jnp.asarray(o.k, jnp.float32),
-                          drift, vol, inv_v, c1])
+                          drift, vol, inv_v, c1, dt,
+                          jnp.asarray(o.t, jnp.float32)])
         kernel = functools.partial(_lookback_greeks_kernel, plan=plan,
                                    n_obs=g, kind=opt.kind,
                                    put=opt.payoff == "put")
@@ -369,7 +388,7 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=12 * plan.iters * paths_iter * g,
+                flops=14 * plan.iters * paths_iter * g,
                 bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
                 transcendentals=3 * plan.iters * paths_iter * g,
             ),

@@ -300,6 +300,27 @@ class TestEngineGreeksLookback:
         assert float(g.vega.price) == pytest.approx(
             fd_v, rel=0.06, abs=0.5)
 
+    @pytest.mark.parametrize("kind,payoff,k", [
+        ("floating", "call", 100.0), ("floating", "put", 100.0),
+        ("fixed", "call", 105.0), ("fixed", "put", 95.0)])
+    def test_rho_matches_crn_bump(self, kind, payoff, k):
+        """Arg-extreme-time rho (ds_j/dr = t_j s_j) vs CRN rate bumps."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        from mctpu.types import LookbackOption
+        opt = LookbackOption(s=100.0, r=0.05, v=0.25, t=1.0, k=k, n_obs=16,
+                             kind=kind, payoff=payoff)
+        g = engine.greeks_lookback(opt, 1 << 17, KEY, self._cfg())
+        h = 1e-3
+        up = engine.price_lookback(dc.replace(opt, r=0.05 + h), 1 << 17,
+                                   KEY, self._cfg())
+        dn = engine.price_lookback(dc.replace(opt, r=0.05 - h), 1 << 17,
+                                   KEY, self._cfg())
+        fd = (float(up.price) - float(dn.price)) / (2 * h)
+        tol = 5 * float(g.rho.std_error) + abs(fd) * 5e-3
+        assert abs(float(g.rho.price) - fd) < tol, (float(g.rho.price), fd)
+
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         x = engine.greeks_lookback(self._opt(n_obs=8), 1 << 14, KEY,
@@ -307,7 +328,7 @@ class TestEngineGreeksLookback:
         pcfg = engine.EngineConfig(num_blocks=16, rows=8, backend="pallas",
                                    interpret=True)
         p = engine.greeks_lookback(self._opt(n_obs=8), 1 << 14, KEY, pcfg)
-        for name in ("price", "delta", "vega"):
+        for name in ("price", "delta", "vega", "rho"):
             xa, pa = getattr(x, name), getattr(p, name)
             se = np.hypot(float(xa.std_error), float(pa.std_error))
             assert abs(float(xa.price) - float(pa.price)) < 5 * se
@@ -320,7 +341,7 @@ class TestEngineGreeksLookback:
         mesh = mctpu.parallel.path_mesh(jax.devices()[:8])
         shard = engine.greeks_lookback(opt, 1 << 14, KEY,
                                        self._cfg(mesh=mesh))
-        for name in ("price", "delta", "vega"):
+        for name in ("price", "delta", "vega", "rho"):
             assert float(getattr(base, name).price) == float(
                 getattr(shard, name).price)
 

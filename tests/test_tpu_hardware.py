@@ -287,6 +287,10 @@ def test_greeks_lookback_on_chip():
         float(res.price.price) / 100.0, rel=1e-5)
     assert float(res.vega.price) > 0
     assert float(res.vega.std_error) > 0
+    # rho = E[ext (T - t_ext)] > 0 for the floating call, bounded by T*E[ext]
+    # (ext >= s0 for the running max).
+    assert 0 < float(res.rho.price) < float(opt.t) * 200.0
+    assert float(res.rho.std_error) > 0
 
 
 def test_lsm_engine_tier_on_chip():
