@@ -266,12 +266,19 @@ def main(argv=None):
                          - cfp(v0=hopt.v0 - 1e-3)) / 2e-3,
                 "rho": (cfp(r=args.rate + 1e-3)
                         - cfp(r=args.rate - 1e-3)) / 2e-3,
+                "dtheta": (cfp(theta=hopt.theta + 1e-3)
+                           - cfp(theta=hopt.theta - 1e-3)) / 2e-3,
+                "dkappa": (cfp(kappa=hopt.kappa + 1e-2)
+                           - cfp(kappa=hopt.kappa - 1e-2)) / 2e-2,
+                "dxi": (cfp(xi=hopt.xi + 1e-3)
+                        - cfp(xi=hopt.xi - 1e-3)) / 2e-3,
             }
             print(f"\nheston euler ({args.obs} steps), engine-tier pathwise "
                   f"tangents, paths={args.paths}  time={dt * 1e3:.2f} ms")
             print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
                   f"{'char-fn FD':>12}   (vega = dV/dv0)")
-            for name in ("price", "delta", "vega", "rho"):
+            for name in ("price", "delta", "vega", "rho", "dtheta",
+                         "dkappa", "dxi"):
                 r = getattr(res, name)
                 print(f"{name:>6} | {float(r.price):12.6f} | "
                       f"±{float(r.ci):8.6f} | {col[name]:12.6f}")

@@ -845,21 +845,23 @@ def greeks_barrier(opt, n_paths: int, key: jax.Array,
 
 def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig(),
-                  n_steps: int = 100) -> "GreeksResult":
-    """Price + pathwise delta / vega(= dV/d v0) / rho of a Heston call at
-    engine scale (full-truncation Euler scheme).
+                  n_steps: int = 100) -> "HestonGreeksResult":
+    """Price + pathwise delta / vega(= dV/d v0) / rho / dtheta / dkappa /
+    dxi of a Heston call at engine scale (full-truncation Euler scheme).
 
-    Forward-mode tangents of the carried ``(log S, v)`` state ride the
-    fused walk (``kernels/heston.py``, Greeks section): the call payoff is
-    continuous in ``s0`` and ``v0``, so pathwise differentiation of the
-    DISCRETIZED scheme is unbiased for that scheme's own price.  ``vega``
-    is the sensitivity to the initial variance ``v0`` (chain through
-    ``2 sqrt(v0)`` for a vol-quoted vega); ``rho`` is exact in-kernel:
-    ``dx/dr = t`` pathwise, giving the ``t K 1{S_T>K}`` integrand.
-    Gated against CRN bumps of :func:`price_heston` and finite differences
-    of the characteristic-function price in ``tests/test_greeks.py``.
+    FOUR forward-mode tangent pairs (one per variance-dynamics parameter)
+    ride the fused walk with shared recursion coefficients
+    (``kernels/heston.py``, Greeks section): the call payoff is continuous
+    in ``s0`` and the variance parameters, so pathwise differentiation of
+    the DISCRETIZED scheme is unbiased for that scheme's own price.
+    ``vega`` is the sensitivity to the initial variance ``v0`` (chain
+    through ``2 sqrt(v0)`` for a vol-quoted vega); ``dxi`` is the
+    vol-of-vol sensitivity; ``rho`` is exact in-kernel: ``dx/dr = t``
+    pathwise, giving the ``t K 1{S_T>K}`` integrand.  Gated against CRN
+    bumps of :func:`price_heston` and finite differences of the
+    characteristic-function price in ``tests/test_greeks.py``.
     """
-    from mctpu.types import GreeksResult
+    from mctpu.types import HestonGreeksResult
 
     opt.validate()
     cfg = config
@@ -895,8 +897,9 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
         return mcest.estimate(total[2 * i], total[2 * i + 1], n,
                               discount=disc, n_paths=plan.total_paths)
 
-    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
-                        rho=est(3))
+    return HestonGreeksResult(price=est(0), delta=est(1), vega=est(2),
+                              rho=est(3), dtheta=est(4), dkappa=est(5),
+                              dxi=est(6))
 
 
 def greeks(opt, n_paths: int, key: jax.Array,

@@ -35,7 +35,8 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials",
            "level_xla_partials", "level_pallas_partials",
            "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
 
-N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega(v0), rho
+N_GREEK_SUMS = 14  # (sum, sum^2) for each of: payoff, delta, vega(v0),
+#                    rho, d/dtheta, d/dkappa, d/dxi
 
 # Order of the QE constant vector passed to the kernel (SMEM scalars).
 _QE_KEYS = ("e", "c1", "c2", "r_dt", "k0", "k1", "k2", "k3", "k4", "theta")
@@ -196,50 +197,79 @@ def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
 
 
 # ---------------------------------------------------------------------------
-# Pathwise Greeks (delta, d/d v0, rho) — forward-mode tangents in the walk
+# Pathwise Greeks (delta, d/dv0, rho, d/dtheta, d/dkappa, d/dxi) —
+# forward-mode tangents in the walk
 # ---------------------------------------------------------------------------
-# The call payoff is CONTINUOUS in s0 and v0 (unlike the barrier), so
-# pathwise differentiation of the discretized scheme is unbiased for that
-# scheme's own price (Glasserman section 7.2).  The kernel carries the
-# forward-mode tangents (d log S / d v0, d v / d v0) alongside the Euler
-# state — each step's tangent costs one guarded rsqrt + a handful of FMAs:
+# The call payoff is CONTINUOUS in s0 and the variance parameters (unlike
+# the barrier), so pathwise differentiation of the discretized scheme is
+# unbiased for that scheme's own price (Glasserman section 7.2).  The
+# kernel carries FOUR forward-mode tangent pairs (d log S/dp, d v/dp) for
+# p in {v0, theta, kappa, xi} alongside the Euler state.  The recursion
+# coefficients are shared — per step:
 #
 #   vp  = max(v, 0),  m = 1{v > 0}          (full-truncation subgradient)
-#   dvp = m * av                            (av = dv/dv0 carry)
-#   al' = al + dvp * (z_s * dsq - dt/2)     (al = d log S/dv0 carry)
-#   av' = av + dvp * (xi z_v * dsq - kappa dt)
-#   dsq = d sqrt(vp dt)/d vp = sqdt / (2 sqrt(vp)),  guarded at vp = 0.
+#   cA  = z_s * dsq - dt/2                  (one compute, four uses)
+#   cB  = xi z_v * dsq - kappa dt
+#   per pair p: dvp = m * av_p;  al_p += dvp cA;  av_p += dvp cB + e_p
+#
+# where e_p is the EXPLICIT parameter derivative of the v-update:
+# e_v0 = 0 (init av = 1), e_theta = kappa dt, e_kappa = dt (theta - vp),
+# e_xi = sqrt(vp dt) z_v; dsq = sqdt / (2 sqrt(vp)), guarded at vp = 0.
 #
 # Terminal integrands (I = 1{S_T > K}): delta = I e^x (homogeneity — no
-# division), vega_v0 = I S_T al, and rho is EXACT pathwise: r enters the
+# division), vega_p = I S_T al_p, and rho is EXACT pathwise: r enters the
 # log-spot drift only, dx/dr = t, so the integrand is t K I after the
-# -t*P discount fold.  Delta/vega are gated against CRN bumps of the same
-# scheme and FD of the characteristic-function price in tests.
+# -t*P discount fold.  All outputs are gated against CRN bumps of the
+# same scheme (and delta/vega/rho against FD of the characteristic-
+# function price) in tests.
+#
+# Variance caveat (measured): the dsq = 1/(2 sqrt(vp)) factor makes every
+# variance-parameter tangent HEAVY-TAILED when the Feller condition
+# 2 kappa theta >= xi^2 is violated — the discrete v's density is O(1) at
+# 0+, so E[1/vp 1{vp>0}] (the tangent's second moment) is log-divergent:
+# the estimator stays unbiased a.s. but its CI converges slowly and the
+# reported se underestimates on short runs.  In Feller-satisfied regimes
+# the tangents match CRN finite differences to 4-5 digits at 2^16 paths
+# (tests/test_greeks.py::test_variance_tangents_match_crn_bumps).
 
 
-def _greek_step(x, v, al, av, z_v, z_perp, k_dt, th, xi, rho_c, rho_s,
-                r_dt, sqdt, half_dt):
-    """One Euler step advancing state AND (d/dv0) tangents."""
+def _greek_step(x, v, tg, z_v, z_perp, k_dt, th, xi, rho_c, rho_s,
+                r_dt, sqdt, half_dt, dt):
+    """One Euler step advancing state AND the four (d/dp) tangent pairs.
+
+    ``tg`` is the tangent tuple ``(al_v0, av_v0, al_th, av_th, al_ka,
+    av_ka, al_xi, av_xi)``.
+    """
     vp = jnp.maximum(v, 0.0)
     sq = jnp.sqrt(vp)
     sq_v = sq * sqdt
     dsq = jnp.where(vp > 0.0, (0.5 * sqdt) * jax.lax.rsqrt(vp), 0.0)
-    dvp = jnp.where(v > 0.0, av, 0.0)
+    m = v > 0.0
     z_s = rho_c * z_v + rho_s * z_perp
     x = x + r_dt - half_dt * vp + sq_v * z_s
-    al = al + dvp * (z_s * dsq - half_dt)
+    c_a = z_s * dsq - half_dt
+    c_b = xi * dsq * z_v - k_dt
+    extras = (0.0, k_dt, dt * (th - vp), sq_v * z_v)
+    out = []
+    for i, e in enumerate(extras):
+        al, av = tg[2 * i], tg[2 * i + 1]
+        dvp = jnp.where(m, av, 0.0)
+        out.append(al + dvp * c_a)
+        out.append(av + dvp * c_b + e)
     v = v + k_dt * (th - vp) + xi * sq_v * z_v
-    av = av + dvp * (xi * dsq * z_v - k_dt)
-    return x, v, al, av
+    return x, v, tuple(out)
 
 
-def _greek_quants(x, al, s0, k, t_k):
-    """(p, gd, gv, gr) integrand tiles; ``t_k = t * K`` (rho integrand)."""
+def _greek_quants(x, tg, s0, k, t_k):
+    """(p, gd, gv0, gr, gth, gka, gxi) integrand tiles; ``t_k = t * K``
+    (rho integrand)."""
     e_x = jnp.exp(x)
     st = s0 * e_x
     ind = jnp.where(st > k, 1.0, 0.0)
     p = jnp.maximum(st - k, 0.0)
-    return p, ind * e_x, ind * st * al, t_k * ind
+    ist = ind * st
+    return (p, ind * e_x, ist * tg[0], t_k * ind,
+            ist * tg[2], ist * tg[4], ist * tg[6])
 
 
 def _greek_sums(tiles):
@@ -250,10 +280,17 @@ def _greek_sums(tiles):
     return tuple(out)
 
 
+def _greek_tangent_init(shape, dtype):
+    zero = jnp.zeros(shape, dtype)
+    return (zero, jnp.ones(shape, dtype),  # (al, av) for v0
+            zero, zero, zero, zero, zero, zero)  # theta, kappa, xi
+
+
 def greek_xla_partials(opt: HestonOption, key: jax.Array, block_offset,
                        plan: Plan, n_blocks: int, n_steps: int):
-    """Per-block Greek partials ``(n_blocks, 8)``: payoff/delta/vega/rho
-    (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns.  Euler scheme only."""
+    """Per-block Greek partials ``(n_blocks, 14)``: payoff/delta/vega(v0)/
+    rho/dtheta/dkappa/dxi (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns.
+    Euler scheme only."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     dt = o.t / n_steps
@@ -268,15 +305,15 @@ def greek_xla_partials(opt: HestonOption, key: jax.Array, block_offset,
 
     def walk(z_seq, sgn):
         def body(j, carry):
-            x, v, al, av = carry
-            return _greek_step(x, v, al, av, sgn * z_seq[j, 0],
+            x, v, tg = carry
+            return _greek_step(x, v, tg, sgn * z_seq[j, 0],
                                sgn * z_seq[j, 1], k_dt, o.theta, o.xi,
-                               rho_c, rho_s, r_dt, sqdt, half_dt)
+                               rho_c, rho_s, r_dt, sqdt, half_dt, dt)
 
         init = (jnp.zeros(shape, dtype), jnp.full(shape, o.v0, dtype),
-                jnp.zeros(shape, dtype), jnp.ones(shape, dtype))
-        x, _, al, _ = jax.lax.fori_loop(0, n_steps, body, init)
-        return _greek_quants(x, al, o.s, o.k, t_k)
+                _greek_tangent_init(shape, dtype))
+        x, _, tg = jax.lax.fori_loop(0, n_steps, body, init)
+        return _greek_quants(x, tg, o.s, o.k, t_k)
 
     def block_fn(bkey):
         def body(i, carry):
@@ -302,7 +339,7 @@ def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
     k_dt, th, xi = scal_ref[3], scal_ref[4], scal_ref[5]
     rho_c, rho_s = scal_ref[6], scal_ref[7]
     r_dt, sqdt = scal_ref[8], scal_ref[9]
-    half_dt, t_k = scal_ref[10], scal_ref[11]
+    half_dt, t_k, dt = scal_ref[10], scal_ref[11], scal_ref[12]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
 
@@ -312,18 +349,17 @@ def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
                   (off_ref[0] + b) * jnp.int32(plan.iters) + i)
 
         def body(j, carry):
-            x, v, al, av = carry
+            x, v, tg = carry
             z_v, z_perp = draw_normal_pair(shape, j)
-            return _greek_step(x, v, al, av, sgn * z_v, sgn * z_perp,
+            return _greek_step(x, v, tg, sgn * z_v, sgn * z_perp,
                                k_dt, th, xi, rho_c, rho_s, r_dt, sqdt,
-                               half_dt)
+                               half_dt, dt)
 
         init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.ones(shape, jnp.float32))
-        x, _, al, _ = jax.lax.fori_loop(0, n_steps, body, init)
-        return _greek_quants(x, al, s0, k, t_k)
+                _greek_tangent_init(shape, jnp.float32))
+        x, _, tg = jax.lax.fori_loop(0, n_steps, body, init)
+        return _greek_quants(x, tg, s0, k, t_k)
 
     def body(i, carry):
         tiles = walk(i, 1.0)
@@ -343,7 +379,7 @@ def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
 def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
                           n_blocks: int, n_steps: int,
                           interpret: bool = False):
-    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    """Per-block Greek partials ``(n_blocks, 14)``, fused on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
@@ -353,7 +389,7 @@ def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
             o.kappa * dt, o.theta, o.xi,
             o.rho, jnp.sqrt(1.0 - o.rho * o.rho),
             o.r * dt, jnp.sqrt(dt),
-            0.5 * dt, o.t * o.k,
+            0.5 * dt, o.t * o.k, dt,
         ])
         kernel = functools.partial(_heston_greeks_kernel, plan=plan,
                                    n_steps=n_steps)
@@ -369,7 +405,7 @@ def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=24 * plan.iters * paths_iter * n_steps,
+                flops=42 * plan.iters * paths_iter * n_steps,
                 bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
                 transcendentals=7 * plan.iters * paths_iter * n_steps,
             ),

@@ -938,6 +938,32 @@ class GreeksResult:
 
 
 @dataclasses.dataclass(frozen=True)
+class HestonGreeksResult(GreeksResult):
+    """Heston Greeks: the :class:`GreeksResult` contract (``vega`` is the
+    initial-variance sensitivity dV/dv0; chain through ``2 sqrt(v0)`` for
+    a vol-quoted vega) extended with the remaining variance-dynamics
+    parameters — ``dtheta`` (long-run variance), ``dkappa`` (mean
+    reversion) and ``dxi`` (vol-of-vol, the desk's "vega of vol") — all
+    forward-mode tangents riding the same fused Euler walk."""
+
+    dtheta: Any = None
+    dkappa: Any = None
+    dxi: Any = None
+
+    def __repr__(self):
+        base = super().__repr__()[len("GreeksResult("):-1]
+
+        def fmt(r):
+            if r is None:
+                return "None"
+            import numpy as _np
+            return f"{float(_np.asarray(r.price)):.6f}±{float(r.ci):.6f}"
+
+        return (f"HestonGreeksResult({base}, dtheta={fmt(self.dtheta)}, "
+                f"dkappa={fmt(self.dkappa)}, dxi={fmt(self.dxi)})")
+
+
+@dataclasses.dataclass(frozen=True)
 class CvaGreeksResult:
     """CVA plus its pathwise sensitivities, each a full :class:`McResult`.
 

@@ -932,6 +932,39 @@ class TestEngineGreeksHeston:
             assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                       want)
 
+    def test_variance_tangents_match_crn_bumps(self):
+        """dtheta/dkappa/dxi forward tangents vs CRN bumps of the same
+        scheme — 4-5 digit agreement in this Feller-satisfied regime
+        (2 kappa theta = 0.36 > xi^2; the heavy-tail caveat for violated
+        regimes is documented in kernels/heston.py)."""
+        import dataclasses
+
+        from mctpu import engine
+        opt = self._opt()
+        cfg = self._cfg()
+        g = engine.greeks_heston(opt, 1 << 17, KEY, cfg, n_steps=30)
+
+        def crn(**bump):
+            ob = dataclasses.replace(opt, **bump)
+            return float(engine.price_heston(ob, 1 << 17, KEY, cfg,
+                                             n_steps=30).price)
+
+        fd = {
+            "dtheta": (crn(theta=0.09 + 1e-4) - crn(theta=0.09 - 1e-4))
+            / 2e-4,
+            "dkappa": (crn(kappa=2.0 + 1e-2) - crn(kappa=2.0 - 1e-2))
+            / 2e-2,
+            "dxi": (crn(xi=0.4 + 1e-3) - crn(xi=0.4 - 1e-3)) / 2e-3,
+        }
+        for name, want in fd.items():
+            r = getattr(g, name)
+            # CRN FD of the identical streams: per-path FD == per-path
+            # tangent to O(h), so the tolerance is dominated by the O(h)
+            # term, not the estimator se.
+            tol = 0.05 * float(r.std_error) + abs(want) * 2e-3 + 1e-4
+            assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                      want)
+
     def test_delta_matches_cf_finite_difference(self):
         import dataclasses as dc
 
