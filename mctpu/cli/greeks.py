@@ -62,13 +62,14 @@ def main(argv=None):
             cf_fn = lambda s, v: mcmath.geometric_asian_call(
                 s, args.strike, args.rate, v, args.maturity, args.obs)
             d = jax.grad(cf_fn, argnums=(0, 1))(args.spot, args.vol)
+            gam = jax.grad(jax.grad(lambda s: cf_fn(s, args.vol)))(args.spot)
             cf = {"price": cf_fn(args.spot, args.vol), "delta": d[0],
-                  "vega": d[1]}
+                  "vega": d[1], "gamma": gam}
             print(f"\ngeometric asian ({args.obs} obs), engine tier, "
                   f"paths={args.paths}  time={dt * 1e3:.2f} ms")
             print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
                   f"{'closed form':>12}")
-            for name in ("price", "delta", "vega"):
+            for name in ("price", "delta", "vega", "gamma"):
                 r = getattr(res, name)
                 print(f"{name:>6} | {float(r.price):12.6f} | "
                       f"±{float(r.ci):8.6f} | {float(cf[name]):12.6f}")

@@ -661,7 +661,7 @@ def greeks_asian(opt, n_paths: int, key: jax.Array,
                               discount=disc, n_paths=plan.total_paths)
 
     return GreeksResult(price=est(0), delta=est(1), vega=est(2),
-                        rho=est(3))
+                        rho=est(3), gamma=est(4))
 
 
 def greeks_lookback(opt, n_paths: int, key: jax.Array,

@@ -27,7 +27,8 @@ from mctpu.types import AsianOption
 __all__ = ["make_plan", "xla_partials", "pallas_partials",
            "greek_xla_partials", "greek_pallas_partials", "N_GREEK_SUMS"]
 
-N_GREEK_SUMS = 8  # (sum, sum^2) for each of: payoff, delta, vega, rho
+N_GREEK_SUMS = 10  # (sum, sum^2) for each of: payoff, delta, vega, rho,
+#                    gamma
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -114,9 +115,9 @@ def xla_partials(opt: AsianOption, key: jax.Array, block_offset, plan: Plan,
 # and CRN bumps for the arithmetic average.
 
 
-def _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar, avg_acc,
-                  g_acc, r_acc):
-    """(p, gd, gv, gr) integrand tiles from the walk accumulators.
+def _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar, zc0, ivst,
+                  log_s, avg_acc, g_acc, r_acc, r2_acc):
+    """(p, gd, gv, gr, gg) integrand tiles from the walk accumulators.
 
     ``gr`` folds the ``-t * P`` discount cross-term into the per-path
     integrand (like the vanilla kernel's rho), so
@@ -125,6 +126,26 @@ def _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar, avg_acc,
     ``d(avg)/dr = avg * tbar`` with the CONSTANT ``tbar = mean_j t_j`` —
     no extra accumulator; arithmetic uses the carried
     ``r_acc = sum_j s_j t_j``.
+
+    ``gg`` is the mixed pathwise-LR GAMMA integrand.  The payoff's second
+    s0-derivative is a Dirac on {avg = K}; Stein's identity along the
+    standardized TOTAL normal ``z = (log(s_T/s0) - (r - v^2/2)T)/(v
+    sqrt(T))`` (uniform Brownian tilt, ``d log s_j / dz = v t_j /
+    sqrt(T)``) converts it to sampleable form.  With ``h = Abar^2 /
+    (dA/dz)`` (``Abar = avg/s0``):
+
+        Gamma = E[h 1{avg>K} z] - E[(dh/dz) 1{avg>K}]
+
+    — arithmetic needs ``dA/dz = (v/sqrt(T)) r_acc/n`` (carried) and
+    ``d(r_acc/n)/dz = (v/sqrt(T)) r2_acc/n`` (one NEW carry, sum s_j
+    t_j^2); the geometric ratio collapses to constants: ``gg = I
+    (avg/s0^2) ((sqrt(T)/(v tbar)) z - 1)``.  ``h`` is well-conditioned:
+    ``r_acc/n >= t_1 avg`` bounds it by ``n avg sqrt(T)/(v T s0^2)``.
+    In the n_obs = 1 limit the arithmetic form reduces to
+    ``I (s_T/s0^2)(z/(v sqrt(T)) - 1)`` — an alternate
+    integration-by-parts grouping of the vanilla kernel's
+    ``I K z/(s0^2 v sqrt(T))``, equal in expectation (both are
+    d/ds0 E[I s_T/s0]).
     """
     inv_n = 1.0 / n_obs
     avg = avg_acc * inv_n
@@ -136,25 +157,39 @@ def _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar, avg_acc,
     gv = ind * ((avg * g_acc * inv_n) if geometric else (g_acc * inv_n))
     davg_dr = (avg * tbar) if geometric else (r_acc * inv_n)
     gr = ind * davg_dr - t * p
-    return p, gd, gv, gr
+    z = (log_s - log_s0 - zc0) * ivst
+    sqt_v = t * ivst  # sqrt(T)/v
+    inv_s02 = 1.0 / (s0 * s0)
+    if geometric:
+        gg = ind * (avg * inv_s02) * ((sqt_v / tbar) * z - 1.0)
+    else:
+        m = r_acc * inv_n
+        r2n = r2_acc * inv_n
+        h = sqt_v * (avg * avg) * inv_s02 / m
+        dh = inv_s02 * (2.0 * avg - (avg * avg) * r2n / (m * m))
+        gg = ind * (h * z - dh)
+    return p, gd, gv, gr, gg
 
 
 def _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric):
-    """Walk step advancing (log_s, avg_acc, g_acc, r_acc, cj, tj).
+    """Walk step advancing (log_s, avg_acc, g_acc, r_acc, r2_acc, cj, tj).
 
     ``cj``/``tj`` carry ``c1 * (j+1)`` / ``t_j`` as running scalar sums —
     TPUs have no fast int->float cast, so deriving them from the loop
     counter would put a scalar conversion on every step's critical path.
     """
     def step(j, z, carry, sgn):
-        log_s, acc, gacc, racc, cj, tj = carry
+        log_s, acc, gacc, racc, r2acc, cj, tj = carry
         log_s = log_s + drift + vol * (sgn * z)
         f = (log_s - log_s0) * inv_v + cj
         if geometric:
-            # racc is unused (d(avg)/dr has the constant factor tbar).
-            return (log_s, acc + log_s, gacc + f, racc, cj + c1, tj)
+            # racc/r2acc unused (d(avg)/dr and the gamma ratio collapse
+            # to the constant tbar).
+            return (log_s, acc + log_s, gacc + f, racc, r2acc,
+                    cj + c1, tj)
         s = jnp.exp(log_s)
-        return (log_s, acc + s, gacc + s * f, racc + s * tj,
+        st = s * tj
+        return (log_s, acc + s, gacc + s * f, racc + st, r2acc + st * tj,
                 cj + c1, tj + dt)
 
     return step
@@ -170,19 +205,22 @@ def _greek_sums(tiles):
 
 def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
                        plan: Plan, n_blocks: int):
-    """Per-block Greek partials ``(n_blocks, 8)``: payoff/delta/vega/rho
-    (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns."""
+    """Per-block Greek partials ``(n_blocks, 10)``: payoff/delta/vega/rho/
+    gamma (sum, sum^2) pairs — ``N_GREEK_SUMS`` columns."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     g = opt.n_obs
     geometric = opt.average == "geometric"
     drift, vol = masian.step_constants(o, dtype)
-    dt = jnp.asarray(o.t, dtype) / g
+    t = jnp.asarray(o.t, dtype)
+    dt = t / g
     inv_v = 1.0 / jnp.asarray(o.v, dtype)
     c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
     log_s0 = jnp.log(jnp.asarray(o.s, dtype))
     shape = (plan.rows, LANES)
     tbar = dt * (g + 1) / 2.0
+    zc0 = (o.r - 0.5 * o.v * o.v) * t
+    ivst = 1.0 / (jnp.asarray(o.v, dtype) * jnp.sqrt(t))
     step = _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric)
 
     def walk(z_seq, sgn):
@@ -190,11 +228,12 @@ def greek_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
             return step(j, z_seq[j], carry, sgn)
 
         init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype),
-                jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), c1, dt)
-        _, acc, gacc, racc, _, _ = jax.lax.fori_loop(0, g, body, init)
-        return _greek_quants(log_s0, o.s, o.k, g, geometric,
-                             jnp.asarray(o.t, dtype), tbar, acc, gacc,
-                             racc)
+                jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                jnp.zeros(shape, dtype), c1, dt)
+        log_s, acc, gacc, racc, r2acc, _, _ = jax.lax.fori_loop(
+            0, g, body, init)
+        return _greek_quants(log_s0, o.s, o.k, g, geometric, t, tbar,
+                             zc0, ivst, log_s, acc, gacc, racc, r2acc)
 
     def block_fn(bkey):
         def body(i, carry):
@@ -220,6 +259,7 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
     drift, vol, inv_v, c1 = (scal_ref[3], scal_ref[4], scal_ref[5],
                              scal_ref[6])
     dt, t, tbar = scal_ref[7], scal_ref[8], scal_ref[9]
+    zc0, ivst = scal_ref[10], scal_ref[11]
     shape = (plan.rows, LANES)
     b = pl.program_id(0)
     step = _greek_step(log_s0, drift, vol, inv_v, c1, dt, geometric)
@@ -234,11 +274,12 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
         init = (jnp.full(shape, log_s0, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32), c1 * 1.0, dt * 1.0)
-        _, acc, gacc, racc, _, _ = walk_pairwise(shape, n_obs, pair_step,
-                                                 init)
+        log_s, acc, gacc, racc, r2acc, _, _ = walk_pairwise(
+            shape, n_obs, pair_step, init)
         return _greek_quants(log_s0, s0, k, n_obs, geometric, t, tbar,
-                             acc, gacc, racc)
+                             zc0, ivst, log_s, acc, gacc, racc, r2acc)
 
     def body(i, carry):
         tiles = walk(i, 1.0)
@@ -257,19 +298,21 @@ def _asian_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
 
 def greek_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
                           n_blocks: int, interpret: bool = False):
-    """Per-block Greek partials ``(n_blocks, 8)``, fused on TPU."""
+    """Per-block Greek partials ``(n_blocks, 10)``, fused on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
         g = opt.n_obs
         drift, vol = masian.step_constants(o, jnp.float32)
-        dt = jnp.asarray(o.t, jnp.float32) / g
+        t = jnp.asarray(o.t, jnp.float32)
+        dt = t / g
         inv_v = 1.0 / jnp.asarray(o.v, jnp.float32)
         c1 = -(o.r + 0.5 * o.v * o.v) * dt * inv_v
         tbar = dt * (g + 1) / 2.0
+        zc0 = (o.r - 0.5 * o.v * o.v) * t
+        ivst = 1.0 / (jnp.asarray(o.v, jnp.float32) * jnp.sqrt(t))
         scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.s, o.k,
-                          drift, vol, inv_v, c1, dt,
-                          jnp.asarray(o.t, jnp.float32), tbar])
+                          drift, vol, inv_v, c1, dt, t, tbar, zc0, ivst])
         kernel = functools.partial(_asian_greeks_kernel, plan=plan,
                                    n_obs=g,
                                    geometric=opt.average == "geometric")
@@ -285,7 +328,7 @@ def greek_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=14 * plan.iters * paths_iter * g,
+                flops=17 * plan.iters * paths_iter * g,
                 bytes_accessed=n_blocks * 4 * N_GREEK_SUMS,
                 transcendentals=4 * plan.iters * paths_iter * g,
             ),

@@ -129,6 +129,53 @@ class TestEngineGreeksAsian:
         return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
                                    **kw)
 
+    def test_gamma_geometric_matches_exact_hessian(self):
+        """Stein mixed-LR gamma vs d2/ds2 of the exact geometric law."""
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                          average="geometric")
+        g = engine.greeks_asian(geo, 1 << 18, KEY, self._cfg())
+
+        def cf(s):
+            return mcmath.geometric_asian_call(s, 100.0, 0.05, 0.2, 1.0,
+                                               12, dtype=jnp.float64)
+
+        hess = float(jax.grad(jax.grad(cf))(100.0))
+        z = (float(g.gamma.price) - hess) / float(g.gamma.std_error)
+        assert abs(z) < 4.0, (z, float(g.gamma.price), hess)
+
+    def test_gamma_arithmetic_matches_crn_delta_fd(self):
+        """Arithmetic gamma (carried sum s_j t_j^2 ratio) vs CRN central
+        differences of the validated pathwise delta output."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        ari = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=12,
+                          average="arithmetic")
+        g = engine.greeks_asian(ari, 1 << 18, KEY, self._cfg())
+
+        def delta_at(s):
+            return float(engine.greeks_asian(dc.replace(ari, s=s), 1 << 18,
+                                             KEY, self._cfg()).delta.price)
+
+        fd = delta_at(100.5) - delta_at(99.5)
+        tol = 5 * float(g.gamma.std_error) + abs(fd) * 5e-3
+        assert abs(float(g.gamma.price) - fd) < tol, (float(g.gamma.price),
+                                                      fd)
+
+    def test_gamma_single_obs_reduces_to_vanilla(self):
+        """n_obs = 1: the arithmetic Stein form is an alternate grouping
+        of the vanilla mixed gamma; both estimate BS gamma."""
+        from mctpu import engine
+        from mctpu.types import AsianOption
+        one = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=1,
+                          average="arithmetic")
+        g = engine.greeks_asian(one, 1 << 18, KEY, self._cfg())
+        z = (float(g.gamma.price) - CF["gamma"]) / float(g.gamma.std_error)
+        assert abs(z) < 4.0, z
+
     def test_geometric_matches_grad_of_closed_form(self):
         from mctpu import engine
         from mctpu.types import AsianOption

@@ -274,6 +274,8 @@ def test_greeks_asian_on_chip():
     d_cf = jax.grad(cf, argnums=(0, 1))(100.0, 0.2)
     assert _z(res.delta.price, float(d_cf[0]), res.delta.std_error) < 4
     assert _z(res.vega.price, float(d_cf[1]), res.vega.std_error) < 4
+    hess = float(jax.grad(jax.grad(lambda s: cf(s, 0.2)))(100.0))
+    assert _z(res.gamma.price, hess, res.gamma.std_error) < 4
 
 
 def test_greeks_lookback_on_chip():
