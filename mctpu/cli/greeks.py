@@ -300,7 +300,8 @@ def main(argv=None):
         print(f"\nengine tier, paths={args.paths}  time={dt * 1e3:.2f} ms")
         print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>10} | "
               f"{'closed form':>12}")
-        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma",
+                     "vanna", "volga"):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f} | {float(cf[name]):12.6f}")

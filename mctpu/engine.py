@@ -465,15 +465,16 @@ def price_lookback(opt, n_paths: int, key: jax.Array,
 
 def greeks_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
                    config: EngineConfig = EngineConfig()) -> "GreeksResult":
-    """Price + delta/vega/rho/theta/gamma of a European call/put, fused
-    in one kernel sweep.
+    """Price + delta/vega/rho/theta/gamma/vanna/volga of a European
+    call/put, fused in one kernel sweep.
 
     Runs the flagship engine contract — fused Pallas kernel (or XLA twin),
     mesh-sharded blocks, fixed-order f64 combine, reference estimator — on
-    12 accumulators instead of 2 (:mod:`mctpu.kernels.greeks`), so Greeks
+    16 accumulators instead of 2 (:mod:`mctpu.kernels.greeks`), so Greeks
     come at pricing-sweep throughput and are bitwise shard-invariant.
-    First-order Greeks are pathwise; gamma is the mixed pathwise-then-
-    likelihood-ratio estimator (unbiased despite the Dirac second
+    First-order Greeks are pathwise; the full second-order set (gamma,
+    vanna = d2V/ds dv, volga = d2V/dv2) uses mixed pathwise-then-
+    likelihood-ratio estimators (unbiased despite the Dirac second
     derivative — see the kernel module docstring).  Gated against
     :func:`mctpu.math.bs_greeks` in ``tests/test_greeks.py``.
     """
@@ -515,7 +516,8 @@ def greeks_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
                               discount=disc, n_paths=plan.total_paths)
 
     return GreeksResult(price=est(0), delta=est(1), vega=est(2), rho=est(3),
-                        theta=est(4), gamma=est(5))
+                        theta=est(4), gamma=est(5), vanna=est(6),
+                        volga=est(7))
 
 
 def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,

@@ -37,11 +37,13 @@ E[K I z]/sig``, both sides checked against BS gamma) to
 (``ind`` carries the put's sign; both reduce to ``e^{-rt} K phi(d2) /
 (s0^2 v sqrt(t)) = phi(d1)/(s0 v sqrt(t))``, the BS gamma).
 
-Per block the kernels emit 12 partial sums
+Per block the kernels emit 16 partial sums
 ``(sum_p, sum_p2, sum_gd, sum_gd2, sum_gv, sum_gv2, sum_gr, sum_gr2,
-sum_gt, sum_gt2, sum_gg, sum_gg2)`` — same mesh / fixed-order-combine /
-estimator contract as the pricing kernels, so Greeks are bitwise
-shard-invariant too.
+sum_gt, sum_gt2, sum_gg, sum_gg2, sum_gvn, sum_gvn2, sum_gvg,
+sum_gvg2)`` — same mesh / fixed-order-combine / estimator contract as
+the pricing kernels, so Greeks are bitwise shard-invariant too.
+Vanna and volga (the second-order cross sensitivities) use the same
+mixed pathwise-LR device as gamma; see ``_greek_tile``.
 
 The basket kernel accumulates per-asset delta and vega *vectors* in the
 packed lane layout of ``kernels/basket.py``:
@@ -73,7 +75,8 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "N_SUMS",
            "make_basket_plan", "xla_basket_partials",
            "pallas_basket_partials"]
 
-N_SUMS = 12  # (sum, sum^2) of: payoff, delta, vega, rho, theta, gamma
+N_SUMS = 16  # (sum, sum^2) of: payoff, delta, vega, rho, theta, gamma,
+#              vanna, volga
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -86,9 +89,27 @@ def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
 
 def _greek_tile(s0, k, r, v, t, mu, sig, sqt, z, antithetic: bool,
                 put: bool):
-    """Payoff + 5 Greek integrands of one tile of normals (pair-mean when
-    antithetic).  Returns a 6-tuple of arrays shaped like ``z``."""
+    """Payoff + 7 Greek integrands of one tile of normals (pair-mean when
+    antithetic).  Returns an 8-tuple of arrays shaped like ``z``.
+
+    The second-order cross terms use the same mixed pathwise-LR device
+    as gamma (module docstring): differentiating the vega integrand
+    ``ind S_T wv`` (``wv = d log S/dv = sqt z - v t``) in s0 (vanna) or
+    v (volga) splits into a plain pathwise part plus a Dirac at the
+    kink, which Stein's identity converts to sampleable form:
+
+        vanna = E[ind ((S_T/s0) wv + (K/(s0 sig)) (wv z - sqt))]
+        volga = E[ind (S_T (wv^2 - t) + (K/sig) wv (wv z - 2 sqt))]
+
+    The SIGNED put indicator (-1) makes both formulas cover call and put
+    unchanged — the boundary jump of the indicator has the same sign in
+    both cases, matching put-call parity (second derivatives of the
+    linear forward term vanish, so put vanna/volga == call vanna/volga).
+    """
     cg = k / (s0 * s0 * sig)  # mixed PW-LR gamma scale (module docstring)
+    cvn = k / (s0 * sig)      # vanna LR scale
+    cvg = k / sig             # volga LR scale
+    inv_s0 = 1.0 / s0
 
     def quants(zz):
         st = s0 * jnp.exp(mu + sig * zz)
@@ -99,12 +120,15 @@ def _greek_tile(s0, k, r, v, t, mu, sig, sqt, z, antithetic: bool,
             ind = jnp.where(st > k, 1.0, 0.0).astype(st.dtype)
             p = jnp.maximum(st - k, 0.0)
         w = ind * st  # signed I * S_T — the common pathwise factor
-        gd = w / s0
-        gv = w * (sqt * zz - v * t)
+        gd = w * inv_s0
+        wv = sqt * zz - v * t
+        gv = w * wv
         gr = (t * k) * ind
         gt = w * (r - 0.5 * v * v + 0.5 * v * zz / sqt) - r * p
         gg = cg * (ind * zz)
-        return (p, gd, gv, gr, gt, gg)
+        gvn = gd * wv + cvn * (ind * (wv * zz - sqt))
+        gvg = w * (wv * wv - t) + cvg * (ind * (wv * (wv * zz - 2.0 * sqt)))
+        return (p, gd, gv, gr, gt, gg, gvn, gvg)
 
     if antithetic:
         a = quants(z)
@@ -132,7 +156,7 @@ def _pair_sums(t1, t2):
 
 def xla_partials(opt: VanillaOption, key: jax.Array, block_offset,
                  plan: Plan, n_blocks: int):
-    """Per-block Greek partial sums, shape ``(n_blocks, 12)``."""
+    """Per-block Greek partial sums, shape ``(n_blocks, 16)``."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     mu = (o.r - 0.5 * o.v * o.v) * o.t
@@ -184,7 +208,7 @@ def _greeks_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
 
 def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
                     n_blocks: int, interpret: bool = False):
-    """Per-block Greek partial sums, shape ``(n_blocks, 12)``, fused
+    """Per-block Greek partial sums, shape ``(n_blocks, 16)``, fused
     on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:

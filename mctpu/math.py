@@ -129,6 +129,10 @@ def bs_greeks(s, k, r, v, t):
         "vega": s * pdf * jnp.sqrt(t),
         "theta": s * pdf * v / (2 * jnp.sqrt(t)) + r * k * disc * norm_cdf(d2),
         "rho": k * t * disc * norm_cdf(d2),
+        # Second-order cross sensitivities (same for call and put):
+        # vanna = d2V/ds dv, volga = d2V/dv2.
+        "vanna": -pdf * d2 / v,
+        "volga": s * pdf * jnp.sqrt(t) * d1 * d2 / v,
     }
 
 

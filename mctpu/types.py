@@ -919,6 +919,8 @@ class GreeksResult:
     rho: Any = None
     theta: Any = None
     gamma: Any = None
+    vanna: Any = None  # d2V/ds dv (vanilla engine tier)
+    volga: Any = None  # d2V/dv2 (vanilla engine tier)
 
     def __repr__(self):
         import numpy as _np

@@ -407,7 +407,8 @@ class TestEngineGreeksVanilla:
         return engine.greeks_vanilla(OPT, 1 << 20, KEY, self._cfg())
 
     @pytest.mark.parametrize("name", ["price", "delta", "vega", "rho",
-                                      "theta", "gamma"])
+                                      "theta", "gamma", "vanna",
+                                      "volga"])
     def test_each_greek_within_4_sigma_of_bs(self, res, name):
         r = getattr(res, name)
         z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
@@ -417,7 +418,8 @@ class TestEngineGreeksVanilla:
         from mctpu import engine
         res = engine.greeks_vanilla(OPT, 1 << 19, KEY,
                                     self._cfg(antithetic=True))
-        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma",
+                     "vanna", "volga"):
             r = getattr(res, name)
             z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
             assert abs(z) < 4.0, (name, z)
@@ -435,6 +437,8 @@ class TestEngineGreeksVanilla:
             "rho": CF["rho"] - OPT.t * OPT.k * disc,
             "theta": CF["theta"] - OPT.r * OPT.k * disc,
             "gamma": CF["gamma"],  # put gamma == call gamma
+            "vanna": CF["vanna"],  # second derivatives of the linear
+            "volga": CF["volga"],  # forward term vanish under parity
         }
         for name, want in expected.items():
             r = getattr(res, name)

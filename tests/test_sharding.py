@@ -92,7 +92,7 @@ class TestShardInvariance:
         base = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=None))
         shard = engine.greeks_vanilla(OPT, 1 << 17, KEY, _cfg(mesh=mesh8))
         for name in ("price", "delta", "vega", "rho", "theta",
-                     "gamma"):
+                     "gamma", "vanna", "volga"):
             b, s = getattr(base, name), getattr(shard, name)
             assert float(b.price) == float(s.price), name
             assert float(b.ci) == float(s.ci), name

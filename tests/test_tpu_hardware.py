@@ -238,7 +238,8 @@ def test_greeks_vanilla_on_chip():
     """Fused in-kernel pathwise Greeks vs bs_greeks (hardware PRNG)."""
     cf = mcmath.bs_greeks(100.0, 100.0, 0.048790, 0.2, 1.0)
     res = engine.greeks_vanilla(OPT, 1 << 22, KEY, _cfg())
-    for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+    for name in ("price", "delta", "vega", "rho", "theta", "gamma",
+                 "vanna", "volga"):
         r = getattr(res, name)
         assert _z(r.price, float(cf[name]), r.std_error) < 4, name
 
