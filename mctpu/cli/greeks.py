@@ -105,6 +105,14 @@ def main(argv=None):
                             zip(jnp.atleast_1d(r.price),
                                 jnp.atleast_1d(r.ci)))
             print(f"{name:>6} | {vals}")
+        if res.gamma is not None:
+            vals = " ".join(f"{v:.6f}±{c:.6f}" for v, c in
+                            zip(jnp.atleast_1d(res.gamma.price),
+                                jnp.atleast_1d(res.gamma.ci)))
+            print(f"{'gamma':>6} | {vals}")
+        else:
+            print(f"{'gamma':>6} | n/a (rank-deficient correlation: no "
+                  "sign-definite Brownian tilt)")
         for name in ("rho", "theta"):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):.6f} ± {float(r.ci):.6f}")

@@ -522,8 +522,8 @@ def greeks_vanilla(opt: VanillaOption, n_paths: int, key: jax.Array,
 
 def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
-    """Price + per-asset pathwise delta/vega vectors of the basket call,
-    plus scalar rho and theta.
+    """Price + per-asset pathwise delta/vega/gamma vectors of the basket
+    call, plus scalar rho and theta.
 
     Same kernel layout and RNG streams as :func:`price_basket` in both
     regimes — asset-major for small baskets, packed-lane MXU beyond
@@ -532,7 +532,12 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     ``tests/test_greeks.py``; rho (``t K E[1{B>K}]``, pre-discount) and
     theta (d/d(maturity), :func:`mctpu.math.bs_greeks` convention) are
     exact pathwise scalars gated against the Black-Scholes limit and CRN
-    bumps there too.
+    bumps there too.  ``gamma`` is the per-asset DIAGONAL gamma vector by
+    the Stein-tilt mixed pathwise-LR estimator
+    (:func:`mctpu.kernels.greeks.tilt_direction`); it is ``None`` when
+    the correlation matrix is rank-deficient with no sign-definite
+    Brownian tilt (e.g. the reference's alternating ±0.5 matrix beyond 2
+    assets) — a fixed-direction Stein estimate would have a pole there.
     """
     from mctpu.kernels import greeks as kgreeks
     from mctpu.types import GreeksResult
@@ -551,55 +556,60 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
     plan = kgreeks.make_basket_plan(n_paths, blocks, rows, cfg.antithetic,
                                     cfg.dtype_str, cfg.precision.kahan,
                                     n_assets=a)
+    tilt_e, tilt_g, tilt_ok = kgreeks.tilt_direction(opt.corr, a)
     cache_key = ("greeks_basket", a, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None and asset_major:
-        def run(o, k):
+        def run(o, te, tg, k):
             chol = mcmath.cholesky_lower(
                 jnp.asarray(o.corr, mcest.wide_dtype()))
             if backend == "pallas":
                 fn = lambda ar, off, nb: kgreeks.pallas_basket_am_partials(
-                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    ar[0], ar[1], (ar[2], ar[3]),
+                    mcrng.key_to_seed(ar[4]), off, plan, nb,
                     interpret=cfg.interpret)
             else:
                 fn = lambda ar, off, nb: kgreeks.xla_basket_am_partials(
-                    ar[0], ar[1], ar[2], off, plan, nb)
-            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, chol, k),
+                    ar[0], ar[1], (ar[2], ar[3]), ar[4], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn,
+                                     (o, chol, te, tg, k),
                                      P(PATH_AXIS, None))
             wide = mcest.wide_dtype()
             total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
-            # Rows 6.. are per-asset (gd, gd2, gv, gv2) quads.
-            vtot = total[6:].reshape(a, 4).T
+            # Rows 6.. are per-asset (gd, gd2, gv, gv2, gg, gg2) rows.
+            vtot = total[6:].reshape(a, 6).T
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return total[:6], vtot, disc
 
         runner = jax.jit(run)
         _RUNNERS[cache_key] = runner
     elif runner is None:
-        def run(o, k):
+        def run(o, te, tg, k):
             chol = mcmath.cholesky_lower(
                 jnp.asarray(o.corr, mcest.wide_dtype()))
             if backend == "pallas":
                 fn = lambda ar, off, nb: kgreeks.pallas_basket_partials(
-                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    ar[0], ar[1], (ar[2], ar[3]),
+                    mcrng.key_to_seed(ar[4]), off, plan, nb,
                     interpret=cfg.interpret)
             else:
                 fn = lambda ar, off, nb: kgreeks.xla_basket_partials(
-                    ar[0], ar[1], ar[2], off, plan, nb)
+                    ar[0], ar[1], (ar[2], ar[3]), ar[4], off, plan, nb)
             partials, vecs = _shard_blocks(
-                cfg, plan.num_blocks, fn, (o, chol, k),
+                cfg, plan.num_blocks, fn, (o, chol, te, tg, k),
                 (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
             wide = mcest.wide_dtype()
             total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
             vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
             # Fold the c packed path groups back onto the asset slots.
-            vtot = vtot.reshape(4, c, a_tile).sum(axis=1)[:, :a]
+            vtot = vtot.reshape(6, c, a_tile).sum(axis=1)[:, :a]
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return total, vtot, disc
 
         runner = jax.jit(run)
         _RUNNERS[cache_key] = runner
-    total, vtot, disc = runner(opt, key)
+    total, vtot, disc = runner(opt, jnp.asarray(tilt_e),
+                               jnp.asarray(tilt_g), key)
     n = plan.total_units
 
     def scal_est(i):
@@ -610,8 +620,12 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
                            n_paths=plan.total_paths)
     vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
                           n_paths=plan.total_paths)
+    gamma = None
+    if tilt_ok:
+        gamma = mcest.estimate(vtot[4], vtot[5], n, discount=disc,
+                               n_paths=plan.total_paths)
     return GreeksResult(price=scal_est(0), delta=delta, vega=vega,
-                        rho=scal_est(1), theta=scal_est(2))
+                        rho=scal_est(1), theta=scal_est(2), gamma=gamma)
 
 
 def greeks_asian(opt, n_paths: int, key: jax.Array,

@@ -273,10 +273,10 @@ def make_basket_plan(n_paths: int, num_blocks: int, rows: int,
 # price_basket exactly (the CRN property the bump gates rely on).
 # ---------------------------------------------------------------------------
 
-def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t, r,
-                     antithetic: bool):
-    """One path tile -> ``(p, [gd_i], [gv_i], ind, th)`` (pair-means if
-    antithetic).
+def _am_greek_quants(zs, lt_at, par_at, evec_at, gvec_at, k, a: int, sqt,
+                     t, r, antithetic: bool):
+    """One path tile -> ``(p, [gd_i], [gv_i], [gg_i], ind, th)``
+    (pair-means if antithetic).
 
     ``gd_i = 1{basket>k} * w_i s0_i exp(arg_i)`` (the per-asset ``1/s0_i``
     factor is applied to the scalar sums by the caller); ``gv_i`` carries
@@ -285,10 +285,27 @@ def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t, r,
     t S_i`` collapses ``ind*B - p`` to ``ind*K``); ``th`` is the pathwise
     maturity derivative ``sum_i gd_i (drift_i + vol_i btd_i / 2) / t
     - r p``.
+
+    ``gg_i`` is the per-asset DIAGONAL GAMMA integrand (mixed
+    pathwise-LR).  ``d delta_i/ds0_i = E[(w_i S_i/s0_i)^2 delta(B-K)]``
+    is a Dirac; Stein's identity along the Brownian tilt direction
+    ``e = L^{-1} 1`` (chosen so d(bt_i)/du == const for every asset,
+    making dB/du = sum w_i S_i vol_i g_i > 0 bounded away from 0, with
+    g = L e sign-definite — see :func:`tilt_direction`) converts it to
+    (no normalization needed: Stein pairs the RAW directional derivative
+    with the RAW projection <z, e>):
+
+        gg_i = I (w_i S_i)^2 (zu - 2 vol_i g_i + Bu2/Bu) / Bu
+
+    with ``zu = sum_j e_j z_j``, ``Bu = sum w_i S_i vol_i g_i``,
+    ``Bu2 = sum w_i S_i (vol_i g_i)^2`` (caller applies ``1/s0_i^2``;
+    full-rank correlations give ``g == 1``).  The
+    single-asset limit reduces to ``I (S/s0^2)(z - vol)/vol`` — an
+    alternate grouping of the vanilla mixed gamma, equal in expectation.
     """
     def one(sgn):
         terms, btds = [], []
-        basket = None
+        basket = zu = None
         for i in range(a):
             bt = None
             for j in range(i + 1):
@@ -299,59 +316,113 @@ def _am_greek_quants(zs, lt_at, par_at, k, a: int, sqt, t, r,
             terms.append(term)
             btds.append(btd)
             basket = term if basket is None else basket + term
+            x = evec_at(i) * (sgn * zs[i])
+            zu = x if zu is None else zu + x
         ind = jnp.where(basket > k, 1.0, 0.0)
         p = jnp.maximum(basket - k, 0.0)
         gds = [ind * terms[i] for i in range(a)]
         gvs = [gds[i] * (sqt * btds[i] - (par_at(1, i) / sqt) * t)
                for i in range(a)]
-        th = None
+        th = bu = bu2 = None
         for i in range(a):
             x = gds[i] * (par_at(0, i) + 0.5 * par_at(1, i) * btds[i])
             th = x if th is None else th + x
+            vg = par_at(1, i) * gvec_at(i)
+            y = terms[i] * vg
+            bu = y if bu is None else bu + y
+            y2 = y * vg
+            bu2 = y2 if bu2 is None else bu2 + y2
         th = th * (1.0 / t) - r * p
-        return p, gds, gvs, ind, th
+        inv_bu = 1.0 / bu
+        path_term = (zu + bu2 * inv_bu) * inv_bu
+        ggs = [gds[i] * terms[i]
+               * (path_term - (2.0 * par_at(1, i) * gvec_at(i)) * inv_bu)
+               for i in range(a)]
+        return p, gds, gvs, ggs, ind, th
 
     if antithetic:
         pa, pb = one(1.0), one(-1.0)
         return (0.5 * (pa[0] + pb[0]),
                 [0.5 * (x + y) for x, y in zip(pa[1], pb[1])],
                 [0.5 * (x + y) for x, y in zip(pa[2], pb[2])],
-                0.5 * (pa[3] + pb[3]), 0.5 * (pa[4] + pb[4]))
+                [0.5 * (x + y) for x, y in zip(pa[3], pb[3])],
+                0.5 * (pa[4] + pb[4]), 0.5 * (pa[5] + pb[5]))
     return one(1.0)
 
 
-def _am_greek_sums(zs_a, zs_b, lt_at, par_at, inv_s0_at, k, a, sqt, t, r,
-                   antithetic: bool):
-    """Both path tiles of one iteration -> flat tuple of 6 + 4a sums."""
+def _am_greek_sums(zs_a, zs_b, lt_at, par_at, inv_s0_at, evec_at, gvec_at,
+                   k, a, sqt, t, r, antithetic: bool):
+    """Both path tiles of one iteration -> flat tuple of 6 + 6a sums."""
     tk = t * k
     sums = None
     for zs in (zs_a, zs_b):
-        p, gds, gvs, ind, th = _am_greek_quants(zs, lt_at, par_at, k, a,
-                                                sqt, t, r, antithetic)
+        p, gds, gvs, ggs, ind, th = _am_greek_quants(
+            zs, lt_at, par_at, evec_at, gvec_at, k, a, sqt, t, r,
+            antithetic)
         ri = tk * ind
         row = [jnp.sum(p), jnp.sum(p * p), jnp.sum(ri), jnp.sum(ri * ri),
                jnp.sum(th), jnp.sum(th * th)]
         for i in range(a):
             inv = inv_s0_at(i)
+            inv2 = inv * inv
             row += [inv * jnp.sum(gds[i]), inv * inv * jnp.sum(gds[i] ** 2),
-                    jnp.sum(gvs[i]), jnp.sum(gvs[i] ** 2)]
+                    jnp.sum(gvs[i]), jnp.sum(gvs[i] ** 2),
+                    inv2 * jnp.sum(ggs[i]),
+                    inv2 * inv2 * jnp.sum(ggs[i] ** 2)]
         sums = row if sums is None else [s + r2 for s, r2 in zip(sums, row)]
     return tuple(sums)
 
 
-def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
+def tilt_direction(corr, a: int):
+    """EAGER tilt for the diagonal-gamma Stein estimator.
+
+    Returns ``(evec, gvec, ok)`` as NumPy f64 arrays: the raw z-space
+    direction ``e`` and its per-asset effect ``g = L e`` (``d bt_i/du =
+    g_i``).  The estimator needs ``dB/du = sum w_i S_i vol_i g_i``
+    bounded away from 0, i.e. a SIGN-DEFINITE ``g``: for any full-rank
+    correlation ``e = L^{-1} 1`` gives ``g == 1`` exactly.  Rank-
+    deficient correlations (e.g. the reference's alternating ±0.5 matrix
+    beyond 2 assets) may admit no such tilt — the least-squares ``g``
+    mixes signs — in which case ``ok = False`` and the caller must
+    disable the gamma output (a fixed-direction Stein estimate would
+    have an a.s. pole at dB/du = 0).  Eager by design: the rank check is
+    data-dependent and must not be traced.
+    """
+    import numpy as np
+    import scipy.linalg as sla
+
+    from mctpu import math as _m
+
+    with jax.enable_x64(True):  # exact rank test even with x64 off
+        ll = np.asarray(_m.cholesky_lower(jnp.asarray(corr, jnp.float64)),
+                        np.float64)
+    ones = np.ones((a,))
+    if np.diag(ll).min() > 1e-6:
+        e = sla.solve_triangular(ll, ones, lower=True)
+        return e, ones, True
+    e, *_ = np.linalg.lstsq(ll, ones, rcond=None)
+    g = ll @ e
+    if g.min() > 0.05:
+        return e, g, True
+    return np.zeros((a,)), ones, False
+
+
+def xla_basket_am_partials(opt: BasketOption, chol, tilt, key, block_offset,
                            plan: Plan, n_blocks: int):
-    """Per-block partials ``(n_blocks, 6 + 4*a)``: scalar
+    """Per-block partials ``(n_blocks, 6 + 6*a)``: scalar
     ``(price, rho, theta)`` sum/sum² pairs then per-asset
-    ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` quads."""
+    ``(sum_gd, sum_gd2, sum_gv, sum_gv2, sum_gg, sum_gg2)`` rows.
+    ``tilt = (evec, gvec)`` from :func:`tilt_direction` (eager)."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
     a = opt.n_assets
     lt, params = kbasket.asset_major_ops(o, chol, dtype)
     inv_s0 = 1.0 / (jnp.broadcast_to(jnp.asarray(o.s, dtype), (a,)))
+    evec = jnp.asarray(tilt[0], dtype)
+    gvec = jnp.asarray(tilt[1], dtype)
     sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
     shape = (plan.rows, kbasket.LANES)
-    n_sums = 6 + 4 * a
+    n_sums = 6 + 6 * a
 
     def block_fn(bkey):
         def body(i, carry):
@@ -360,7 +431,8 @@ def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
             sums = _am_greek_sums(
                 [z[0, j] for j in range(a)], [z[1, j] for j in range(a)],
                 lambda ii, jj: lt[ii, jj], lambda rr, ii: params[rr, ii],
-                lambda ii: inv_s0[ii], o.k, a, sqt, o.t, o.r,
+                lambda ii: inv_s0[ii], lambda ii: evec[ii],
+                lambda ii: gvec[ii], o.k, a, sqt, o.t, o.r,
                 plan.antithetic)
             return acc_add_n(carry, sums, plan.kahan)
 
@@ -373,11 +445,12 @@ def xla_basket_am_partials(opt: BasketOption, chol, key, block_offset,
 
 
 def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
-                             invs0_ref, out_ref, *, plan: Plan, a: int):
+                             invs0_ref, evec_ref, gvec_ref, out_ref, *,
+                             plan: Plan, a: int):
     seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
     k, t, sqt, r = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
     shape = (plan.rows, kbasket.LANES)
-    n_sums = 6 + 4 * a
+    n_sums = 6 + 6 * a
 
     def body(i, carry):
         za, zb = [], []
@@ -388,7 +461,8 @@ def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
         sums = _am_greek_sums(
             za, zb, lambda ii, jj: lt_ref[ii, jj],
             lambda rr, ii: par_ref[rr, ii], lambda ii: invs0_ref[ii],
-            k, a, sqt, t, r, plan.antithetic)
+            lambda ii: evec_ref[ii], lambda ii: gvec_ref[ii], k, a, sqt,
+            t, r, plan.antithetic)
         return acc_add_n(carry, sums, plan.kahan)
 
     carry = jax.lax.fori_loop(0, plan.iters, body,
@@ -399,16 +473,18 @@ def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
         out_ref[b, j] = vals[j]
 
 
-def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
-                              plan: Plan, n_blocks: int,
+def pallas_basket_am_partials(opt: BasketOption, chol, tilt, seed,
+                              block_offset, plan: Plan, n_blocks: int,
                               interpret: bool = False):
-    """Asset-major basket Greek partials ``(n_blocks, 6 + 4*a)`` on TPU."""
+    """Asset-major basket Greek partials ``(n_blocks, 6 + 6*a)`` on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
         a = opt.n_assets
         lt, params = kbasket.asset_major_ops(o, chol, jnp.float32)
         inv_s0 = 1.0 / jnp.broadcast_to(jnp.asarray(o.s, jnp.float32), (a,))
+        evec = jnp.asarray(tilt[0], jnp.float32)
+        gvec = jnp.asarray(tilt[1], jnp.float32)
         t = jnp.asarray(o.t, jnp.float32)
         scal = jnp.stack([o.k, t, jnp.sqrt(t), o.r])
         seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
@@ -418,23 +494,23 @@ def pallas_basket_am_partials(opt: BasketOption, chol, seed, block_offset,
         return pl.pallas_call(
             kernel,
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 6 + 4 * a),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 6 + 6 * a),
                                            jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=plan.iters * paths_iter * (a * (a + 1) + 16 * a + 8),
-                bytes_accessed=n_blocks * 4 * (6 + 4 * a),
+                flops=plan.iters * paths_iter * (a * (a + 1) + 24 * a + 12),
+                bytes_accessed=n_blocks * 4 * (6 + 6 * a),
                 transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr, off_arr, scal, lt, params, inv_s0)
+        )(seed_arr, off_arr, scal, lt, params, inv_s0, evec, gvec)
 
 
-def _basket_greek_ops(opt: BasketOption, chol, dtype):
+def _basket_greek_ops(opt: BasketOption, chol, tilt, dtype):
     """Packed operands of the basket Greeks kernel.
 
     Extends :func:`mctpu.kernels.basket.pack_assets` with ``esel`` — a
@@ -444,6 +520,7 @@ def _basket_greek_ops(opt: BasketOption, chol, dtype):
     """
     ops = kbasket.pack_assets(opt, chol, dtype)
     width, c = ops["wsel"].shape
+    a = opt.n_assets
     a_tile = width // c
     esel = jnp.zeros((c, width), dtype)
     for p in range(c):
@@ -455,14 +532,29 @@ def _basket_greek_ops(opt: BasketOption, chol, dtype):
     ops["inv_s0"] = jnp.where(s0 > 0, 1.0 / jnp.where(s0 > 0, s0, 1.0), 0.0)
     # w_row: per-slot weights (the wsel columns collapsed onto the slots).
     ops["w_row"] = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
+    # Diagonal-gamma (Stein) operands: the tilt e (from tilt_direction,
+    # eager) tiled onto the slots (zsel folds <z, e> per path), the
+    # per-slot effect vg = vol * g, and the w*vg / w*vg^2 rows whose
+    # folds give Bu = dB/du and Bu2 (padded slots contribute exactly 0
+    # through vol = 0).
+    evec = jnp.asarray(tilt[0], dtype)
+    gvec = jnp.asarray(tilt[1], dtype)
+    e_tile = jnp.zeros((a_tile,), dtype).at[:a].set(evec)
+    e_row = jnp.tile(e_tile, c).reshape(width, 1)
+    ops["zsel"] = ops["eselT"] * e_row  # (width, c)
+    g_tile = jnp.zeros((a_tile,), dtype).at[:a].set(gvec)
+    g_row = jnp.tile(g_tile, c).reshape(1, width)
+    ops["vg_row"] = ops["vol"] * g_row
+    ops["wv_row"] = ops["w_row"] * ops["vg_row"]
+    ops["wv2_row"] = ops["wv_row"] * ops["vg_row"]
     return ops
 
 
 def _basket_greek_tile(ops, k, v_row, t, sqt, r, z, antithetic: bool,
                        mxu: bool):
     """One packed tile -> (payoff (rows, c), delta (rows, width),
-    vega (rows, width), indicator (rows, c), theta (rows, c));
-    pair-means when antithetic.
+    vega (rows, width), gamma (rows, width), indicator (rows, c),
+    theta (rows, c)); pair-means when antithetic.
 
     The scalar tails are exact pathwise derivatives of the discounted
     payoff with the discount factored out (the estimator applies it):
@@ -471,11 +563,32 @@ def _basket_greek_tile(ops, k, v_row, t, sqt, r, z, antithetic: bool,
     + v_i bt_i / (2 sqrt(T)))`` gives ``theta = sum_i I w_i dS_i/dT
     - r * payoff`` (``bt`` is T-independent: correlated standard
     normals plus the constant Brownian shift ``d``).
+
+    ``gg`` is the per-asset diagonal gamma (mixed pathwise-LR via
+    Stein's identity along the tilt ``e = L^{-1} 1``; derivation in
+    ``_am_greek_quants``): per slot
+    ``I (w S)^2 (zu - 2 vol + Bu2/Bu) / (Bu s0^2)`` with the path
+    scalars ``zu = <z, e>``, ``Bu = sum w S vol``, ``Bu2 = sum w S
+    vol^2`` folded per packed path and expanded back onto the slots.
     """
     prec = kbasket.MATMUL_PRECISION
     c = ops["wsel"].shape[1]
     a_tile = ops["chol_bd"].shape[0] // c
     inv_t = 1.0 / t
+
+    def fold(x):
+        # (rows, width) slot values -> (rows, c) per-path sums.
+        if mxu:
+            return jnp.dot(x, ops["eselT"], precision=prec,
+                           preferred_element_type=jnp.float32)
+        return x.reshape(x.shape[0], c, a_tile).sum(axis=-1)
+
+    def expand(x):
+        # (rows, c) per-path scalars -> (rows, width) slot broadcast.
+        if mxu:
+            return jnp.dot(x, ops["esel"], precision=prec,
+                           preferred_element_type=jnp.float32)
+        return jnp.repeat(x, a_tile, axis=1)
 
     def quants(zz):
         bt = jnp.dot(zz, ops["chol_bd"], precision=prec,
@@ -489,23 +602,25 @@ def _basket_greek_tile(ops, k, v_row, t, sqt, r, z, antithetic: bool,
             basket = prod.reshape(prod.shape[0], c, a_tile).sum(axis=-1)
         ind = jnp.where(basket > k, 1.0, 0.0).astype(s_t.dtype)  # (rows, c)
         p = jnp.maximum(basket - k, 0.0)
-        if mxu:
-            ind_wide = jnp.dot(ind, ops["esel"], precision=prec,
-                               preferred_element_type=jnp.float32)
-        else:
-            ind_wide = jnp.repeat(ind, a_tile, axis=1)
+        ind_wide = expand(ind)
         ws = ind_wide * ops["w_row"] * s_t  # I w_i S_i per slot
         gd = ws * ops["inv_s0"]
         gv = ws * (sqt * bt - v_row * t)
         # theta slots: I w_i S_i (drift_i + vol_i bt_i / 2) / t
         ths = ws * ((ops["drift"] + 0.5 * ops["vol"] * bt) * inv_t)
-        if mxu:
-            th = jnp.dot(ths, ops["eselT"], precision=prec,
-                         preferred_element_type=jnp.float32)
-        else:
-            th = ths.reshape(ths.shape[0], c, a_tile).sum(axis=-1)
-        th = th - r * p
-        return p, gd, gv, ind, th
+        th = fold(ths) - r * p
+        # Diagonal gamma per slot (Stein tilt; see docstring).
+        zu = jnp.dot(zz, ops["zsel"], precision=prec,
+                     preferred_element_type=jnp.float32)  # (rows, c)
+        bu = fold(s_t * ops["wv_row"])
+        bu2 = fold(s_t * ops["wv2_row"])
+        inv_bu = 1.0 / bu
+        path_term = expand((zu + bu2 * inv_bu) * inv_bu)
+        inv_bu_wide = expand(inv_bu)
+        wss = ws * (ops["w_row"] * s_t)  # I (w S)^2 (ind^2 == ind)
+        gg = (wss * (ops["inv_s0"] * ops["inv_s0"])
+              * (path_term - (2.0 * ops["vg_row"]) * inv_bu_wide))
+        return p, gd, gv, gg, ind, th
 
     if antithetic:
         a = quants(z)
@@ -514,15 +629,15 @@ def _basket_greek_tile(ops, k, v_row, t, sqt, r, z, antithetic: bool,
     return quants(z)
 
 
-def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
+def xla_basket_partials(opt: BasketOption, chol, tilt, key: jax.Array,
                         block_offset, plan: Plan, n_blocks: int):
     """Per-block basket Greek partials:
-    ``((n_blocks, 6), (n_blocks, 4, width))`` — scalar
+    ``((n_blocks, 6), (n_blocks, 6, width))`` — scalar
     ``(payoff, rho, theta)`` sum/sum² pairs plus per-asset-slot
-    ``(sum_gd, sum_gd2, sum_gv, sum_gv2)`` rows."""
+    ``(sum_gd, sum_gd2, sum_gv, sum_gv2, sum_gg, sum_gg2)`` rows."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
-    ops = _basket_greek_ops(o, chol, dtype)
+    ops = _basket_greek_ops(o, chol, tilt, dtype)
     width = ops["chol_bd"].shape[0]
     sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
     v_row = ops["vol"] / sqt  # per-slot vols (vol = v * sqrt(t))
@@ -533,7 +648,7 @@ def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
             acc, vecs = carry
             zk = jax.random.fold_in(bkey, i)
             z = jax.random.normal(zk, (2 * plan.rows, width), dtype)
-            p, gd, gv, ind, th = _basket_greek_tile(
+            p, gd, gv, gg, ind, th = _basket_greek_tile(
                 ops, o.k, v_row, o.t, sqt, o.r, z, plan.antithetic,
                 mxu=False)
             ri = tk * ind
@@ -543,12 +658,13 @@ def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
                             plan.kahan)
             vecs = vecs + jnp.stack([
                 jnp.sum(gd, axis=0), jnp.sum(gd * gd, axis=0),
-                jnp.sum(gv, axis=0), jnp.sum(gv * gv, axis=0)])
+                jnp.sum(gv, axis=0), jnp.sum(gv * gv, axis=0),
+                jnp.sum(gg, axis=0), jnp.sum(gg * gg, axis=0)])
             return acc, vecs
 
         acc, vecs = jax.lax.fori_loop(
             0, plan.iters, body,
-            (acc_init_n(6, dtype, plan.kahan), jnp.zeros((4, width), dtype)))
+            (acc_init_n(6, dtype, plan.kahan), jnp.zeros((6, width), dtype)))
         return jnp.stack(acc_final_n(acc, plan.kahan)), vecs
 
     keys = mcrng.block_keys(key, block_offset, n_blocks)
@@ -557,7 +673,8 @@ def xla_basket_partials(opt: BasketOption, chol, key: jax.Array,
 
 def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
                           vol_ref, d_ref, lt_ref, wsel_ref, esel_ref,
-                          eselt_ref, invs0_ref, wrow_ref, out_ref, vec_ref,
+                          eselt_ref, invs0_ref, wrow_ref, zsel_ref,
+                          vg_ref, wv_ref, wv2_ref, out_ref, vec_ref,
                           *, plan: Plan):
     seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
     k, t, sqt, r = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
@@ -566,6 +683,8 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
         "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
         "esel": esel_ref[:], "eselT": eselt_ref[:],
         "inv_s0": invs0_ref[:], "w_row": wrow_ref[:],
+        "zsel": zsel_ref[:], "vg_row": vg_ref[:], "wv_row": wv_ref[:],
+        "wv2_row": wv2_ref[:],
     }
     width = lt_ref.shape[0]
     v_row = ops["vol"] / sqt
@@ -574,9 +693,9 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
     def body(i, carry):
         acc, vecs = carry
         z1, z2 = draw_normal_pair((plan.rows, width), i)
-        p1, gd1, gv1, i1, th1 = _basket_greek_tile(
+        p1, gd1, gv1, gg1, i1, th1 = _basket_greek_tile(
             ops, k, v_row, t, sqt, r, z1, plan.antithetic, mxu=True)
-        p2, gd2, gv2, i2, th2 = _basket_greek_tile(
+        p2, gd2, gv2, gg2, i2, th2 = _basket_greek_tile(
             ops, k, v_row, t, sqt, r, z2, plan.antithetic, mxu=True)
         r1, r2 = tk * i1, tk * i2
         pair = lambda x1, x2: jnp.sum(x1) + jnp.sum(x2)
@@ -587,13 +706,14 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
         row = lambda x1, x2: (jnp.sum(x1, axis=0) + jnp.sum(x2, axis=0))
         vecs = vecs + jnp.stack([
             row(gd1, gd2), row(gd1 * gd1, gd2 * gd2),
-            row(gv1, gv2), row(gv1 * gv1, gv2 * gv2)])
+            row(gv1, gv2), row(gv1 * gv1, gv2 * gv2),
+            row(gg1, gg2), row(gg1 * gg1, gg2 * gg2)])
         return acc, vecs
 
     acc, vecs = jax.lax.fori_loop(
         0, plan.iters, body,
         (acc_init_n(6, jnp.float32, plan.kahan),
-         jnp.zeros((4, width), jnp.float32)))
+         jnp.zeros((6, width), jnp.float32)))
     vals = acc_final_n(acc, plan.kahan)
     b = pl.program_id(0)
     for j in range(6):
@@ -601,20 +721,20 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
     vec_ref[0] = vecs
 
 
-def pallas_basket_partials(opt: BasketOption, chol, seed, block_offset,
-                           plan: Plan, n_blocks: int,
+def pallas_basket_partials(opt: BasketOption, chol, tilt, seed,
+                           block_offset, plan: Plan, n_blocks: int,
                            interpret: bool = False):
     """Per-block basket Greek partials on TPU (see ``xla_basket_partials``)."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
-        return _pallas_basket_partials(opt, chol, seed, block_offset, plan,
-                                       n_blocks, interpret)
+        return _pallas_basket_partials(opt, chol, tilt, seed, block_offset,
+                                       plan, n_blocks, interpret)
 
 
-def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
-                            interpret):
+def _pallas_basket_partials(opt, chol, tilt, seed, block_offset, plan,
+                            n_blocks, interpret):
     o = opt.astype(jnp.float32)
-    ops = _basket_greek_ops(o, chol, jnp.float32)
+    ops = _basket_greek_ops(o, chol, tilt, jnp.float32)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
     t = jnp.asarray(o.t, jnp.float32)
@@ -627,28 +747,29 @@ def _pallas_basket_partials(opt, chol, seed, block_offset, plan, n_blocks,
         kernel,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 6, width), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks, 6), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 6, width), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
         cost_estimate=pl.CostEstimate(
             flops=plan.iters * 2 * plan.rows * (2 * width * width
-                                                + 5 * width * c + 22 * width),
-            bytes_accessed=n_blocks * (6 + 4 * width) * 4
+                                                + 9 * width * c + 30 * width),
+            bytes_accessed=n_blocks * (6 + 6 * width) * 4
             + 2 * width * width * 4,
             transcendentals=plan.iters * 2 * plan.rows * (2 * width + 2),
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
       ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"], ops["eselT"],
-      ops["inv_s0"], ops["w_row"])
+      ops["inv_s0"], ops["w_row"], ops["zsel"], ops["vg_row"],
+      ops["wv_row"], ops["wv2_row"])
     return out, vecs

@@ -584,8 +584,68 @@ class TestEngineGreeksBasket:
         zr = (float(res.rho.price) - CF["rho"]) / float(res.rho.std_error)
         zt = (float(res.theta.price) - CF["theta"]) \
             / float(res.theta.std_error)
+        zg = (float(res.gamma.price[0]) - CF["gamma"]) \
+            / float(res.gamma.std_error[0])
         assert abs(zd) < 4.0 and abs(zv) < 4.0, (zd, zv)
         assert abs(zr) < 4.0 and abs(zt) < 4.0, (zr, zt)
+        assert abs(zg) < 4.0, zg
+
+    def test_gamma_equicorrelated_matches_crn_delta_fd(self):
+        """Per-asset diagonal gamma (Stein tilt) vs CRN central
+        differences of the per-asset delta output — asset-major regime.
+        The FD reference itself is the noisy side (bumping s_i moves
+        paths across the kink), hence the relative slack."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = BasketOption.equicorrelated(5, rho=0.3)
+        cfg = self._cfg()
+        g = engine.greeks_basket(opt, 1 << 18, KEY, cfg)
+        h = 1.0
+        for i in (0, 2):
+            su = np.asarray(opt.s, float).copy()
+            sd = su.copy()
+            su[i] += h
+            sd[i] -= h
+            du = engine.greeks_basket(dc.replace(opt, s=su), 1 << 18, KEY,
+                                      cfg)
+            dd = engine.greeks_basket(dc.replace(opt, s=sd), 1 << 18, KEY,
+                                      cfg)
+            fd = (float(du.delta.price[i]) - float(dd.delta.price[i])) \
+                / (2 * h)
+            mc = float(g.gamma.price[i])
+            tol = 5 * float(g.gamma.std_error[i]) + 0.10 * abs(fd)
+            assert abs(mc - fd) < tol, (i, mc, fd)
+
+    def test_gamma_packed_regime_and_degenerate_none(self):
+        """Packed MXU kernel (a > 8) produces finite, CRN-consistent
+        diagonal gamma for a full-rank correlation; the rank-deficient
+        reference correlation has no sign-definite Brownian tilt, so
+        gamma degrades to None with every other output unaffected."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = BasketOption.equicorrelated(12, rho=0.3)
+        cfg = self._cfg()
+        g = engine.greeks_basket(opt, 1 << 17, KEY, cfg)
+        assert np.isfinite(np.asarray(g.gamma.price)).all()
+        h = 1.0
+        su = np.asarray(opt.s, float).copy()
+        sd = su.copy()
+        su[0] += h
+        sd[0] -= h
+        du = engine.greeks_basket(dc.replace(opt, s=su), 1 << 17, KEY, cfg)
+        dd = engine.greeks_basket(dc.replace(opt, s=sd), 1 << 17, KEY, cfg)
+        fd = (float(du.delta.price[0]) - float(dd.delta.price[0])) / (2 * h)
+        mc = float(g.gamma.price[0])
+        tol = 5 * float(g.gamma.std_error[0]) + 0.15 * abs(fd)
+        assert abs(mc - fd) < tol, (mc, fd)
+
+        degen = engine.greeks_basket(BasketOption.default_reference(3),
+                                     1 << 14, KEY, cfg)
+        assert degen.gamma is None
+        assert np.isfinite(np.asarray(degen.delta.price)).all()
+        assert np.isfinite(float(degen.rho.price))
 
     @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
