@@ -14,6 +14,7 @@
 //   price = discount * sum/n,  empstd = sqrt((n*sum2 - sum^2)/(n(n-1))),
 //   ci = 1.96 * empstd / sqrt(n); CVA mean is NOT discounted.
 
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -146,6 +147,69 @@ static Sums run_parallel(int64_t n, uint64_t seed, const PathFn& path_value) {
     return total;
 }
 
+// Multi-output variant: path_fn(gen, vals) fills K integrands per path;
+// (sum, sum^2) pairs accumulate per output with the same per-chunk Neumaier
+// compensation and chunk-keyed streams (thread-count invariant).
+template <int K, typename PathFn>
+static void run_parallel_vec(int64_t n, uint64_t seed,
+                             const PathFn& path_fn, double* s_out,
+                             double* s2_out) {
+    const int64_t kChunk = 1 << 16;
+    const int64_t n_chunks = (n + kChunk - 1) / kChunk;
+    unsigned hw = std::thread::hardware_concurrency();
+    const unsigned n_threads = hw ? std::min<int64_t>(hw, n_chunks) : 1;
+
+    std::vector<std::array<double, 2 * K>> per_thread(
+        n_threads, std::array<double, 2 * K>{});
+    std::atomic<int64_t> next_chunk{0};
+    auto worker = [&](unsigned tid) {
+        std::array<double, 2 * K> local{};
+        for (;;) {
+            const int64_t c = next_chunk.fetch_add(1);
+            if (c >= n_chunks) break;
+            uint64_t mix = seed;
+            splitmix64(mix);
+            NormalGen gen(mix ^ (0xA5A5A5A5DEADBEEFULL + 0x9E3779B9ULL * c));
+            const int64_t lo = c * kChunk;
+            const int64_t hi = std::min(lo + kChunk, n);
+            double s[K] = {0}, cs[K] = {0}, s2[K] = {0}, cs2[K] = {0};
+            for (int64_t i = lo; i < hi; ++i) {
+                double vals[K];
+                path_fn(gen, vals);
+                for (int j = 0; j < K; ++j) {
+                    const double p = vals[j];
+                    double t1 = s[j] + p;
+                    cs[j] += std::abs(s[j]) >= std::abs(p)
+                        ? (s[j] - t1) + p : (p - t1) + s[j];
+                    s[j] = t1;
+                    const double q = p * p;
+                    double t2 = s2[j] + q;
+                    cs2[j] += std::abs(s2[j]) >= std::abs(q)
+                        ? (s2[j] - t2) + q : (q - t2) + s2[j];
+                    s2[j] = t2;
+                }
+            }
+            for (int j = 0; j < K; ++j) {
+                local[j] += s[j] + cs[j];
+                local[K + j] += s2[j] + cs2[j];
+            }
+        }
+        per_thread[tid] = local;
+    };
+
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (unsigned t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+
+    for (int j = 0; j < K; ++j) { s_out[j] = 0; s2_out[j] = 0; }
+    for (const auto& p : per_thread)
+        for (int j = 0; j < K; ++j) {
+            s_out[j] += p[j];
+            s2_out[j] += p[K + j];
+        }
+}
+
 static void finish(const Sums& sums, int64_t n, double discount, double* out) {
     const double nd = static_cast<double>(n);
     const double price = discount * sums.s / nd;
@@ -184,6 +248,68 @@ void mc_vanilla(double s0, double k, double r, double v, double t,
             return payoff(g.next());
         });
         finish(sums, n_paths, std::exp(-r * t), out);
+    }
+}
+
+// Full vanilla Greeks surface: out[16] = (mean, se) pairs for price,
+// delta, vega, rho, theta, gamma, vanna, volga.  Same pathwise and mixed
+// pathwise-LR (Stein) integrands as the TPU kernel
+// (mctpu/kernels/greeks.py), evaluated in f64 with an independent RNG —
+// a genuine cross-implementation check of the estimator formulas.
+void mc_vanilla_greeks(double s0, double k, double r, double v, double t,
+                       int64_t n_paths, uint64_t seed, int antithetic,
+                       int is_put, double* out) {
+    const double mu = (r - 0.5 * v * v) * t;
+    const double sqt = std::sqrt(t);
+    const double sig = v * sqt;
+    const double cg = k / (s0 * s0 * sig);
+    const double cvn = k / (s0 * sig);
+    const double cvg = k / sig;
+    const double disc = std::exp(-r * t);
+    constexpr int K = 8;
+    auto quants = [&](double z, double* q) {
+        const double st = s0 * std::exp(mu + sig * z);
+        double ind, p;
+        if (is_put) {
+            ind = st < k ? -1.0 : 0.0;
+            p = std::max(k - st, 0.0);
+        } else {
+            ind = st > k ? 1.0 : 0.0;
+            p = std::max(st - k, 0.0);
+        }
+        const double w = ind * st;
+        const double wv = sqt * z - v * t;
+        q[0] = p;
+        q[1] = w / s0;
+        q[2] = w * wv;
+        q[3] = t * k * ind;
+        q[4] = w * (r - 0.5 * v * v + 0.5 * v * z / sqt) - r * p;
+        q[5] = cg * ind * z;
+        q[6] = q[1] * wv + cvn * ind * (wv * z - sqt);
+        q[7] = w * (wv * wv - t) + cvg * ind * (wv * (wv * z - 2.0 * sqt));
+    };
+    double s[K], s2[K];
+    int64_t n = n_paths;
+    if (antithetic) {
+        n = n_paths / 2;
+        run_parallel_vec<K>(n, seed, [&](NormalGen& g, double* vals) {
+            const double z = g.next();
+            double qa[K], qb[K];
+            quants(z, qa);
+            quants(-z, qb);
+            for (int j = 0; j < K; ++j) vals[j] = 0.5 * (qa[j] + qb[j]);
+        }, s, s2);
+    } else {
+        run_parallel_vec<K>(n, seed, [&](NormalGen& g, double* vals) {
+            quants(g.next(), vals);
+        }, s, s2);
+    }
+    const double nd = static_cast<double>(n);
+    for (int j = 0; j < K; ++j) {
+        const double var =
+            std::max(nd * s2[j] - s[j] * s[j], 0.0) / (nd * (nd - 1.0));
+        out[2 * j] = disc * s[j] / nd;
+        out[2 * j + 1] = disc * std::sqrt(var) / std::sqrt(nd);
     }
 }
 
@@ -347,6 +473,6 @@ double mc_bs_call(double s, double k, double r, double v, double t) {
     return bs_call(s, k, r, v, t);
 }
 
-int32_t mc_abi_version(void) { return 3; }
+int32_t mc_abi_version(void) { return 4; }
 
 }  // extern "C"

@@ -82,9 +82,11 @@ def _load():
                             ctypes.c_uint64)
         dp = ctypes.POINTER(ctypes.c_double)
         lib.mc_abi_version.restype = i32
-        if lib.mc_abi_version() != 3:
+        if lib.mc_abi_version() != 4:
             raise RuntimeError("native engine ABI mismatch")
         lib.mc_vanilla.argtypes = [d, d, d, d, d, i64, u64, i32, i32, dp]
+        lib.mc_vanilla_greeks.argtypes = [d, d, d, d, d, i64, u64, i32, i32,
+                                          dp]
         lib.mc_basket.argtypes = [dp, dp, dp, dp, dp, i32, d, d, d, i64, u64, dp]
         lib.mc_cva.argtypes = [d, d, d, d, d, d, d, i32, i64, u64, dp, dp]
         lib.mc_asian.argtypes = [d, d, d, d, d, i32, i32, i64, u64, i32, dp]
@@ -117,6 +119,29 @@ def price_vanilla(opt: VanillaOption, n_paths: int, seed: int = 0,
                    int(getattr(opt, "kind", "call") == "put"), _ptr(out))
     n = n_paths // 2 if antithetic else n_paths
     return NativeResult(out[0], out[1], out[2], n)
+
+
+GREEK_NAMES = ("price", "delta", "vega", "rho", "theta", "gamma", "vanna",
+               "volga")
+
+
+def vanilla_greeks(opt: VanillaOption, n_paths: int, seed: int = 0,
+                   antithetic: bool = False) -> dict:
+    """Full native vanilla Greeks surface: ``{name: (mean, se)}``.
+
+    f64 twin of :func:`mctpu.engine.greeks_vanilla` (same pathwise and
+    mixed pathwise-LR integrands, independent RNG/implementation) — the
+    cross-implementation gate for the Greek estimator formulas.
+    """
+    lib = _load()
+    out = np.zeros(16)
+    lib.mc_vanilla_greeks(float(opt.s), float(opt.k), float(opt.r),
+                          float(opt.v), float(opt.t), n_paths, seed,
+                          int(antithetic),
+                          int(getattr(opt, "kind", "call") == "put"),
+                          _ptr(out))
+    return {name: (out[2 * i], out[2 * i + 1])
+            for i, name in enumerate(GREEK_NAMES)}
 
 
 def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> NativeResult:

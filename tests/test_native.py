@@ -155,3 +155,51 @@ def test_native_asian_vs_engine_twin():
                                                  backend="xla"))
     se = np.hypot(nat.std_error, float(eng.std_error))
     assert abs(nat.price - float(eng.price)) < 4 * se
+
+
+def test_native_vanilla_greeks_match_closed_form():
+    """All 8 Greek outputs (call AND put) within 4 sigma of bs_greeks —
+    the f64 cross-implementation gate for the pathwise and mixed
+    pathwise-LR integrands (incl. gamma/vanna/volga Stein forms)."""
+    cf = {k: float(v) for k, v in
+          mcmath.bs_greeks(100.0, 100.0, 0.048790, 0.2, 1.0).items()}
+    disc = float(np.exp(-0.048790))
+    for kind in ("call", "put"):
+        opt = VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0, kind=kind)
+        g = native.vanilla_greeks(opt, 1 << 20, seed=3)
+        for name, (mc, se) in g.items():
+            want = cf[name]
+            if kind == "put":  # put-call parity adjustments
+                want = {
+                    "price": cf["price"] - 100 + 100 * disc,
+                    "delta": cf["delta"] - 1.0,
+                    "rho": cf["rho"] - 100 * disc,
+                    "theta": cf["theta"] - 0.048790 * 100 * disc,
+                }.get(name, want)
+            z = (mc - want) / se
+            assert abs(z) < 4.0, (kind, name, mc, want, z)
+
+
+def test_native_vanilla_greeks_agree_with_engine():
+    """Native f64 Greeks vs the JAX engine tier: independent streams, so
+    statistical agreement within combined CIs."""
+    import jax
+
+    from mctpu import engine
+    g_native = native.vanilla_greeks(OPT, 1 << 19, seed=11)
+    cfg = engine.EngineConfig(num_blocks=16, rows=8, backend="xla")
+    g_eng = engine.greeks_vanilla(OPT, 1 << 19, jax.random.key(11), cfg)
+    for name, (mc, se) in g_native.items():
+        r = getattr(g_eng, name)
+        comb = float(np.hypot(se, float(r.std_error)))
+        assert abs(mc - float(r.price)) < 5 * comb, (name, mc,
+                                                     float(r.price))
+
+
+def test_native_greeks_antithetic_and_thread_invariance():
+    g1 = native.vanilla_greeks(OPT, 1 << 18, seed=5)
+    g2 = native.vanilla_greeks(OPT, 1 << 18, seed=5)
+    for name in native.GREEK_NAMES:
+        assert g1[name] == g2[name], name  # deterministic
+    ga = native.vanilla_greeks(OPT, 1 << 18, seed=5, antithetic=True)
+    assert ga["delta"][1] < g1["delta"][1]  # antithetic tightens delta
