@@ -22,7 +22,7 @@ def main(argv=None):
                    choices=["asian", "barrier", "american", "heston",
                             "lookback", "rainbow", "basket-asian",
                             "basket-barrier", "varswap", "ladder", "rqmc",
-                            "mlmc", "cva-multi", "is"],
+                            "mlmc", "mlmc-asian", "cva-multi", "is"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -233,6 +233,27 @@ def main(argv=None):
         print(f"characteristic-function price: "
               f"{float(mheston.cf_call_price(opt)):.6f}")
         print("level  steps     paths        E[dP]        Var[dP]")
+        for lv in res.levels:
+            print(f"  {lv.level}    {lv.n_steps:5d}  {lv.n_paths:9d}  "
+                  f"{lv.mean:+.3e}   {lv.var:.3e}")
+        return 0
+
+    if args.product == "mlmc-asian":
+        from mctpu import mlmc
+        opt = AsianOption(args.spot, args.strike, args.rate, args.vol,
+                          args.maturity, n_obs=4, average=args.average)
+        res, dt = common.timed(mlmc.price_asian_mlmc, opt, args.eps, key,
+                               config=cfg)
+        print(f"mlmc asian/{args.average} (continuous-monitoring target) "
+              f"eps={args.eps}: {res.price:.6f} ± {res.ci:.6f}   "
+              f"[{dt:.3f} s, {res.total_path_steps / dt:.3e} path-steps/s]")
+        if args.average == "geometric":
+            cf = float(mcmath.geometric_asian_call(
+                args.spot, args.strike, args.rate, args.vol, args.maturity,
+                res.levels[-1].n_steps))
+            print(f"exact geometric closed form at the finest grid "
+                  f"(n={res.levels[-1].n_steps}): {cf:.6f}")
+        print("level  dates     paths        E[dP]        Var[dP]")
         for lv in res.levels:
             print(f"  {lv.level}    {lv.n_steps:5d}  {lv.n_paths:9d}  "
                   f"{lv.mean:+.3e}   {lv.var:.3e}")

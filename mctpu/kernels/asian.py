@@ -18,8 +18,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
-                                  interpret_arg, prng_emulation,
-                                  seed_prng, walk_pairwise)
+                                  draw_normal_pair, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
@@ -421,3 +421,148 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal)
+
+
+# ---------------------------------------------------------------------------
+# MLMC coupled-level kernels (Giles 2008, observation-count refinement)
+# ---------------------------------------------------------------------------
+# Under exact GBM sampling the DISCRETELY-monitored Asian has no scheme
+# bias; the multilevel target is the CONTINUOUSLY-monitored average, with
+# the observation count as the level parameter (n_l = n0 * 2^l dates).
+# Exact transitions make the coupling pure SUBSAMPLING: the coarse path at
+# its dates coincides with the fine path (same Brownian path), so the
+# level kernel is one fine walk that accumulates two averages — all dates
+# (fine) and every second date (coarse).  The average difference is a
+# Riemann refinement of a continuous path functional: Var[P_f - P_c]
+# decays at beta ~= 2 with level cost gamma = 1, the GOOD corner of
+# Giles's complexity theorem (total work O(eps^-2)); contrast the
+# Euler-Heston boundary case documented in mctpu/mlmc.py.
+
+
+def level_xla_partials(opt: AsianOption, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int, n0: int, level: int):
+    """Per-block ``(sum_d, sum_d2)`` of the level-``level`` correction
+    ``d = P(avg over n0*2^l dates) - P(avg over n0*2^(l-1) dates)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    nf = n0 * (2 ** level)
+    nc = nf // 2
+    geometric = opt.average == "geometric"
+    dt = jnp.asarray(o.t, dtype) / nf
+    drift = (o.r - 0.5 * o.v * o.v) * dt
+    vol = o.v * jnp.sqrt(dt)
+    log_s0 = jnp.log(jnp.asarray(o.s, dtype))
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            log_s, accf, accc = carry
+            log_s = log_s + drift + vol * (sgn * z_seq[2 * j])
+            x = log_s if geometric else jnp.exp(log_s)
+            accf = accf + x
+            log_s = log_s + drift + vol * (sgn * z_seq[2 * j + 1])
+            x = log_s if geometric else jnp.exp(log_s)
+            return (log_s, accf + x, accc + x)
+
+        init = (jnp.full(shape, log_s0, dtype), jnp.zeros(shape, dtype),
+                jnp.zeros(shape, dtype))
+        _, accf, accc = jax.lax.fori_loop(0, nc, body, init)
+        return (_payoff_from_avg(accf, o.k, nf, geometric)
+                - _payoff_from_avg(accc, o.k, nc, geometric))
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (nf,) + shape, dtype)
+            d = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                d = 0.5 * (d + walk(z_seq, jnp.asarray(-1.0, dtype)))
+            cs, cs2 = chunk_sums(d)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        return jnp.stack(_accum_final(carry, plan.kahan))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _asian_level_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
+                        nf: int, geometric: bool):
+    log_s0, k, drift, vol = (scal_ref[0], scal_ref[1], scal_ref[2],
+                             scal_ref[3])
+    nc = nf // 2
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def body(j, carry):
+            # One coarse step = two fine steps; the Box-Muller pair maps
+            # onto exactly one iteration (no discarded branch).
+            log_s, accf, accc = carry
+            z1, z2 = draw_normal_pair(shape, j)
+            log_s = log_s + drift + vol * (sgn * z1)
+            x = log_s if geometric else jnp.exp(log_s)
+            accf = accf + x
+            log_s = log_s + drift + vol * (sgn * z2)
+            x = log_s if geometric else jnp.exp(log_s)
+            return (log_s, accf + x, accc + x)
+
+        init = (jnp.full(shape, log_s0, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
+        _, accf, accc = jax.lax.fori_loop(0, nc, body, init)
+        return (_payoff_from_avg(accf, k, nf, geometric)
+                - _payoff_from_avg(accc, k, nc, geometric))
+
+    def body(i, carry):
+        d = walk(i, 1.0)
+        if plan.antithetic:
+            d = 0.5 * (d + walk(i, -1.0))
+        cs, cs2 = chunk_sums(d)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
+def level_pallas_partials(opt: AsianOption, seed, block_offset, plan: Plan,
+                          n_blocks: int, n0: int, level: int,
+                          interpret: bool = False):
+    """Fused TPU twin of :func:`level_xla_partials`."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        nf = n0 * (2 ** level)
+        dt = jnp.asarray(o.t, jnp.float32) / nf
+        drift = (o.r - 0.5 * o.v * o.v) * dt
+        vol = o.v * jnp.sqrt(dt)
+        scal = jnp.stack([jnp.log(jnp.asarray(o.s, jnp.float32)), o.k,
+                          drift, vol])
+        kernel = functools.partial(_asian_level_kernel, plan=plan, nf=nf,
+                                   geometric=opt.average == "geometric")
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * plan.iters * paths_iter * nf,
+                bytes_accessed=n_blocks * 8,
+                transcendentals=4 * plan.iters * paths_iter * nf,
+            ),
+            interpret=interpret_arg(interpret),
+        )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)

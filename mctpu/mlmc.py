@@ -61,13 +61,15 @@ from jax.sharding import PartitionSpec as P
 from mctpu import estimator as mcest
 from mctpu import rng as mcrng
 from mctpu.engine import EngineConfig, _RUNNERS, _shard_blocks
+from mctpu.kernels import asian as kasian
 from mctpu.kernels import heston as kheston
 from mctpu.kernels.common import LANES
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
-from mctpu.types import HestonOption
+from mctpu.types import AsianOption, HestonOption
 
-__all__ = ["MlmcLevel", "MlmcResult", "price_heston_mlmc", "level_partials"]
+__all__ = ["MlmcLevel", "MlmcResult", "price_heston_mlmc",
+           "price_asian_mlmc", "level_partials", "asian_level_partials"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,6 +152,92 @@ def level_partials(opt: HestonOption, key, level: int, n0: int,
     return float(s), float(s2), plan.total_units
 
 
+
+def _giles_price(level_fn, level_cost, eps, key, cfg: EngineConfig,
+                 n_pilot: int, max_levels: int, bias_tol_factor: float,
+                 discount: float, n_steps_of) -> MlmcResult:
+    """Shared Giles allocation loop (pilot -> optimal N_l -> bias test).
+
+    ``level_fn(lkey, level, n_paths) -> (sum, sum2, n)`` runs one level
+    chunk under the engine contract; ``level_cost(level)`` is the
+    per-path work; ``n_steps_of(level)`` labels the level table.
+    """
+    min_chunk = cfg.num_blocks * 8 * LANES  # smallest level launch
+
+    stats = {}   # level -> [sum, sum2, n]
+
+    def add_paths(level: int, n_extra: int):
+        if n_extra <= 0 and level in stats:
+            return
+        lkey = jax.random.fold_in(key, level)
+        # Distinct sub-key per top-up: fold in the current path count.
+        lkey = jax.random.fold_in(lkey, stats.get(level, [0, 0, 0])[2])
+        s, s2, n = level_fn(lkey, level, max(n_extra, min_chunk))
+        if level in stats:
+            stats[level][0] += s
+            stats[level][1] += s2
+            stats[level][2] += n
+        else:
+            stats[level] = [s, s2, n]
+
+    def mean_var(level: int):
+        s, s2, n = stats[level]
+        m = s / n
+        v = max(s2 / n - m * m, 1e-30)
+        return m, v, n
+
+    levels = [0, 1, 2]
+    for lv in levels:
+        add_paths(lv, n_pilot)
+
+    stat_budget2 = (eps * bias_tol_factor) ** 2
+    for _ in range(32):  # outer allocation loop (bounded)
+        terms = []
+        for lv in levels:
+            _, v, _ = mean_var(lv)
+            terms.append(pymath.sqrt(v * level_cost(lv)))
+        lam = sum(terms) / stat_budget2
+        need = False
+        for lv, t in zip(levels, terms):
+            _, v, n = mean_var(lv)
+            n_opt = int(pymath.ceil(lam * pymath.sqrt(v / level_cost(lv))))
+            if n < n_opt:
+                add_paths(lv, n_opt - n)
+                need = True
+        if need:
+            continue
+        if len(levels) >= 3:
+            m_prev = abs(mean_var(levels[-2])[0])
+            m_last = abs(mean_var(levels[-1])[0])
+            gamma = 1.0
+            if m_last > 0 and m_prev > 0:
+                gamma = max(0.5, pymath.log2(m_prev / m_last))
+            bias = m_last / (2.0 ** gamma - 1.0)
+            if bias <= eps * pymath.sqrt(1.0 - bias_tol_factor ** 2):
+                break
+        if len(levels) >= max_levels:
+            break
+        nxt = levels[-1] + 1
+        levels.append(nxt)
+        add_paths(nxt, n_pilot)
+
+    price = 0.0
+    se2 = 0.0
+    total_steps = 0.0
+    table = []
+    for lv in levels:
+        m, v, n = mean_var(lv)
+        price += m
+        se2 += v / n
+        total_steps += level_cost(lv) * n
+        table.append(MlmcLevel(level=lv, n_steps=n_steps_of(lv), n_paths=n,
+                               mean=m, var=v, cost=level_cost(lv)))
+    se = discount * pymath.sqrt(se2)
+    return MlmcResult(price=discount * price, ci=1.96 * se, std_error=se,
+                      levels=tuple(table),
+                      total_path_steps=total_steps).validate()
+
+
 def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
                       config: EngineConfig = EngineConfig(num_blocks=8,
                                                           rows=8),
@@ -175,86 +263,102 @@ def price_heston_mlmc(opt: HestonOption, eps: float, key: jax.Array,
     """
     opt.validate()
     cfg = config
-    min_chunk = cfg.num_blocks * 8 * LANES  # smallest level launch
 
-    stats = {}   # level -> [sum, sum2, n]
-
-    def add_paths(level: int, n_extra: int):
-        if n_extra <= 0 and level in stats:
-            return
-        lkey = jax.random.fold_in(key, level)
-        # Distinct sub-key per top-up: fold in the current path count.
-        lkey = jax.random.fold_in(lkey, stats.get(level, [0, 0, 0])[2])
-        s, s2, n = level_partials(opt, lkey, level, n0,
-                                  max(n_extra, min_chunk), cfg)
-        if level in stats:
-            stats[level][0] += s
-            stats[level][1] += s2
-            stats[level][2] += n
-        else:
-            stats[level] = [s, s2, n]
+    def level_fn(lkey, level, n_paths):
+        return level_partials(opt, lkey, level, n0, n_paths, cfg)
 
     def level_cost(level: int) -> float:
         # fine + coarse steps per path
         return n0 * (2 ** level) * (1.0 if level == 0 else 1.5)
 
-    def mean_var(level: int):
-        s, s2, n = stats[level]
-        m = s / n
-        v = max(s2 / n - m * m, 1e-30)
-        return m, v, n
-
-    # Pilot runs on levels 0..2.
-    levels = [0, 1, 2]
-    for lv in levels:
-        add_paths(lv, n_pilot)
-
-    stat_budget2 = (eps * bias_tol_factor) ** 2
-    for _ in range(32):  # outer allocation loop (bounded)
-        # Optimal allocation over current levels.
-        terms = []
-        for lv in levels:
-            _, v, _ = mean_var(lv)
-            terms.append(pymath.sqrt(v * level_cost(lv)))
-        lam = sum(terms) / stat_budget2
-        need = False
-        for lv, t in zip(levels, terms):
-            _, v, n = mean_var(lv)
-            n_opt = int(pymath.ceil(lam * pymath.sqrt(v / level_cost(lv))))
-            if n < n_opt:
-                add_paths(lv, n_opt - n)
-                need = True
-        if need:
-            continue
-        # Bias (weak-error) convergence test with the observed rate.
-        if len(levels) >= 3:
-            m_prev = abs(mean_var(levels[-2])[0])
-            m_last = abs(mean_var(levels[-1])[0])
-            gamma = 1.0
-            if m_last > 0 and m_prev > 0:
-                gamma = max(0.5, pymath.log2(m_prev / m_last))
-            bias = m_last / (2.0 ** gamma - 1.0)
-            if bias <= eps * pymath.sqrt(1.0 - bias_tol_factor ** 2):
-                break
-        if len(levels) >= max_levels:
-            break
-        nxt = levels[-1] + 1
-        levels.append(nxt)
-        add_paths(nxt, n_pilot)
-
-    price = 0.0
-    se2 = 0.0
-    total_steps = 0.0
-    table = []
-    for lv in levels:
-        m, v, n = mean_var(lv)
-        price += m
-        se2 += v / n
-        total_steps += level_cost(lv) * n
-        table.append(MlmcLevel(level=lv, n_steps=n0 * 2 ** lv, n_paths=n,
-                               mean=m, var=v, cost=level_cost(lv)))
     disc = float(np.exp(-float(opt.r) * float(opt.t)))
-    se = disc * pymath.sqrt(se2)
-    return MlmcResult(price=disc * price, ci=1.96 * se, std_error=se,
-                      levels=tuple(table),
-                      total_path_steps=total_steps).validate()
+    return _giles_price(level_fn, level_cost, eps, key, cfg, n_pilot,
+                        max_levels, bias_tol_factor, disc,
+                        lambda lv: n0 * 2 ** lv)
+
+
+def asian_level_partials(opt: AsianOption, key, level: int, n0: int,
+                         n_paths: int, cfg: EngineConfig):
+    """(sum_d, sum_d2, n) of the Asian level-``level`` correction.
+
+    Level 0 is the plain ``n0``-date Asian payoff (the pricing kernel);
+    level l couples the ``n0 * 2^l``-date average with the half-rate
+    average SUBSAMPLED from the same exact-GBM path
+    (:mod:`mctpu.kernels.asian`, MLMC section).  Same engine contract as
+    :func:`level_partials`.
+    """
+    backend = cfg.resolve_backend()
+    blocks, rows = cfg.layout_for(n_paths, LANES)
+    plan = _pow2_iters(kasian.make_plan(n_paths, blocks, rows,
+                                        cfg.antithetic, cfg.dtype_str,
+                                        cfg.precision.kahan))
+    cache_key = ("mlmc_asian_level", level, n0, opt.average, plan,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if level == 0:
+                o0 = dataclasses.replace(o, n_obs=n0)
+                if backend == "pallas":
+                    fn = lambda a, off, nb: kasian.pallas_partials(
+                        a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                        interpret=cfg.interpret)
+                else:
+                    fn = lambda a, off, nb: kasian.xla_partials(
+                        a[0], a[1], off, plan, nb)
+                args = (o0, k)
+            else:
+                if backend == "pallas":
+                    fn = lambda a, off, nb: kasian.level_pallas_partials(
+                        a[0], mcrng.key_to_seed(a[1]), off, plan, nb, n0,
+                        level, interpret=cfg.interpret)
+                else:
+                    fn = lambda a, off, nb: kasian.level_xla_partials(
+                        a[0], a[1], off, plan, nb, n0, level)
+                args = (o, k)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, args,
+                                     P(PATH_AXIS, None))
+            total = pairwise_tree_sum(
+                jnp.asarray(partials, mcest.wide_dtype()), axis=0)
+            return total[0], total[1]
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    s, s2 = runner(opt, key)
+    return float(s), float(s2), plan.total_units
+
+
+def price_asian_mlmc(opt: AsianOption, eps: float, key: jax.Array,
+                     config: EngineConfig = EngineConfig(num_blocks=8,
+                                                         rows=8),
+                     n0: int = 4, max_levels: int = 10,
+                     n_pilot: int = 1 << 14,
+                     bias_tol_factor: float = 1.0 / np.sqrt(2.0),
+                     ) -> MlmcResult:
+    """Giles MLMC price of the CONTINUOUSLY-monitored Asian call.
+
+    Under exact GBM sampling the discretely-monitored Asian has no scheme
+    bias, so the multilevel dimension is the OBSERVATION COUNT: level l
+    averages over ``n0 * 2^l`` dates, targeting the continuous-monitoring
+    limit.  The coupling is pure subsampling of one exact path (the
+    classic good case: measured variance decay beta ~= 2 at cost growth
+    gamma = 1, total work O(eps^-2) — ``tests/test_mlmc.py`` asserts the
+    decay).  ``opt.n_obs`` is ignored; ``n0`` sets the coarsest grid.
+
+    Every level runs the engine contract via
+    :func:`asian_level_partials`; gated against Riemann extrapolation of
+    the exact geometric closed form in ``tests/test_mlmc.py``.
+    """
+    opt.validate()
+    cfg = config
+
+    def level_fn(lkey, level, n_paths):
+        return asian_level_partials(opt, lkey, level, n0, n_paths, cfg)
+
+    def level_cost(level: int) -> float:
+        return n0 * (2 ** level) * (1.0 if level == 0 else 1.5)
+
+    disc = float(np.exp(-float(opt.r) * float(opt.t)))
+    return _giles_price(level_fn, level_cost, eps, key, cfg, n_pilot,
+                        max_levels, bias_tol_factor, disc,
+                        lambda lv: n0 * 2 ** lv)

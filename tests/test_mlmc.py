@@ -161,3 +161,89 @@ class TestEngineContract:
         s, s2, n = mlmc.level_partials(OPT, jax.random.key(12), 1, 8,
                                        1 << 16, CFG)
         assert np.isfinite(s) and np.isfinite(s2) and n >= 1 << 16
+
+
+class TestAsianMlmc:
+    """Observation-count MLMC for the continuously-monitored Asian
+    (kernels/asian.py MLMC section): exact-GBM subsampling coupling,
+    measured beta ~= 2 variance decay, exact geometric oracle."""
+
+    GEO = None
+
+    @staticmethod
+    def _geo():
+        from mctpu.types import AsianOption
+        return AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=4,
+                           average="geometric")
+
+    def test_level_means_match_geometric_closed_form(self):
+        """E[d_l] == cf(n_l) - cf(n_l/2) exactly (undiscounted sums)."""
+        from mctpu import math as mcmath
+        geo = self._geo()
+        disc = np.exp(-0.05)
+        for lv in (1, 3):
+            s, s2, n = mlmc.asian_level_partials(
+                geo, jax.random.fold_in(KEY, 100 + lv), lv, 4, 1 << 16, CFG)
+            m = s / n
+            se = np.sqrt(max(s2 / n - m * m, 0) / n)
+            want = float(
+                mcmath.geometric_asian_call(100., 100., 0.05, 0.2, 1.,
+                                            4 * 2 ** lv)
+                - mcmath.geometric_asian_call(100., 100., 0.05, 0.2, 1.,
+                                              2 * 2 ** lv)) / disc
+            assert abs(m - want) < 4 * se, (lv, m, want)
+
+    def test_variance_decays_at_beta_two(self):
+        """Subsampling coupling of an exact path: Var[d_l] ~ 4^-l."""
+        v_prev = None
+        for lv in (1, 2, 3, 4):
+            s, s2, n = mlmc.asian_level_partials(
+                self._geo(), jax.random.fold_in(KEY, lv), lv, 4, 1 << 15,
+                CFG)
+            m = s / n
+            v = s2 / n - m * m
+            if v_prev is not None:
+                assert 2.5 < v_prev / v < 6.0, (lv, v_prev / v)
+            v_prev = v
+
+    def test_estimator_matches_exact_closed_form(self):
+        """The telescoped estimate equals the finest level's EXACT
+        geometric closed form within its statistical CI."""
+        from mctpu import math as mcmath
+        r = mlmc.price_asian_mlmc(self._geo(), eps=0.015, key=KEY,
+                                  config=CFG)
+        cf = float(mcmath.geometric_asian_call(100., 100., 0.05, 0.2, 1.,
+                                               r.levels[-1].n_steps))
+        z = (r.price - cf) / r.std_error
+        assert abs(z) < 4.0, (r.price, cf, z)
+        # beta ~= 2 means most paths concentrate on the coarsest level.
+        assert r.levels[0].n_paths > r.levels[-1].n_paths
+
+    def test_arithmetic_level_bitwise_shard_invariant(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mctpu.parallel import path_mesh
+        from mctpu.types import AsianOption
+        ari = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=4,
+                          average="arithmetic")
+        base = mlmc.asian_level_partials(ari, KEY, 2, 4, 1 << 14, CFG)
+        mcfg = EngineConfig(num_blocks=8, rows=8, backend="xla",
+                            mesh=path_mesh(devs[:8]))
+        shard = mlmc.asian_level_partials(ari, KEY, 2, 4, 1 << 14, mcfg)
+        assert base[0] == shard[0] and base[1] == shard[1]
+
+    @pytest.mark.slow
+    def test_level_kernel_interpret_parity(self):
+        """Pallas interpret twin agrees statistically with the XLA twin."""
+        icfg = EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                            interpret=True)
+        geo = self._geo()
+        sx, sx2, nx = mlmc.asian_level_partials(geo, KEY, 2, 4, 1 << 13,
+                                                CFG)
+        sp, sp2, npp = mlmc.asian_level_partials(geo, KEY, 2, 4, 1 << 13,
+                                                 icfg)
+        mx, mp = sx / nx, sp / npp
+        sex = np.sqrt(max(sx2 / nx - mx * mx, 0) / nx)
+        sep = np.sqrt(max(sp2 / npp - mp * mp, 0) / npp)
+        assert abs(mx - mp) < 5 * np.hypot(sex, sep)
