@@ -260,6 +260,14 @@ def test_greeks_basket_on_chip():
     assert 0.9 * float(opt.k) * df < float(res.rho.price) <= float(opt.k) * df
     assert np.isfinite(float(res.theta.price))
     assert float(res.theta.std_error) > 0
+    # The rank-deficient reference corr has no sign-definite Stein tilt:
+    # diagonal gamma correctly degrades to None; a full-rank basket
+    # carries the finite per-asset gamma vector on the hardware PRNG.
+    assert res.gamma is None
+    fr = BasketOption.equicorrelated(4, rho=0.3)
+    rfr = engine.greeks_basket(fr, 1 << 18, KEY, _cfg())
+    g = np.asarray(rfr.gamma.price)
+    assert np.isfinite(g).all() and (g > 0).all()
 
 
 def test_greeks_asian_on_chip():
@@ -405,6 +413,31 @@ def test_mlmc_level_kernel_on_chip():
     assert v2 < v1 / 1.3
 
 
+def test_asian_mlmc_level_kernel_on_chip():
+    """Observation-count Asian MLMC level kernel on hardware: level mean
+    equals the EXACT geometric closed-form telescoping difference, and
+    the subsampling coupling decays at beta ~= 2."""
+    from mctpu import mlmc
+    from mctpu.types import AsianOption
+    geo = AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=4,
+                      average="geometric")
+    disc = np.exp(-0.05)
+    stats = {}
+    for lv in (1, 2):
+        s, s2, n = mlmc.asian_level_partials(
+            geo, jax.random.fold_in(KEY, lv), lv, 4, 1 << 18, _cfg())
+        m = s / n
+        v = max(s2 / n - m * m, 0.0)
+        want = float(
+            mcmath.geometric_asian_call(100., 100., 0.05, 0.2, 1.,
+                                        4 * 2 ** lv)
+            - mcmath.geometric_asian_call(100., 100., 0.05, 0.2, 1.,
+                                          2 * 2 ** lv)) / disc
+        assert abs(m - want) < 4 * np.sqrt(v / n), (lv, m, want)
+        stats[lv] = v
+    assert stats[2] < stats[1] / 2.5  # beta ~= 2
+
+
 def test_greeks_barrier_on_chip():
     """Round-4: likelihood-ratio barrier Greeks kernel on the hardware
     PRNG, gated against FD of the BGK-corrected closed form (the LR
@@ -451,6 +484,27 @@ def test_greeks_heston_on_chip():
     }
     for name, (want, slack) in gates.items():
         r = getattr(res, name)
+        tol = 4 * float(r.std_error) + slack
+        assert abs(float(r.price) - want) < tol, (name, float(r.price),
+                                                  want)
+
+    # Variance-parameter tangents (dtheta/dkappa/dxi): gate in a
+    # Feller-satisfied regime (2 kappa theta = 0.36 > xi^2 = 0.16) where
+    # the tangents are light-tailed — CF finite differences at 100 steps.
+    hf = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.09, kappa=2.0,
+                      theta=0.09, xi=0.4, rho=-0.6)
+    rf = engine.greeks_heston(hf, 1 << 20, KEY, _cfg(), n_steps=100)
+
+    def cff(**bump):
+        return float(mheston.cf_call_price(dc.replace(hf, **bump)))
+
+    fgates = {
+        "dtheta": ((cff(theta=0.091) - cff(theta=0.089)) / 0.002, 1.0),
+        "dkappa": ((cff(kappa=2.01) - cff(kappa=1.99)) / 0.02, 0.05),
+        "dxi": ((cff(xi=0.401) - cff(xi=0.399)) / 0.002, 0.3),
+    }
+    for name, (want, slack) in fgates.items():
+        r = getattr(rf, name)
         tol = 4 * float(r.std_error) + slack
         assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                   want)
