@@ -27,7 +27,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
-                            "barrier", "heston", "cva", "american"],
+                            "rainbow", "barrier", "heston", "cva",
+                            "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -132,6 +133,50 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")
+        return 0
+
+    if args.product == "rainbow":
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import RainbowOption
+        a = args.assets
+        spots = args.spot * (1.0 - 0.05 * np.arange(a))
+        vols = args.vol * (1.0 + 0.25 * np.arange(a))
+        corr = np.full((a, a), 0.5) + 0.5 * np.eye(a)
+        ropt = RainbowOption(s=spots, v=vols, corr=corr, k=args.strike,
+                             r=args.rate, t=args.maturity, kind="max")
+        res, dt = common.timed(engine.greeks_rainbow, ropt, args.paths, key)
+        cf = None
+        if a == 2:
+            def price(s1, s2, v1, v2, r, t):
+                return mcmath.rainbow_max_call(s1, s2, args.strike, r,
+                                               v1, v2, 0.5, t)
+
+            pargs = (spots[0], spots[1], vols[0], vols[1], args.rate,
+                     args.maturity)
+            g = jax.grad(price, argnums=(0, 1, 2, 3, 4, 5))(*pargs)
+            cf = {"price": float(price(*pargs)),
+                  "delta": np.array([float(g[0]), float(g[1])]),
+                  "vega": np.array([float(g[2]), float(g[3])]),
+                  "rho": float(g[4]), "theta": float(g[5])}
+        print(f"\nmax-of-{a} rainbow call, arg-extreme pathwise Greeks, "
+              f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+        hdr = f"{'greek':>8} | {'pathwise MC':>24} | {'95% CI':>20}"
+        if cf is not None:
+            hdr += f" | {'Stulz grad':>24}"
+        print(hdr)
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            pv = np.atleast_1d(np.asarray(r.price, dtype=np.float64))
+            ci = np.atleast_1d(np.asarray(r.ci, dtype=np.float64))
+            row = (f"{name:>8} | "
+                   f"{np.array2string(pv, precision=4):>24} | "
+                   f"±{np.array2string(ci, precision=4):>19}")
+            if cf is not None:
+                want = np.atleast_1d(np.asarray(cf[name], dtype=np.float64))
+                row += f" | {np.array2string(want, precision=4):>24}"
+            print(row)
         return 0
 
     if args.product == "barrier":

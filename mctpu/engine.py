@@ -63,7 +63,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
-           "greeks_asian", "greeks_lookback", "greeks_barrier",
+           "greeks_asian", "greeks_lookback", "greeks_rainbow",
+           "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_american"]
 
 
@@ -918,11 +919,87 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                               dxi=est(6))
 
 
+def greeks_rainbow(opt, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """Price + per-asset pathwise delta/vega vectors of the rainbow call
+    (MAX/MIN of correlated assets), plus scalar rho and theta.
+
+    The fused kernel tracks the arg-extreme ASSET with a strict-compare
+    select chain (the same device the lookback Greeks use along the time
+    axis) and masks each pathwise integrand to the extreme asset — see
+    ``kernels/rainbow.py`` (Greeks section) for the identities.  Same
+    asset-major tile layout and RNG streams as :func:`price_rainbow`, so
+    CRN bump comparisons are exact.  Two-asset Greeks are gated against
+    ``jax.grad`` of the exact Stulz closed form in ``tests/test_greeks.py``.
+    Gamma is ``None``: the arg-extreme indicator's derivative is a surface
+    Dirac across the asset-crossing boundary with no sign-definite Stein
+    tilt — use CRN bumps (:func:`mctpu.greeks.bump_and_revalue`).
+
+    Asset-major regime only (``a <= 8``): every practical rainbow is a
+    handful of assets.  Beyond that the packed-lane pricer still runs;
+    sensitivities fall back to autodiff (:mod:`mctpu.greeks`).
+    """
+    from mctpu.kernels import rainbow as krainbow
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    a = opt.n_assets
+    if not kbasket.use_asset_major(a):
+        raise ValueError(
+            f"greeks_rainbow runs the asset-major regime (n_assets <= "
+            f"{kbasket.ASSET_MAJOR_MAX}, got {a}); use autodiff via "
+            "mctpu.greeks for larger rainbows")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kbasket.LANES * anti)
+    plan = krainbow.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                              cfg.dtype_str, cfg.precision.kahan,
+                              n_assets=a)
+    cache_key = ("greeks_rainbow", a, opt.kind, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(o.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda ar, off, nb: krainbow.greek_pallas_partials(
+                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda ar, off, nb: krainbow.greek_xla_partials(
+                    ar[0], ar[1], ar[2], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn,
+                                     (o, chol, k), P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            # Rows 6.. are per-asset (gd, gd2, gv, gv2) rows.
+            vtot = total[6:].reshape(a, 4).T
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total[:6], vtot, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot, disc = runner(opt, key)
+    n = plan.total_units
+
+    def scal_est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
+                          n_paths=plan.total_paths)
+    return GreeksResult(price=scal_est(0), delta=delta, vega=vega,
+                        rho=scal_est(1), theta=scal_est(2))
+
+
 def greeks(opt, n_paths: int, key: jax.Array,
            config: EngineConfig = EngineConfig()) -> "GreeksResult":
     """Engine-scale pathwise Greeks: dispatches on the product type."""
     from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
-                             LookbackOption)
+                             LookbackOption, RainbowOption)
     if isinstance(opt, AmericanOption):
         return greeks_american(opt, n_paths, key, config)
     if isinstance(opt, VanillaOption):
@@ -933,6 +1010,8 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_asian(opt, n_paths, key, config)
     if isinstance(opt, LookbackOption):
         return greeks_lookback(opt, n_paths, key, config)
+    if isinstance(opt, RainbowOption):
+        return greeks_rainbow(opt, n_paths, key, config)
     if isinstance(opt, BarrierOption):
         return greeks_barrier(opt, n_paths, key, config)
     if isinstance(opt, HestonOption):

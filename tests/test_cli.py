@@ -229,3 +229,12 @@ def test_greeks_cli_heston_engine(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "engine-tier pathwise tangents" in out and "char-fn FD" in out
+
+
+def test_greeks_cli_rainbow(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "rainbow", "--paths", "16384",
+                    "--assets", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "rainbow" in out and "Stulz grad" in out and "theta" in out

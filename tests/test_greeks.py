@@ -1267,3 +1267,175 @@ class TestEngineGreeksAmerican:
             b, s = getattr(base, name), getattr(shard, name)
             assert float(b.price) == float(s.price), name
             assert float(b.ci) == float(s.ci), name
+
+
+class TestEngineGreeksRainbow:
+    """Fused arg-extreme pathwise rainbow Greeks (engine tier).
+
+    Two-asset Greeks gate against ``jax.grad`` of the exact Stulz (1982)
+    closed form (differentiable: the bivariate CDF is Gauss-Legendre in
+    jnp); three-asset against CRN bumps of the pricer; plus the exact
+    ``K = 0`` identities (``rho == 0``: the discounted extreme's rate
+    sensitivity cancels pathwise; ``delta_max + delta_min = 1`` per
+    asset: every path's spot is the extreme of exactly one kind).
+    """
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _opt(self, kind="max", k=100.0):
+        from mctpu.types import RainbowOption
+        return RainbowOption(s=np.array([100.0, 95.0]),
+                             v=np.array([0.2, 0.3]),
+                             corr=np.array([[1.0, 0.5], [0.5, 1.0]]),
+                             k=k, r=0.05, t=1.0, kind=kind)
+
+    def _stulz_grads(self, kind):
+        f = (mcmath.rainbow_min_call if kind == "min"
+             else mcmath.rainbow_max_call)
+
+        def price(s1, s2, v1, v2, r, t):
+            return f(s1, s2, 100.0, r, v1, v2, 0.5, t, dtype=jnp.float64)
+
+        args = (100.0, 95.0, 0.2, 0.3, 0.05, 1.0)
+        p = float(price(*args))
+        d1, d2, v1, v2, rho, th = [
+            float(x) for x in
+            jax.grad(price, argnums=(0, 1, 2, 3, 4, 5))(*args)]
+        return {"price": p, "delta": np.array([d1, d2]),
+                "vega": np.array([v1, v2]), "rho": rho, "theta": th}
+
+    @pytest.mark.parametrize("kind", ["max", "min"])
+    def test_two_asset_matches_stulz_gradients(self, kind):
+        from mctpu import engine
+        res = engine.greeks_rainbow(self._opt(kind), 1 << 18, KEY,
+                                    self._cfg())
+        want = self._stulz_grads(kind)
+        for name in ("price", "rho", "theta"):
+            r = getattr(res, name)
+            z = (float(r.price) - want[name]) / max(float(r.std_error),
+                                                    1e-12)
+            assert abs(z) < 4.0, (kind, name, float(r.price), want[name])
+        for name in ("delta", "vega"):
+            r = getattr(res, name)
+            z = (np.asarray(r.price) - want[name]) / np.maximum(
+                np.asarray(r.std_error), 1e-12)
+            assert (np.abs(z) < 4.0).all(), (kind, name,
+                                             np.asarray(r.price),
+                                             want[name])
+        assert res.gamma is None  # documented: no sign-definite tilt
+
+    def test_k_zero_identities(self):
+        """rho == 0 exactly in expectation; per-asset max+min deltas = 1."""
+        from mctpu import engine
+        gmax = engine.greeks_rainbow(self._opt("max", k=0.0), 1 << 17, KEY,
+                                     self._cfg())
+        gmin = engine.greeks_rainbow(self._opt("min", k=0.0), 1 << 17, KEY,
+                                     self._cfg())
+        # The rho integrand t*K*ind is identically zero at K = 0.
+        assert float(gmax.rho.price) == 0.0
+        assert float(gmin.rho.price) == 0.0
+        d = np.asarray(gmax.delta.price) + np.asarray(gmin.delta.price)
+        se = np.hypot(np.asarray(gmax.delta.std_error),
+                      np.asarray(gmin.delta.std_error))
+        assert (np.abs(d - 1.0) < 4 * se).all(), d
+
+    def test_three_asset_matches_crn_bumps(self):
+        """No closed form at a = 3: CRN bump the pricer (shared streams)."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        from mctpu.types import RainbowOption
+        corr = np.array([[1.0, 0.3, 0.2], [0.3, 1.0, 0.4],
+                         [0.2, 0.4, 1.0]])
+        opt = RainbowOption(s=np.array([100.0, 98.0, 102.0]),
+                            v=np.array([0.2, 0.25, 0.3]), corr=corr,
+                            k=100.0, r=0.05, t=1.0, kind="max")
+        g = engine.greeks_rainbow(opt, 1 << 17, KEY, self._cfg())
+
+        def price(o):
+            return float(engine.price_rainbow(o, 1 << 17, KEY,
+                                              self._cfg()).price)
+
+        h = 0.25
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = h
+            fd = (price(dc.replace(opt, s=opt.s + e))
+                  - price(dc.replace(opt, s=opt.s - e))) / (2 * h)
+            got = float(np.asarray(g.delta.price)[i])
+            assert got == pytest.approx(fd, abs=0.01), (i, got, fd)
+        hv = 0.005
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = hv
+            fd = (price(dc.replace(opt, v=opt.v + e))
+                  - price(dc.replace(opt, v=opt.v - e))) / (2 * hv)
+            got = float(np.asarray(g.vega.price)[i])
+            assert got == pytest.approx(fd, rel=0.05, abs=0.3), (i, got, fd)
+        hr = 1e-3
+        fd = (price(dc.replace(opt, r=opt.r + hr))
+              - price(dc.replace(opt, r=opt.r - hr))) / (2 * hr)
+        assert float(g.rho.price) == pytest.approx(fd, rel=0.02, abs=0.1)
+        ht = 1e-3
+        fd = (price(dc.replace(opt, t=opt.t + ht))
+              - price(dc.replace(opt, t=opt.t - ht))) / (2 * ht)
+        assert float(g.theta.price) == pytest.approx(fd, rel=0.03, abs=0.1)
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        res = engine.greeks_rainbow(self._opt("max"), 1 << 17, KEY,
+                                    self._cfg(antithetic=True))
+        want = self._stulz_grads("max")
+        z = (float(res.price.price) - want["price"]) / max(
+            float(res.price.std_error), 1e-12)
+        assert abs(z) < 4.0
+        zd = (np.asarray(res.delta.price) - want["delta"]) / np.asarray(
+            res.delta.std_error)
+        assert (np.abs(zd) < 4.0).all()
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        x = engine.greeks_rainbow(self._opt("max"), 1 << 14, KEY,
+                                  self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=16, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_rainbow(self._opt("max"), 1 << 14, KEY, pcfg)
+        for name in ("price", "rho", "theta"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
+        for name in ("delta", "vega"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(np.asarray(xa.std_error),
+                          np.asarray(pa.std_error))
+            diff = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
+            assert (diff < 5 * se).all(), name
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._opt("min")
+        base = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        shard = engine.greeks_rainbow(opt, 1 << 14, KEY,
+                                      self._cfg(mesh=path_mesh(devs[:8])))
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            b, s = getattr(base, name), getattr(shard, name)
+            np.testing.assert_array_equal(np.asarray(b.price),
+                                          np.asarray(s.price), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(b.ci),
+                                          np.asarray(s.ci), err_msg=name)
+
+    def test_large_rainbow_raises_with_guidance(self):
+        from mctpu import engine
+        from mctpu.types import RainbowOption
+        a = 9
+        opt = RainbowOption(s=np.full(a, 100.0), v=np.full(a, 0.2),
+                            corr=np.eye(a), k=100.0, r=0.05, t=1.0)
+        with pytest.raises(ValueError, match="asset-major"):
+            engine.greeks_rainbow(opt, 1 << 12, KEY, self._cfg())

@@ -535,3 +535,34 @@ def test_greeks_american_on_chip():
         4 * float(g.vega.std_error) + 0.01 * abs(ve))
     assert abs(float(g.rho.price) - rh) < (
         4 * float(g.rho.std_error) + 0.02 * abs(rh))
+
+
+def test_greeks_rainbow_on_chip():
+    """Fused arg-extreme rainbow Greeks on the hardware PRNG, gated
+    against jax.grad of the exact Stulz (1982) closed form."""
+    from mctpu.types import RainbowOption
+    opt = RainbowOption(s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=np.array([[1.0, 0.5], [0.5, 1.0]]),
+                        k=100.0, r=0.05, t=1.0, kind="max")
+    res = engine.greeks_rainbow(opt, 1 << 20, KEY, _cfg())
+
+    import jax.numpy as jnp
+
+    def price(s1, s2, v1, v2, r, t):
+        return mcmath.rainbow_max_call(s1, s2, 100.0, r, v1, v2, 0.5, t,
+                                       dtype=jnp.float64)
+
+    args = (100.0, 95.0, 0.2, 0.3, 0.05, 1.0)
+    g = jax.grad(price, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    want = {"price": float(price(*args)),
+            "delta": np.array([float(g[0]), float(g[1])]),
+            "vega": np.array([float(g[2]), float(g[3])]),
+            "rho": float(g[4]), "theta": float(g[5])}
+    for name in ("price", "rho", "theta"):
+        r = getattr(res, name)
+        assert _z(r.price, want[name], r.std_error) < 4, name
+    for name in ("delta", "vega"):
+        r = getattr(res, name)
+        z = (np.asarray(r.price) - want[name]) / np.asarray(r.std_error)
+        assert (np.abs(z) < 4).all(), (name, np.asarray(r.price),
+                                       want[name])
