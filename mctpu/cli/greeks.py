@@ -27,8 +27,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
-                            "rainbow", "barrier", "heston", "cva",
-                            "american"],
+                            "rainbow", "varswap", "barrier", "heston",
+                            "cva", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -133,6 +133,31 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")
+        return 0
+
+    if args.product == "varswap":
+        from mctpu import engine
+        n = args.obs
+        res, dt = common.timed(engine.greeks_varswap, opt, args.paths, key,
+                               engine.EngineConfig(), n)
+
+        def K(v, r, t):
+            mu = r - 0.5 * v * v
+            return v * v + mu * mu * t / n
+
+        kv, kr, kt = jax.grad(K, argnums=(0, 1, 2))(
+            args.vol, args.rate, args.maturity)
+        cf = {"price": float(K(args.vol, args.rate, args.maturity)),
+              "delta": 0.0, "vega": float(kv), "rho": float(kr),
+              "theta": float(kt)}
+        print(f"\nGBM variance-swap fair strike ({n} obs), fused walk-sum "
+              f"Greeks, paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>12} | "
+              f"{'exact':>12}")
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.8f} | "
+                  f"±{float(r.ci):10.8f} | {cf[name]:12.8f}")
         return 0
 
     if args.product == "rainbow":

@@ -64,7 +64,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
-           "greeks_barrier",
+           "greeks_varswap", "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_american"]
 
 
@@ -917,6 +917,73 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
     return HestonGreeksResult(price=est(0), delta=est(1), vega=est(2),
                               rho=est(3), dtheta=est(4), dkappa=est(5),
                               dxi=est(6))
+
+
+def greeks_varswap(opt, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig(),
+                   n_obs: int = 252):
+    """Fair-strike sensitivities of a variance swap at engine scale.
+
+    ``opt`` selects the dynamics like :func:`fair_variance_strike`.  Under
+    GBM every sensitivity collapses onto the two carried walk sums
+    ``(sum lr^2, sum lr)`` — ONE extra accumulator over pricing — and the
+    result carries vega (dK/dv), rho (dK/dr) and theta (dK/dT), each gated
+    against ``jax.grad`` of the exact discrete oracle
+    ``v^2 + (r - v^2/2)^2 T/n``.  Under Heston the walk carries the
+    forward-mode variance-parameter tangents of ``kernels/heston.py`` and
+    returns a :class:`HestonGreeksResult` with vega = dK/dv0 plus
+    dtheta/dkappa/dxi (gated vs the continuous-limit closed form and CRN
+    bumps).  Spot delta is identically ZERO in both dynamics (log-returns
+    are s0-free) and is returned as an exact ``0 ± 0`` rather than burning
+    an accumulator; all outputs are in variance units (undiscounted fair
+    strike, not a PV).
+    """
+    from mctpu.kernels import varswap as kvarswap
+    from mctpu.types import GreeksResult, HestonGreeksResult
+
+    opt.validate()
+    dynamics = "heston" if isinstance(opt, HestonOption) else "gbm"
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kvarswap.LANES * anti)
+    plan = kvarswap.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                              cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_varswap", dynamics, n_obs, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kvarswap.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    n_obs=n_obs, dynamics=dynamics,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kvarswap.greek_xla_partials(
+                    a[0], a[1], off, plan, nb, n_obs=n_obs,
+                    dynamics=dynamics)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            return pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=1.0, n_paths=plan.total_paths)
+
+    zero = mcest.estimate(jnp.zeros(()), jnp.zeros(()), n, discount=1.0,
+                          n_paths=plan.total_paths)
+    if dynamics == "gbm":
+        return GreeksResult(price=est(0), delta=zero, vega=est(1),
+                            rho=est(2), theta=est(3))
+    return HestonGreeksResult(price=est(0), delta=zero, vega=est(1),
+                              rho=est(5), dtheta=est(2), dkappa=est(3),
+                              dxi=est(4))
 
 
 def greeks_rainbow(opt, n_paths: int, key: jax.Array,

@@ -238,3 +238,12 @@ def test_greeks_cli_rainbow(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "rainbow" in out and "Stulz grad" in out and "theta" in out
+
+
+def test_greeks_cli_varswap(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "varswap", "--paths", "16384",
+                    "--obs", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "variance-swap" in out and "vega" in out and "exact" in out

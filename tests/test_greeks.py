@@ -1439,3 +1439,145 @@ class TestEngineGreeksRainbow:
                             corr=np.eye(a), k=100.0, r=0.05, t=1.0)
         with pytest.raises(ValueError, match="asset-major"):
             engine.greeks_rainbow(opt, 1 << 12, KEY, self._cfg())
+
+
+class TestEngineGreeksVarswap:
+    """Fair-strike sensitivities fused into the realized-variance walk.
+
+    GBM gates against ``jax.grad`` of the EXACT discrete oracle
+    ``v^2 + (r - v^2/2)^2 T/n`` (every output, any n); Heston against
+    CRN bumps of ``fair_variance_strike`` (exact — shared draw streams)
+    and the continuous-limit closed form.  Spot delta is identically
+    zero in both dynamics and must come back exact ``0 ± 0``.
+    """
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _gbm(self):
+        return VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+
+    def _heston(self):
+        from mctpu.types import HestonOption
+        return HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.09,
+                            kappa=2.0, theta=0.06, xi=0.3, rho=-0.6)
+
+    def test_gbm_matches_exact_discrete_oracle(self):
+        from mctpu import engine
+        n = 16
+        g = engine.greeks_varswap(self._gbm(), 1 << 17, KEY, self._cfg(),
+                                  n_obs=n)
+
+        def K(v, r, t):
+            mu = r - 0.5 * v * v
+            return v * v + mu * mu * t / n
+
+        kv, kr, kt = jax.grad(K, argnums=(0, 1, 2))(0.2, 0.05, 1.0)
+        want = {"price": float(K(0.2, 0.05, 1.0)), "vega": float(kv),
+                "rho": float(kr), "theta": float(kt)}
+        for nm in ("price", "vega", "rho", "theta"):
+            r = getattr(g, nm)
+            z = (float(r.price) - want[nm]) / max(float(r.std_error),
+                                                  1e-15)
+            assert abs(z) < 4.0, (nm, float(r.price), want[nm], z)
+
+    def test_delta_exactly_zero(self):
+        from mctpu import engine
+        g = engine.greeks_varswap(self._gbm(), 1 << 14, KEY, self._cfg(),
+                                  n_obs=8)
+        assert float(g.delta.price) == 0.0
+        assert float(g.delta.std_error) == 0.0
+        gh = engine.greeks_varswap(self._heston(), 1 << 14, KEY,
+                                   self._cfg(), n_obs=8)
+        assert float(gh.delta.price) == 0.0
+
+    def test_heston_tangents_match_crn_bumps(self):
+        """Forward-mode tangents vs CRN central differences of the
+        pricer (identical draw streams make the FD noise cancel)."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = self._heston()
+        n, g_obs = 1 << 16, 32
+        gh = engine.greeks_varswap(opt, n, KEY, self._cfg(), n_obs=g_obs)
+
+        def fair(o):
+            return float(engine.fair_variance_strike(
+                o, n, KEY, self._cfg(), n_obs=g_obs).price)
+
+        for nm, field, h in (("v0", "vega", 1e-3), ("theta", "dtheta", 1e-3),
+                             ("kappa", "dkappa", 1e-2), ("xi", "dxi", 1e-2)):
+            up = fair(dc.replace(opt, **{nm: getattr(opt, nm) + h}))
+            dn = fair(dc.replace(opt, **{nm: getattr(opt, nm) - h}))
+            fd = (up - dn) / (2 * h)
+            r = getattr(gh, field)
+            tol = 5 * float(r.std_error) + 2e-3 * abs(fd) + 2e-5
+            assert abs(float(r.price) - fd) < tol, (nm, float(r.price), fd)
+
+    def test_heston_matches_continuous_closed_form(self):
+        from mctpu import engine
+        opt = self._heston()
+        gh = engine.greeks_varswap(opt, 1 << 16, KEY, self._cfg(),
+                                   n_obs=256)
+
+        def K(v0, th, ka):
+            e = (1.0 - jnp.exp(-ka)) / ka
+            return th + (v0 - th) * e
+
+        dv0, dth, dka = jax.grad(K, argnums=(0, 1, 2))(0.09, 0.06, 2.0)
+        want = {"price": float(K(0.09, 0.06, 2.0)), "vega": float(dv0),
+                "dtheta": float(dth), "dkappa": float(dka)}
+        for nm in ("price", "vega", "dtheta", "dkappa"):
+            r = getattr(gh, nm)
+            # 4 sigma + 1% discretization slack (n = 256 vs the n -> inf
+            # closed form).
+            tol = 4 * float(r.std_error) + 0.01 * abs(want[nm])
+            assert abs(float(r.price) - want[nm]) < tol, (nm,
+                                                          float(r.price),
+                                                          want[nm])
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        n = 16
+        g = engine.greeks_varswap(self._gbm(), 1 << 16, KEY,
+                                  self._cfg(antithetic=True), n_obs=n)
+        mu = 0.05 - 0.5 * 0.2 * 0.2
+        want = 0.2 * 0.2 + mu * mu / n
+        z = (float(g.price.price) - want) / max(float(g.price.std_error),
+                                                1e-15)
+        assert abs(z) < 4.0
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                   interpret=True)
+        for opt, fields in ((self._gbm(), ("price", "vega", "rho",
+                                           "theta")),
+                            (self._heston(), ("price", "vega", "dtheta",
+                                              "dkappa", "dxi", "rho"))):
+            x = engine.greeks_varswap(opt, 1 << 13, KEY, self._cfg(),
+                                      n_obs=8)
+            p = engine.greeks_varswap(opt, 1 << 13, KEY, pcfg, n_obs=8)
+            for name in fields:
+                xa, pa = getattr(x, name), getattr(p, name)
+                se = np.hypot(float(xa.std_error), float(pa.std_error))
+                d = abs(float(xa.price) - float(pa.price))
+                assert d < 5 * se + 1e-9, (type(opt).__name__, name)
+
+    def test_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        for opt in (self._gbm(), self._heston()):
+            base = engine.greeks_varswap(opt, 1 << 14, KEY, self._cfg(),
+                                         n_obs=8)
+            shard = engine.greeks_varswap(
+                opt, 1 << 14, KEY, self._cfg(mesh=path_mesh(devs[:8])),
+                n_obs=8)
+            for name in ("price", "vega", "rho"):
+                assert float(getattr(base, name).price) == float(
+                    getattr(shard, name).price), name

@@ -566,3 +566,41 @@ def test_greeks_rainbow_on_chip():
         z = (np.asarray(r.price) - want[name]) / np.asarray(r.std_error)
         assert (np.abs(z) < 4).all(), (name, np.asarray(r.price),
                                        want[name])
+
+
+def test_greeks_varswap_on_chip():
+    """Fused varswap fair-strike Greeks on the hardware PRNG: GBM gated
+    against jax.grad of the exact discrete oracle, Heston against the
+    continuous-limit closed form."""
+    n = 16
+    res = engine.greeks_varswap(OPT, 1 << 20, KEY, _cfg(), n_obs=n)
+
+    def K(v, r, t):
+        mu = r - 0.5 * v * v
+        return v * v + mu * mu * t / n
+
+    kv, kr, kt = jax.grad(K, argnums=(0, 1, 2))(0.2, 0.048790, 1.0)
+    want = {"price": float(K(0.2, 0.048790, 1.0)), "vega": float(kv),
+            "rho": float(kr), "theta": float(kt)}
+    for nm in ("price", "vega", "rho", "theta"):
+        r = getattr(res, nm)
+        assert _z(r.price, want[nm], r.std_error) < 4, nm
+    assert float(res.delta.price) == 0.0
+
+    hopt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.09,
+                        kappa=2.0, theta=0.06, xi=0.3, rho=-0.6)
+    gh = engine.greeks_varswap(hopt, 1 << 18, KEY, _cfg(), n_obs=128)
+    import jax.numpy as jnp
+
+    def Kh(v0, th, ka):
+        e = (1.0 - jnp.exp(-ka)) / ka
+        return th + (v0 - th) * e
+
+    dv0, dth, dka = jax.grad(Kh, argnums=(0, 1, 2))(0.09, 0.06, 2.0)
+    wanth = {"price": float(Kh(0.09, 0.06, 2.0)), "vega": float(dv0),
+             "dtheta": float(dth), "dkappa": float(dka)}
+    for nm in ("price", "vega", "dtheta", "dkappa"):
+        r = getattr(gh, nm)
+        tol = 4 * float(r.std_error) + 0.02 * abs(wanth[nm])
+        assert abs(float(r.price) - wanth[nm]) < tol, (nm, float(r.price),
+                                                       wanth[nm])
