@@ -27,8 +27,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
-                            "rainbow", "varswap", "barrier", "heston",
-                            "cva", "american"],
+                            "rainbow", "varswap", "ladder", "barrier",
+                            "heston", "cva", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -133,6 +133,28 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")
+        return 0
+
+    if args.product == "ladder":
+        import numpy as np
+
+        from mctpu import engine
+        strikes = np.linspace(0.8, 1.2, 9) * args.strike
+        res, dt = common.timed(engine.greeks_vanilla_ladder, opt, strikes,
+                               args.paths, key)
+        print(f"\nstrike-ladder risk sweep ({len(strikes)} strikes, one "
+              f"path sweep), paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'strike':>8} | {'price':>9} | {'delta':>8} | {'vega':>8} "
+              f"| {'gamma':>8} | {'BS delta':>8} | {'BS gamma':>8}")
+        for i, km in enumerate(strikes):
+            cf = mcmath.bs_greeks(args.spot, float(km), args.rate,
+                                  args.vol, args.maturity)
+            print(f"{km:8.2f} | "
+                  f"{float(np.asarray(res.price.price)[i]):9.4f} | "
+                  f"{float(np.asarray(res.delta.price)[i]):8.4f} | "
+                  f"{float(np.asarray(res.vega.price)[i]):8.4f} | "
+                  f"{float(np.asarray(res.gamma.price)[i]):8.5f} | "
+                  f"{float(cf['delta']):8.4f} | {float(cf['gamma']):8.5f}")
         return 0
 
     if args.product == "varswap":

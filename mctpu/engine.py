@@ -64,7 +64,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
-           "greeks_varswap", "greeks_barrier",
+           "greeks_varswap", "greeks_vanilla_ladder", "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_american"]
 
 
@@ -917,6 +917,74 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
     return HestonGreeksResult(price=est(0), delta=est(1), vega=est(2),
                               rho=est(3), dtheta=est(4), dkappa=est(5),
                               dxi=est(6))
+
+
+def greeks_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
+                          key: jax.Array,
+                          config: EngineConfig = EngineConfig()) \
+        -> "GreeksResult":
+    """The per-strike RISK ladder from one path sweep: vector-valued
+    price/delta/vega/rho/theta/gamma across the whole strike ladder.
+
+    Every strike reuses the same terminal draws (the comonotone pattern
+    of :func:`price_vanilla_ladder`), so the output Greek ladders are
+    arbitrage-consistent up to MC noise — e.g. the call delta ladder is
+    monotone decreasing in K path-by-path, which independent per-strike
+    runs cannot guarantee.  This is the production smile-risk /
+    calibration-Jacobian sweep: one kernel launch returns d(price)/d(s0,
+    v, r, T) and gamma at every quoted strike.  Integrands are the fused
+    vanilla Greeks kernel's (``kernels/greeks.py``), shared-tile
+    factored so each extra strike costs ~12 VPU ops
+    (``kernels/ladder.py``, Greeks section).  Gated per strike against
+    ``math.bs_greeks`` in ``tests/test_greeks.py``.
+    """
+    from mctpu.kernels import ladder as kladder
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    strikes = jnp.asarray(strikes)
+    n_k = int(strikes.shape[0])
+    if not 1 <= n_k <= kladder.MAX_STRIKES:
+        raise ValueError(f"strikes must have 1..{kladder.MAX_STRIKES} "
+                         f"entries, got {n_k}")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kladder.LANES * anti)
+    plan = kladder.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                             cfg.dtype_str, cfg.precision.kahan)
+    k_key = tuple(float(x) for x in strikes)
+    cache_key = ("greeks_ladder", k_key, opt.kind, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        ks = jnp.asarray(strikes, jnp.float32)
+
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kladder.greek_pallas_partials(
+                    a[0], ks, mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kladder.greek_xla_partials(
+                    a[0], ks, a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[:, 2 * i], total[:, 2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3), theta=est(4), gamma=est(5))
 
 
 def greeks_varswap(opt, n_paths: int, key: jax.Array,

@@ -20,12 +20,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials", "MAX_STRIKES"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "MAX_STRIKES",
+           "greek_xla_partials", "greek_pallas_partials",
+           "N_LADDER_GREEK_SUMS"]
 
 MAX_STRIKES = 64  # unrolled per-strike reductions; keep compile time sane
 
@@ -166,3 +169,177 @@ def _pallas_partials(opt, strikes, seed, block_offset, plan, n_blocks,
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, params, jnp.asarray(strikes, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Greeks: the per-strike risk ladder (smile Jacobian) from one path sweep
+# ---------------------------------------------------------------------------
+#
+# Per strike the kernel accumulates the SAME six integrands as the fused
+# vanilla Greeks kernel (kernels/greeks.py module docstring — pathwise
+# delta/vega/rho/theta, mixed pathwise-LR gamma), sharing the terminal
+# spot, the vega weight wv = sqt z - v t and the theta weight across all
+# strikes: the marginal cost per strike is ~12 VPU ops on register-
+# resident tiles.  Comonotone draws across strikes make the OUTPUT ladder
+# arbitrage-consistent in every Greek up to MC noise (e.g. the delta
+# ladder is monotone in K for calls), which per-strike independent runs
+# would not be — the production pattern for smile risk / calibration
+# Jacobians.
+
+N_LADDER_GREEK_SUMS = 12  # (sum, sum^2) of: p, delta, vega, rho, theta,
+#                           gamma — per strike
+
+
+def _greek_ladder_quants(st, zz, wv, q, k_m, inv_s0, cg_m, tk_m, r,
+                         put: bool):
+    """Six integrand tiles of strike ``k_m`` from shared per-tile values.
+
+    ``st`` terminal spot, ``wv = sqt z - v t``, ``q = r - v^2/2
+    + 0.5 v z / sqt`` (theta weight), ``cg_m = k_m/(s0^2 v sqt)`` (gamma
+    LR scale), ``tk_m = t k_m`` (rho scale).
+    """
+    if put:
+        ind = jnp.where(st < k_m, -1.0, 0.0).astype(st.dtype)
+        p = jnp.maximum(k_m - st, 0.0)
+    else:
+        ind = jnp.where(st > k_m, 1.0, 0.0).astype(st.dtype)
+        p = jnp.maximum(st - k_m, 0.0)
+    w = ind * st
+    return (p, w * inv_s0, w * wv, tk_m * ind, w * q - r * p,
+            cg_m * (ind * zz))
+
+
+def _ladder_greek_shared(s0, mu, sig, v, t, sqt, r, z):
+    """Shared tiles consumed by every strike's integrands."""
+    st = s0 * jnp.exp(mu + sig * z)
+    wv = sqt * z - v * t
+    q = (r - 0.5 * v * v) + (0.5 * v / sqt) * z
+    return st, wv, q
+
+
+def _ladder_greek_iter(zs, ks, consts, n_k: int, put: bool,
+                       antithetic: bool):
+    """One iteration's flat sums: ``n_k`` strikes x 12.
+
+    ``zs`` is the tuple of normal tiles this iteration consumes; the
+    antithetic pair-mean is taken per strike BEFORE squaring (the i.i.d.
+    unit is the pair).  ``consts = (s0, mu, sig, v, t, sqt, r, inv_s0,
+    cg_over_k)`` with ``cg_over_k = 1/(s0^2 sig)`` so ``cg_m
+    = cg_over_k * k_m``.
+    """
+    s0, mu, sig, v, t, sqt, r, inv_s0, cg_over_k = consts
+    sums = None
+    for z in zs:
+        shared = [_ladder_greek_shared(s0, mu, sig, v, t, sqt, r, z)]
+        zsides = [z]
+        if antithetic:
+            shared.append(_ladder_greek_shared(s0, mu, sig, v, t, sqt, r,
+                                               -z))
+            zsides.append(-z)
+        row = []
+        for m in range(n_k):
+            k_m = ks(m)
+            cg_m = cg_over_k * k_m
+            tk_m = t * k_m
+            quants = None
+            for (st, wv, q), zz in zip(shared, zsides):
+                one = _greek_ladder_quants(st, zz, wv, q, k_m, inv_s0,
+                                           cg_m, tk_m, r, put)
+                quants = one if quants is None else tuple(
+                    a + b for a, b in zip(quants, one))
+            if antithetic:
+                quants = tuple(0.5 * x for x in quants)
+            for x in quants:
+                row.append(jnp.sum(x))
+                row.append(jnp.sum(x * x))
+        sums = row if sums is None else [a + b for a, b in zip(sums, row)]
+    return tuple(sums)
+
+
+def greek_xla_partials(opt, strikes, key: jax.Array, block_offset,
+                       plan: Plan, n_blocks: int):
+    """Per-block Greek partials, shape ``(n_blocks, K, 12)``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    n_k = strikes.shape[0]
+    ks = jnp.asarray(strikes, dtype)
+    sqt = jnp.sqrt(jnp.asarray(o.t, dtype))
+    consts = (o.s, (o.r - 0.5 * o.v * o.v) * o.t, o.v * sqt, o.v, o.t,
+              sqt, o.r, 1.0 / o.s, 1.0 / (o.s * o.s * o.v * sqt))
+    put = opt.kind == "put"
+    n_sums = n_k * N_LADDER_GREEK_SUMS
+
+    def block_fn(bkey):
+        def body(i, carry):
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2, plan.rows, LANES), dtype)
+            sums = _ladder_greek_iter((z[0], z[1]), lambda m: ks[m],
+                                      consts, n_k, put, plan.antithetic)
+            return acc_add_n(carry, sums, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        flat = jnp.stack(acc_final_n(carry, plan.kahan))
+        return flat.reshape(n_k, N_LADDER_GREEK_SUMS)
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _ladder_greeks_kernel(seed_ref, off_ref, par_ref, k_ref, out_ref, *,
+                          plan: Plan, n_k: int, put: bool):
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    consts = (par_ref[0], par_ref[1], par_ref[2], par_ref[3], par_ref[4],
+              par_ref[5], par_ref[6], par_ref[7], par_ref[8])
+    n_sums = n_k * N_LADDER_GREEK_SUMS
+
+    def body(i, carry):
+        z1, z2 = draw_normal_pair((plan.rows, LANES), i)
+        sums = _ladder_greek_iter((z1, z2), lambda m: k_ref[m], consts,
+                                  n_k, put, plan.antithetic)
+        return acc_add_n(carry, sums, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    b = pl.program_id(0)
+    for m in range(n_k):
+        for j in range(N_LADDER_GREEK_SUMS):
+            out_ref[b, m, j] = vals[m * N_LADDER_GREEK_SUMS + j]
+
+
+def greek_pallas_partials(opt, strikes, seed, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Fused ladder Greek partials ``(n_blocks, K, 12)`` on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        n_k = strikes.shape[0]
+        sqt = jnp.sqrt(jnp.asarray(o.t, jnp.float32))
+        params = jnp.stack([
+            o.s, (o.r - 0.5 * o.v * o.v) * o.t, o.v * sqt, o.v, o.t, sqt,
+            o.r, 1.0 / o.s, 1.0 / (o.s * o.s * o.v * sqt),
+        ])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_ladder_greeks_kernel, plan=plan,
+                                   n_k=n_k, put=opt.kind == "put")
+        flops_iter = plan.rows * LANES * 2 * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_blocks, n_k, N_LADDER_GREEK_SUMS), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(14 + 24 * n_k) * plan.iters * flops_iter,
+                bytes_accessed=n_blocks * n_k * 4 * N_LADDER_GREEK_SUMS,
+                transcendentals=5 * plan.iters * flops_iter,
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, params,
+          jnp.asarray(strikes, jnp.float32))

@@ -247,3 +247,11 @@ def test_greeks_cli_varswap(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "variance-swap" in out and "vega" in out and "exact" in out
+
+
+def test_greeks_cli_ladder(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "ladder", "--paths", "16384"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "strike-ladder risk sweep" in out and "BS gamma" in out

@@ -1581,3 +1581,112 @@ class TestEngineGreeksVarswap:
             for name in ("price", "vega", "rho"):
                 assert float(getattr(base, name).price) == float(
                     getattr(shard, name).price), name
+
+
+class TestEngineGreeksLadder:
+    """Per-strike risk ladder: six Greek vectors from one path sweep."""
+
+    STRIKES = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _want(self, km, kind):
+        cf = {k: float(v) for k, v in
+              mcmath.bs_greeks(100.0, km, 0.05, 0.2, 1.0).items()}
+        if kind == "put":
+            disc = np.exp(-0.05)
+            cf["price"] -= 100.0 - km * disc
+            cf["delta"] -= 1.0
+            cf["rho"] -= km * disc
+            cf["theta"] -= 0.05 * km * disc
+        return cf
+
+    @pytest.mark.parametrize("kind", ["call", "put"])
+    def test_each_strike_matches_bs(self, kind):
+        from mctpu import engine
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                            kind=kind)
+        g = engine.greeks_vanilla_ladder(opt, self.STRIKES, 1 << 17, KEY,
+                                         self._cfg())
+        for i, km in enumerate(self.STRIKES):
+            cf = self._want(float(km), kind)
+            for nm in ("price", "delta", "vega", "rho", "theta", "gamma"):
+                r = getattr(g, nm)
+                got = float(np.asarray(r.price)[i])
+                se = max(float(np.asarray(r.std_error)[i]), 1e-12)
+                assert abs(got - cf[nm]) < 4 * se, (kind, float(km), nm,
+                                                    got, cf[nm])
+
+    def test_ladder_matches_single_strike_kernel(self):
+        """Strike m of the ladder == greeks_vanilla at that strike up to
+        draw-stream differences (gate via z-scores between the two)."""
+        from mctpu import engine
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        g = engine.greeks_vanilla_ladder(opt, self.STRIKES, 1 << 16, KEY,
+                                         self._cfg())
+        import dataclasses as dc
+        single = engine.greeks_vanilla(dc.replace(opt, k=110.0), 1 << 16,
+                                       KEY, self._cfg())
+        i = 3  # strike 110
+        for nm in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            a = float(np.asarray(getattr(g, nm).price)[i])
+            b = float(getattr(single, nm).price)
+            se = np.hypot(float(np.asarray(getattr(g, nm).std_error)[i]),
+                          float(getattr(single, nm).std_error))
+            assert abs(a - b) < 5 * se, (nm, a, b)
+
+    def test_arbitrage_consistency_of_greek_ladders(self):
+        """Comonotone draws: call delta/price ladders monotone in K
+        path-exactly (not just within noise)."""
+        from mctpu import engine
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        g = engine.greeks_vanilla_ladder(opt, self.STRIKES, 1 << 15, KEY,
+                                         self._cfg())
+        assert (np.diff(np.asarray(g.price.price)) < 0).all()
+        assert (np.diff(np.asarray(g.delta.price)) < 0).all()
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        g = engine.greeks_vanilla_ladder(opt, self.STRIKES, 1 << 16, KEY,
+                                         self._cfg(antithetic=True))
+        for i, km in enumerate(self.STRIKES):
+            cf = self._want(float(km), "call")
+            got = float(np.asarray(g.delta.price)[i])
+            se = max(float(np.asarray(g.delta.std_error)[i]), 1e-12)
+            assert abs(got - cf["delta"]) < 4 * se
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        ks = np.array([90.0, 100.0, 110.0])
+        x = engine.greeks_vanilla_ladder(opt, ks, 1 << 13, KEY, self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_vanilla_ladder(opt, ks, 1 << 13, KEY, pcfg)
+        for nm in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            xa, pa = getattr(x, nm), getattr(p, nm)
+            se = np.hypot(np.asarray(xa.std_error),
+                          np.asarray(pa.std_error))
+            d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
+            assert (d < 5 * se).all(), nm
+
+    def test_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        base = engine.greeks_vanilla_ladder(opt, self.STRIKES, 1 << 14,
+                                            KEY, self._cfg())
+        shard = engine.greeks_vanilla_ladder(
+            opt, self.STRIKES, 1 << 14, KEY,
+            self._cfg(mesh=path_mesh(devs[:8])))
+        for nm in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, nm).price),
+                np.asarray(getattr(shard, nm).price), err_msg=nm)

@@ -604,3 +604,18 @@ def test_greeks_varswap_on_chip():
         tol = 4 * float(r.std_error) + 0.02 * abs(wanth[nm])
         assert abs(float(r.price) - wanth[nm]) < tol, (nm, float(r.price),
                                                        wanth[nm])
+
+
+def test_greeks_ladder_on_chip():
+    """Per-strike Greek ladder on the hardware PRNG: every strike's six
+    outputs within 4 sigma of bs_greeks, delta ladder monotone."""
+    strikes = np.array([80.0, 90.0, 100.0, 110.0, 120.0])
+    res = engine.greeks_vanilla_ladder(OPT, strikes, 1 << 20, KEY, _cfg())
+    for i, km in enumerate(strikes):
+        cf = mcmath.bs_greeks(100.0, float(km), 0.048790, 0.2, 1.0)
+        for nm in ('price', 'delta', 'vega', 'rho', 'theta', 'gamma'):
+            got = float(np.asarray(getattr(res, nm).price)[i])
+            se = max(float(np.asarray(getattr(res, nm).std_error)[i]),
+                     1e-12)
+            assert abs(got - float(cf[nm])) < 4 * se, (float(km), nm)
+    assert (np.diff(np.asarray(res.delta.price)) < 0).all()
