@@ -28,7 +28,7 @@ def main(argv=None):
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "lookback",
                             "rainbow", "varswap", "ladder", "barrier",
-                            "heston", "cva", "american"],
+                            "heston", "cva", "cva-multi", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -133,6 +133,48 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")
+        return 0
+
+    if args.product == "cva-multi":
+        import dataclasses as dc
+
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import CvaMultiSpec
+        m = args.assets
+        corr = np.full((m, m), 0.3) + 0.7 * np.eye(m)
+        spec = CvaMultiSpec(
+            intensity=0.03, lgd=0.6,
+            s=args.spot * (1.0 - 0.05 * np.arange(m)),
+            v=args.vol * (1.0 + 0.25 * np.arange(m)), corr=corr,
+            r=args.rate, t=args.maturity,
+            strikes=args.strike * np.ones(m), weights=np.ones(m),
+            n_grid=args.obs)
+        res, dt = common.timed(engine.greeks_cva_multi, spec, args.paths,
+                               key)
+
+        def cf(sp):
+            return float(mcmath.cva_multi_closed_form(
+                sp.intensity, sp.lgd, sp.s, sp.v, sp.strikes, sp.weights,
+                sp.r, sp.t, sp.n_grid))
+
+        h = 1e-4
+        cd_fd = (cf(dc.replace(spec, intensity=0.03 + h))
+                 - cf(dc.replace(spec, intensity=0.03 - h))) / (2 * h)
+        print(f"\nnetting-set CVA Greeks over {m} correlated underlyings "
+              f"(grid {args.obs}), paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms")
+        print(f"{'output':>12} | {'pathwise MC':>24} | {'closed form':>12}")
+        print(f"{'cva':>12} | {float(res.cva.price):24.6f} | "
+              f"{cf(spec):12.6f}")
+        print(f"{'credit_delta':>12} | "
+              f"{float(res.credit_delta.price):24.6f} | {cd_fd:12.6f}")
+        for name in ("delta", "vega"):
+            r = getattr(res, name)
+            pv = np.asarray(r.price, dtype=np.float64)
+            print(f"{name:>12} | {np.array2string(pv, precision=5):>24} | "
+                  f"{'(per-underlying)':>12}")
         return 0
 
     if args.product == "ladder":

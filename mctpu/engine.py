@@ -53,8 +53,8 @@ from mctpu.kernels import vanilla as kvanilla
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
 from mctpu.types import (AsianOption, BarrierOption, BasketOption,
-                         CvaPortfolioSpec, CvaResult, CvaSpec, HestonOption,
-                         McResult, Precision, VanillaOption)
+                         CvaMultiSpec, CvaPortfolioSpec, CvaResult, CvaSpec,
+                         HestonOption, McResult, Precision, VanillaOption)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
@@ -65,7 +65,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
            "greeks_varswap", "greeks_vanilla_ladder", "greeks_barrier",
-           "greeks_heston", "greeks_cva", "greeks_american"]
+           "greeks_heston", "greeks_cva", "greeks_cva_multi",
+           "greeks_american"]
 
 
 def _default_backend() -> str:
@@ -919,6 +920,81 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                               dxi=est(6))
 
 
+def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
+                     config: EngineConfig = EngineConfig()) \
+        -> "CvaGreeksResult":
+    """Netting-set CVA sensitivities over M correlated underlyings.
+
+    The multi-underlying completion of :func:`greeks_cva`: scalar credit
+    delta (dCVA/dlambda, the CDS hedge ratio of the netting set) plus
+    PER-UNDERLYING spot delta and vega vectors, fused into the correlated
+    exposure walk (``kernels/cva_multi.py``, Greeks section).  The packed
+    lane layout makes the per-underlying tangents nearly free — each lane
+    already is one underlying, so ``d log S_m/dv_m`` is one carried FMA
+    per lane per step.  All-long netting sets gate against f64 finite
+    differences of the exact closed form
+    (:func:`mctpu.math.cva_multi_closed_form`); mixed-sign sets against
+    CRN bumps.  Second-order outputs are ``None`` here (the single-
+    underlying :func:`greeks_cva` carries them); use CRN bumps for
+    netting-set gamma.  CVA estimator semantics: undiscounted mean.
+    """
+    from mctpu.kernels import cva_multi as kmulti
+    from mctpu.types import CvaGreeksResult
+
+    spec.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    m = spec.n_underlyings
+    a_tile, c, width = kbasket.pack_factor(m)
+    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    plan = kmulti.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                            cfg.dtype_str, cfg.precision.kahan,
+                            n_underlyings=m)
+    cache_key = ("greeks_cva_multi", spec.n_grid, m, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(sp, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(sp.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda a, off, nb: kmulti.greek_pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kmulti.greek_xla_partials(
+                    a[0], a[1], a[2], off, plan, nb)
+            partials, vecs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (sp, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
+            # Fold the c packed path groups back onto the underlying slots.
+            vtot = vtot.reshape(4, c, a_tile).sum(axis=1)[:, :m]
+            s0 = jnp.asarray(sp.s, wide)
+            # Apply the homogeneity 1/s0_m scale to the delta sums.
+            vtot = vtot.at[0].divide(s0).at[1].divide(s0 * s0)
+            return total, vtot
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot = runner(spec, key)
+    n = plan.total_units
+
+    def est(i):
+        # CVA semantics: undiscounted mean (MonteCarloKernel.cu:467).
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=1.0, n_paths=plan.total_paths)
+
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=1.0,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=1.0,
+                          n_paths=plan.total_paths)
+    return CvaGreeksResult(cva=est(0), credit_delta=est(1), delta=delta,
+                           vega=vega)
+
+
 def greeks_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
                           key: jax.Array,
                           config: EngineConfig = EngineConfig()) \
@@ -1153,6 +1229,8 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_heston(opt, n_paths, key, config)
     if isinstance(opt, (CvaSpec, CvaPortfolioSpec)):
         return greeks_cva(opt, n_paths, key, config)
+    if isinstance(opt, CvaMultiSpec):
+        return greeks_cva_multi(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
                     "see mctpu.greeks for autodiff/CRN fallbacks")
 

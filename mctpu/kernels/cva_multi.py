@@ -24,13 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
                                   interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaMultiSpec
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec",
+           "greek_xla_partials", "greek_pallas_partials",
+           "greek_tables", "N_MULTI_GREEK_SCALARS"]
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -303,3 +306,284 @@ def _pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
     )(seed_arr, off_arr, scal, dp, t_rem, ops["s0"], ops["k"], ops["w"],
       ops["v"], ops["drift"], ops["vol"], ops["chol_bd"], ops["isel"])
     return out, ee[:, :g]
+
+
+# ---------------------------------------------------------------------------
+# Greeks: netting-set CVA sensitivities (credit delta + per-underlying
+# delta/vega vectors) fused into the correlated exposure walk
+# ---------------------------------------------------------------------------
+#
+# CVA = lgd * E[sum_j dp_j ee_j], ee_j = max(sum_m w_m BS(S_m, k_m, tau_j),
+# 0).  Pathwise identities (kinks measure-zero, Glasserman 7.2):
+#
+#   credit delta: d(dp_j)/dlambda is a node table
+#     (kernels/cva.py:credit_delta_weights — CvaMultiSpec duck-types it);
+#   delta_m = sum_j dp_j 1{V_j>0} w_m N(d1_mj) S_mj / s0_m
+#     (GBM homogeneity; intrinsic indicator at the final node);
+#   vega_m  = sum_j dp_j 1{V_j>0} w_m [N(d1_mj) S_mj dxv_mj
+#             + S_mj phi(d1_mj) sqrt(tau_j)]
+#     with dxv_m = d log S_m/dv_m = sqrt(dt) sum bt - v_m t_j carried per
+#     lane (ONE FMA per lane per step — the packed layout makes the
+#     per-underlying tangent free: each lane already IS one underlying).
+#
+# The per-path exercise indicator (rows, c) is broadcast back onto the
+# lanes with the transposed indicator matmul (iselT), mirroring the packed
+# basket Greeks kernel's expand (kernels/greeks.py:_basket_greek_tile).
+# Second-order outputs are intentionally absent here (the single-
+# underlying greeks_cva carries them); use CRN bumps for netting-set
+# gamma.  Per block: 4 scalar sums (cva, credit) + (4, width) lane rows
+# (delta, vega sum/sum^2), folded onto the M underlying slots by the host.
+
+N_MULTI_GREEK_SCALARS = 4  # (sum, sum^2) of: cva, credit delta
+
+
+def greek_tables(spec: CvaMultiSpec, dtype):
+    """Per-node scalar tables: dp, ddp/dlambda, tau, sqrt(tau), disc."""
+    from mctpu.kernels.cva import credit_delta_weights
+    g = spec.n_grid
+    dp = mcmath.default_leg_weights(spec.intensity, spec.t, g, dtype=dtype)
+    ddp = credit_delta_weights(spec, dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    tau = jnp.asarray(spec.t, dtype) * (g - j) / g
+    sqtau = jnp.sqrt(tau)
+    disc = jnp.exp(-jnp.asarray(spec.r, dtype) * tau)
+    return dp, ddp, tau, sqtau, disc
+
+
+def _greek_node(x, s, ops, r, tau_j, sqtau_j, disc_j, dxv, mxu: bool):
+    """One node's (ee, dval, vval) tiles from the walk state.
+
+    ``dval``/``vval`` are the per-lane delta/vega integrands (already
+    indicator-masked); ``ee`` the per-path netted positive exposure.
+    """
+    prec = MATMUL_PRECISION
+    last = tau_j <= 0.0
+    tau_safe = jnp.maximum(tau_j, 1e-12)
+    sq = ops["v"] * jnp.maximum(sqtau_j, 1e-6)
+    isig = 1.0 / sq
+    d1 = (x - ops["logk"] + (r + ops["v2half"]) * tau_safe) * isig
+    d2 = d1 - sq
+    nd1 = mcmath.norm_cdf_hastings(d1)
+    bs = s * nd1 - ops["k"] * disc_j * mcmath.norm_cdf_hastings(d2)
+    itm = jnp.where(s > ops["k"], 1.0, 0.0)
+    val = ops["w"] * jnp.where(last, jnp.maximum(s - ops["k"], 0.0), bs)
+    if mxu:
+        net = jnp.dot(val, ops["isel"], precision=prec,
+                      preferred_element_type=jnp.float32)
+    else:
+        c = ops["isel"].shape[1]
+        a_tile = ops["chol_bd"].shape[0] // c
+        net = val.reshape(val.shape[0], c, a_tile).sum(axis=-1)
+    ee = jnp.maximum(net, 0.0)
+    ind = jnp.where(net > 0.0, 1.0, 0.0)
+    if mxu:
+        ind_w = jnp.dot(ind, ops["iselT"], precision=prec,
+                        preferred_element_type=jnp.float32)
+    else:
+        c = ops["isel"].shape[1]
+        a_tile = ops["chol_bd"].shape[0] // c
+        ind_w = jnp.repeat(ind, a_tile, axis=1)
+    nd1_eff = jnp.where(last, itm, nd1)
+    ws = ind_w * ops["w"] * s
+    dval = ws * nd1_eff
+    phi = jnp.where(last, 0.0,
+                    0.3989422804014327 * jnp.exp(-0.5 * d1 * d1))
+    vval = dval * dxv + ws * phi * sqtau_j
+    return ee, dval, vval
+
+
+def _greek_step(j, z, carry, sgn, ops, tables, sp_r, mxu: bool):
+    """One grid step advancing the walk state and the four accumulators."""
+    dp, ddp, tau, sqtau, disc = tables
+    x, dxv, acc, acc_cr, acc_d, acc_v = carry
+    bt = jnp.dot(sgn * z, ops["chol_bd"], precision=MATMUL_PRECISION,
+                 preferred_element_type=jnp.float32)
+    x = x + ops["drift"] + ops["vol"] * bt
+    dxv = dxv + ops["sqdt"] * bt - ops["vdt"]
+    s = jnp.exp(x)
+    ee, dval, vval = _greek_node(x, s, ops, sp_r, tau[j], sqtau[j],
+                                 disc[j], dxv, mxu)
+    return (x, dxv, acc + dp[j] * ee, acc_cr + ddp[j] * ee,
+            acc_d + dp[j] * dval, acc_v + dp[j] * vval)
+
+
+def _greek_walk_init(ops, shape):
+    c = ops["isel"].shape[1]
+    zero_c = jnp.zeros((shape[0], c), jnp.float32)
+    zero_w = jnp.zeros(shape, jnp.float32)
+    return (jnp.broadcast_to(jnp.log(ops["s0"]), shape), zero_w, zero_c,
+            zero_c, zero_w, zero_w)
+
+
+def _greek_walk(z_at, sgn, ops, tables, sp_r, lgd, g: int, shape,
+                mxu: bool):
+    """XLA-twin walk (pre-drawn normals) -> (cva (rows, c), credit
+    (rows, c), delta (rows, width), vega (rows, width)) tiles."""
+    def body(j, carry):
+        return _greek_step(j, z_at(j), carry, sgn, ops, tables, sp_r, mxu)
+
+    _, _, acc, acc_cr, acc_d, acc_v = jax.lax.fori_loop(
+        0, g, body, _greek_walk_init(ops, shape))
+    return lgd * acc, lgd * acc_cr, lgd * acc_d, lgd * acc_v
+
+
+def greek_ops(spec: CvaMultiSpec, chol, dtype):
+    """Greek-kernel operands: :func:`pack_spec` plus the tangent rows."""
+    ops = pack_spec(spec, chol, dtype)
+    g = spec.n_grid
+    dt = jnp.asarray(spec.t, dtype) / g
+    ops["iselT"] = ops["isel"].T.copy()
+    ops["logk"] = jnp.log(ops["k"])
+    ops["v2half"] = 0.5 * ops["v"] * ops["v"]
+    ops["sqdt"] = jnp.sqrt(dt)
+    ops["vdt"] = ops["v"] * dt
+    return ops
+
+
+def greek_xla_partials(spec: CvaMultiSpec, chol, key: jax.Array,
+                       block_offset, plan: Plan, n_blocks: int):
+    """Per-block Greek partials:
+    ``((n_blocks, 4), (n_blocks, 4, width))``."""
+    dtype = plan.jdtype
+    sp = spec.astype(dtype)
+    g = spec.n_grid
+    ops = greek_ops(sp, chol, dtype)
+    tables = greek_tables(sp, dtype)
+    width = ops["chol_bd"].shape[0]
+    shape = (plan.rows, width)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            acc, vecs = carry
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g,) + shape, dtype)
+            tiles = _greek_walk(lambda j: z_seq[j], 1.0, ops, tables,
+                                sp.r, sp.lgd, g, shape, mxu=False)
+            if plan.antithetic:
+                mt = _greek_walk(lambda j: z_seq[j], -1.0, ops, tables,
+                                 sp.r, sp.lgd, g, shape, mxu=False)
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, mt))
+            cva_t, cr_t, d_t, v_t = tiles
+            acc = acc_add_n(acc, (jnp.sum(cva_t), jnp.sum(cva_t * cva_t),
+                                  jnp.sum(cr_t), jnp.sum(cr_t * cr_t)),
+                            plan.kahan)
+            vecs = vecs + jnp.stack([
+                jnp.sum(d_t, axis=0), jnp.sum(d_t * d_t, axis=0),
+                jnp.sum(v_t, axis=0), jnp.sum(v_t * v_t, axis=0)])
+            return acc, vecs
+
+        acc, vecs = jax.lax.fori_loop(
+            0, plan.iters, body,
+            (acc_init_n(N_MULTI_GREEK_SCALARS, dtype, plan.kahan),
+             jnp.zeros((4, width), dtype)))
+        return jnp.stack(acc_final_n(acc, plan.kahan)), vecs
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _cva_multi_greeks_kernel(seed_ref, off_ref, scal_ref, dp_ref, ddp_ref,
+                             tau_ref, sqtau_ref, disc_ref, s0_ref, k_ref,
+                             logk_ref, w_ref, v_ref, v2h_ref, vdt_ref,
+                             drift_ref, vol_ref, lt_ref, isel_ref,
+                             iselt_ref, out_ref, vec_ref, *, plan: Plan,
+                             n_grid: int):
+    r, lgd, sqdt = scal_ref[0], scal_ref[1], scal_ref[2]
+    ops = {
+        "s0": s0_ref[:], "k": k_ref[:], "logk": logk_ref[:],
+        "w": w_ref[:], "v": v_ref[:], "v2half": v2h_ref[:],
+        "vdt": vdt_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "chol_bd": lt_ref[:], "isel": isel_ref[:], "iselT": iselt_ref[:],
+        "sqdt": sqdt,
+    }
+    width = lt_ref.shape[0]
+    shape = (plan.rows, width)
+    tables = (dp_ref, ddp_ref, tau_ref, sqtau_ref, disc_ref)
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        # Same pairwise Box-Muller consumption as the pricing kernel:
+        # both branches drive grid steps, none are discarded.
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        carry = walk_pairwise(
+            shape, n_grid,
+            lambda j, z, cy: _greek_step(j, z, cy, sgn, ops, tables, r,
+                                         True),
+            _greek_walk_init(ops, shape))
+        _, _, acc, acc_cr, acc_d, acc_v = carry
+        return lgd * acc, lgd * acc_cr, lgd * acc_d, lgd * acc_v
+
+    def body(i, carry):
+        acc, vecs = carry
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            mt = one_walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b2) for a, b2 in zip(tiles, mt))
+        cva_t, cr_t, d_t, v_t = tiles
+        acc = acc_add_n(acc, (jnp.sum(cva_t), jnp.sum(cva_t * cva_t),
+                              jnp.sum(cr_t), jnp.sum(cr_t * cr_t)),
+                        plan.kahan)
+        vecs = vecs + jnp.stack([
+            jnp.sum(d_t, axis=0), jnp.sum(d_t * d_t, axis=0),
+            jnp.sum(v_t, axis=0), jnp.sum(v_t * v_t, axis=0)])
+        return acc, vecs
+
+    acc, vecs = jax.lax.fori_loop(
+        0, plan.iters, body,
+        (acc_init_n(N_MULTI_GREEK_SCALARS, jnp.float32, plan.kahan),
+         jnp.zeros((4, width), jnp.float32)))
+    vals = acc_final_n(acc, plan.kahan)
+    for j in range(N_MULTI_GREEK_SCALARS):
+        out_ref[b, j] = vals[j]
+    vec_ref[0] = vecs
+
+
+def greek_pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset,
+                          plan: Plan, n_blocks: int,
+                          interpret: bool = False):
+    """Fused netting-set CVA Greek partials on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        sp = spec.astype(jnp.float32)
+        g = spec.n_grid
+        ops = greek_ops(sp, chol, jnp.float32)
+        dp, ddp, tau, sqtau, disc = greek_tables(sp, jnp.float32)
+        width = ops["chol_bd"].shape[0]
+        scal = jnp.stack([sp.r, sp.lgd, ops["sqdt"]])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_cva_multi_greeks_kernel, plan=plan,
+                                   n_grid=g)
+        c = ops["isel"].shape[1]
+        paths_iter = plan.rows * c * (2 if plan.antithetic else 1)
+        out, vecs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_blocks, N_MULTI_GREEK_SCALARS),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * plan.rows * g * (4 * width * width
+                                                    + 40 * width),
+                bytes_accessed=n_blocks * (4 + 4 * width) * 4,
+                transcendentals=plan.iters * paths_iter * g * 12,
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, dp, ddp, tau, sqtau, disc, ops["s0"],
+          ops["k"], ops["logk"], ops["w"], ops["v"], ops["v2half"],
+          ops["vdt"], ops["drift"], ops["vol"], ops["chol_bd"],
+          ops["isel"], ops["iselT"])
+    return out, vecs

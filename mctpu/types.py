@@ -994,6 +994,9 @@ class CvaGreeksResult:
         def fmt(r):
             if r is None:
                 return "None"
+            p = np.asarray(r.price)
+            if p.ndim:  # per-underlying vectors (greeks_cva_multi)
+                return np.array2string(p, precision=4)
             return f"{float(r.price):.6f}±{float(r.ci):.6f}"
 
         return (f"CvaGreeksResult(cva={fmt(self.cva)}, "

@@ -255,3 +255,12 @@ def test_greeks_cli_ladder(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "strike-ladder risk sweep" in out and "BS gamma" in out
+
+
+def test_greeks_cli_cva_multi(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "cva-multi", "--paths", "8192",
+                    "--assets", "2", "--obs", "6"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "netting-set CVA Greeks" in out and "credit_delta" in out

@@ -1690,3 +1690,141 @@ class TestEngineGreeksLadder:
             np.testing.assert_array_equal(
                 np.asarray(getattr(base, nm).price),
                 np.asarray(getattr(shard, nm).price), err_msg=nm)
+
+
+class TestEngineGreeksCvaMulti:
+    """Netting-set CVA Greeks over correlated underlyings.
+
+    All-long weights admit the exact closed form
+    (``cva_multi_closed_form``), so credit delta and every per-underlying
+    delta/vega gate against its f64 finite differences; mixed-sign
+    netting (no closed form) gates against CRN bumps of the pricer
+    (shared draw streams on the XLA twin make them exact).
+    """
+
+    CORR = np.array([[1.0, 0.4, 0.2], [0.4, 1.0, 0.3], [0.2, 0.3, 1.0]])
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _spec(self, weights=(1.0, 0.5, 0.8), n_grid=25):
+        from mctpu.types import CvaMultiSpec
+        return CvaMultiSpec(intensity=0.03, lgd=0.6,
+                            s=np.array([100.0, 95.0, 105.0]),
+                            v=np.array([0.2, 0.25, 0.3]), corr=self.CORR,
+                            r=0.05, t=1.0,
+                            strikes=np.array([100.0, 90.0, 110.0]),
+                            weights=np.asarray(weights, np.float64),
+                            n_grid=n_grid)
+
+    def _cf(self, sp):
+        return float(mcmath.cva_multi_closed_form(
+            sp.intensity, sp.lgd, sp.s, sp.v, sp.strikes, sp.weights,
+            sp.r, sp.t, sp.n_grid))
+
+    def test_all_long_matches_closed_form_fd(self):
+        import dataclasses as dc
+
+        from mctpu import engine
+        spec = self._spec()
+        g = engine.greeks_cva_multi(spec, 1 << 16, KEY, self._cfg())
+        zc = (float(g.cva.price) - self._cf(spec)) / float(
+            g.cva.std_error)
+        assert abs(zc) < 4.0, zc
+        h = 1e-4
+        fd = (self._cf(dc.replace(spec, intensity=0.03 + h))
+              - self._cf(dc.replace(spec, intensity=0.03 - h))) / (2 * h)
+        zl = (float(g.credit_delta.price) - fd) / float(
+            g.credit_delta.std_error)
+        assert abs(zl) < 4.0, (float(g.credit_delta.price), fd)
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = 0.05
+            fd = (self._cf(dc.replace(spec, s=spec.s + e))
+                  - self._cf(dc.replace(spec, s=spec.s - e))) / 0.1
+            got = float(np.asarray(g.delta.price)[i])
+            se = float(np.asarray(g.delta.std_error)[i])
+            assert abs(got - fd) < 4 * se, ("delta", i, got, fd)
+            e[i] = 1e-3
+            fdv = (self._cf(dc.replace(spec, v=spec.v + e))
+                   - self._cf(dc.replace(spec, v=spec.v - e))) / 2e-3
+            gotv = float(np.asarray(g.vega.price)[i])
+            sev = float(np.asarray(g.vega.std_error)[i])
+            assert abs(gotv - fdv) < 4 * sev, ("vega", i, gotv, fdv)
+        assert g.gamma is None and g.credit_gamma is None
+
+    def test_mixed_sign_netting_matches_crn_bumps(self):
+        """Short positions bind the netting floor: gate vs CRN bumps."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        spec = self._spec(weights=(1.0, -0.6, 0.8), n_grid=10)
+        n = 1 << 16
+        g = engine.greeks_cva_multi(spec, n, KEY, self._cfg())
+
+        def price(sp):
+            return float(engine.price_cva_multi(sp, n, KEY,
+                                                self._cfg()).cva)
+
+        assert float(g.cva.price) == pytest.approx(price(spec), rel=1e-5)
+        h = 1e-4
+        fd = (price(dc.replace(spec, intensity=0.03 + h))
+              - price(dc.replace(spec, intensity=0.03 - h))) / (2 * h)
+        tol = 5 * float(g.credit_delta.std_error) + 2e-3 * abs(fd)
+        assert abs(float(g.credit_delta.price) - fd) < tol
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = 0.1
+            fd = (price(dc.replace(spec, s=spec.s + e))
+                  - price(dc.replace(spec, s=spec.s - e))) / 0.2
+            got = float(np.asarray(g.delta.price)[i])
+            assert got == pytest.approx(fd, abs=3e-4), ("delta", i)
+            e[i] = 2e-3
+            fdv = (price(dc.replace(spec, v=spec.v + e))
+                   - price(dc.replace(spec, v=spec.v - e))) / 4e-3
+            gotv = float(np.asarray(g.vega.price)[i])
+            assert gotv == pytest.approx(fdv, rel=0.03, abs=2e-3), \
+                ("vega", i)
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        spec = self._spec(n_grid=10)
+        g = engine.greeks_cva_multi(spec, 1 << 15, KEY,
+                                    self._cfg(antithetic=True))
+        zc = (float(g.cva.price) - self._cf(spec)) / float(g.cva.std_error)
+        assert abs(zc) < 4.0
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        spec = self._spec(n_grid=6)
+        x = engine.greeks_cva_multi(spec, 1 << 13, KEY, self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_cva_multi(spec, 1 << 13, KEY, pcfg)
+        for name in ("cva", "credit_delta"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
+        for name in ("delta", "vega"):
+            xa, pa = getattr(x, name), getattr(p, name)
+            se = np.hypot(np.asarray(xa.std_error),
+                          np.asarray(pa.std_error))
+            d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
+            assert (d < 5 * se).all(), name
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        spec = self._spec(n_grid=6)
+        base = engine.greeks(spec, 1 << 14, KEY, self._cfg())
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        shard = engine.greeks_cva_multi(spec, 1 << 14, KEY,
+                                        self._cfg(mesh=path_mesh(devs[:8])))
+        for name in ("cva", "credit_delta", "delta", "vega"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, name).price),
+                np.asarray(getattr(shard, name).price), err_msg=name)

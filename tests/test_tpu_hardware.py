@@ -619,3 +619,43 @@ def test_greeks_ladder_on_chip():
                      1e-12)
             assert abs(got - float(cf[nm])) < 4 * se, (float(km), nm)
     assert (np.diff(np.asarray(res.delta.price)) < 0).all()
+
+
+def test_greeks_cva_multi_on_chip():
+    """Netting-set CVA Greeks on the hardware PRNG, gated against f64
+    finite differences of the exact all-long closed form."""
+    import dataclasses as dc
+
+    from mctpu.types import CvaMultiSpec
+    corr = np.array([[1.0, 0.4], [0.4, 1.0]])
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6,
+                        s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=corr, r=0.05, t=1.0,
+                        strikes=np.array([100.0, 90.0]),
+                        weights=np.array([1.0, 0.5]), n_grid=25)
+    res = engine.greeks_cva_multi(spec, 1 << 18, KEY, _cfg())
+
+    def cf(sp):
+        return float(mcmath.cva_multi_closed_form(
+            sp.intensity, sp.lgd, sp.s, sp.v, sp.strikes, sp.weights,
+            sp.r, sp.t, sp.n_grid))
+
+    assert _z(res.cva.price, cf(spec), res.cva.std_error) < 4
+    h = 1e-4
+    fd = (cf(dc.replace(spec, intensity=0.03 + h))
+          - cf(dc.replace(spec, intensity=0.03 - h))) / (2 * h)
+    assert _z(res.credit_delta.price, fd, res.credit_delta.std_error) < 4
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = 0.05
+        fd = (cf(dc.replace(spec, s=spec.s + e))
+              - cf(dc.replace(spec, s=spec.s - e))) / 0.1
+        got = float(np.asarray(res.delta.price)[i])
+        se = float(np.asarray(res.delta.std_error)[i])
+        assert abs(got - fd) < 4 * se, ("delta", i)
+        e[i] = 1e-3
+        fdv = (cf(dc.replace(spec, v=spec.v + e))
+               - cf(dc.replace(spec, v=spec.v - e))) / 2e-3
+        gotv = float(np.asarray(res.vega.price)[i])
+        sev = float(np.asarray(res.vega.std_error)[i])
+        assert abs(gotv - fdv) < 4 * sev, ("vega", i)
