@@ -26,9 +26,10 @@ def main(argv=None):
     p.add_argument("--maturity", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
-                   choices=["vanilla", "basket", "asian", "lookback",
-                            "rainbow", "varswap", "ladder", "barrier",
-                            "heston", "cva", "cva-multi", "american"],
+                   choices=["vanilla", "basket", "asian", "basket-asian",
+                            "lookback", "rainbow", "varswap", "ladder",
+                            "barrier", "heston", "cva", "cva-multi",
+                            "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -133,6 +134,27 @@ def main(argv=None):
             r = getattr(res, name)
             print(f"{name:>6} | {float(r.price):12.6f} | "
                   f"±{float(r.ci):8.6f}")
+        return 0
+
+    if args.product == "basket-asian":
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import BasketAsianOption, BasketOption
+        bk = BasketOption.equicorrelated(args.assets, rho=0.3)
+        baopt = BasketAsianOption(bk, n_obs=args.obs)
+        res, dt = common.timed(engine.greeks_basket_asian, baopt,
+                               args.paths, key)
+        print(f"\nbasket-asian call ({args.assets} assets, {args.obs} "
+              f"obs), pathwise Greeks, paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>28} | {'95% CI':>24}")
+        for name in ("price", "delta", "vega", "rho"):
+            r = getattr(res, name)
+            pv = np.atleast_1d(np.asarray(r.price, dtype=np.float64))
+            ci = np.atleast_1d(np.asarray(r.ci, dtype=np.float64))
+            print(f"{name:>6} | {np.array2string(pv, precision=4):>28} | "
+                  f"±{np.array2string(ci, precision=4):>23}")
         return 0
 
     if args.product == "cva-multi":

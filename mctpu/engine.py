@@ -64,7 +64,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
-           "greeks_varswap", "greeks_vanilla_ladder", "greeks_barrier",
+           "greeks_varswap", "greeks_vanilla_ladder",
+           "greeks_basket_asian", "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_cva_multi",
            "greeks_american"]
 
@@ -604,7 +605,8 @@ def greeks_basket(opt: BasketOption, n_paths: int, key: jax.Array,
             total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
             vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
             # Fold the c packed path groups back onto the asset slots.
-            vtot = vtot.reshape(6, c, a_tile).sum(axis=1)[:, :a]
+            vtot = pairwise_tree_sum(
+                vtot.reshape(6, c, a_tile), axis=1)[:, :a]
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return total, vtot, disc
 
@@ -920,6 +922,76 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                               dxi=est(6))
 
 
+def greeks_basket_asian(opt, n_paths: int, key: jax.Array,
+                        config: EngineConfig = EngineConfig()) \
+        -> "GreeksResult":
+    """Per-asset pathwise delta/vega vectors + scalar rho of the
+    basket-Asian call (average of the basket value over ``n_obs`` dates).
+
+    The packed correlated walk carries two extra lane tiles (running
+    spot sum, running ``S * dxv`` sum — ``dxv`` is the per-asset
+    log-spot tangent, one FMA per lane per step) and one extra per-path
+    tile for rho (``kernels/multi_walk.py``, Greeks section).  Gated
+    against the single-asset arithmetic-Asian engine kernel in the
+    ``a = 1`` limit and CRN bumps of :func:`price_basket_asian` (exact:
+    shared draw streams).  Theta is documented-absent (the observation
+    grid moves with maturity — the single-asset Asian's limit applies);
+    gamma likewise (use CRN bumps).
+    """
+    from mctpu.kernels import multi_walk as kmulti_walk
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    bk = opt.basket
+    a = bk.n_assets
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    a_tile, c, width = kbasket.pack_factor(a)
+    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    plan = kmulti_walk.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                                 cfg.dtype_str, cfg.precision.kahan,
+                                 n_assets=a)
+    cache_key = ("greeks_basket_asian", opt.n_obs, a, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(o.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda ar, off, nb: kmulti_walk.greek_pallas_partials(
+                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
+                    n_obs=opt.n_obs, interpret=cfg.interpret)
+            else:
+                fn = lambda ar, off, nb: kmulti_walk.greek_xla_partials(
+                    ar[0], ar[1], ar[2], off, plan, nb, n_obs=opt.n_obs)
+            partials, vecs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (o, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
+            vtot = pairwise_tree_sum(
+                vtot.reshape(4, c, a_tile), axis=1)[:, :a]
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, vtot, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot, disc = runner(bk, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
+                          n_paths=plan.total_paths)
+    return GreeksResult(price=est(0), delta=delta, vega=vega, rho=est(1))
+
+
 def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
                      config: EngineConfig = EngineConfig()) \
         -> "CvaGreeksResult":
@@ -971,7 +1043,8 @@ def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
             total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
             vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
             # Fold the c packed path groups back onto the underlying slots.
-            vtot = vtot.reshape(4, c, a_tile).sum(axis=1)[:, :m]
+            vtot = pairwise_tree_sum(
+                vtot.reshape(4, c, a_tile), axis=1)[:, :m]
             s0 = jnp.asarray(sp.s, wide)
             # Apply the homogeneity 1/s0_m scale to the delta sums.
             vtot = vtot.at[0].divide(s0).at[1].divide(s0 * s0)
@@ -1231,6 +1304,9 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_cva(opt, n_paths, key, config)
     if isinstance(opt, CvaMultiSpec):
         return greeks_cva_multi(opt, n_paths, key, config)
+    from mctpu.types import BasketAsianOption
+    if isinstance(opt, BasketAsianOption):
+        return greeks_basket_asian(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
                     "see mctpu.greeks for autodiff/CRN fallbacks")
 

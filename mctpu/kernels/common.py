@@ -17,7 +17,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
-__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "seed_prng",
+__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "det_col_sums", "seed_prng",
            "draw_normal_pair", "chunk_sums",
            "walk_pairwise", "prng_emulation", "interpret_arg",
            "acc_init_n", "acc_add_n", "acc_final_n"]
@@ -241,6 +241,26 @@ def draw_normal_pair(shape, ctr):
 def chunk_sums(p):
     """(sum, sum of squares) of one payoff tile, reduced on the VPU."""
     return jnp.sum(p), jnp.sum(p * p)
+
+
+def det_col_sums(x):
+    """Fixed-order pairwise column sum: ``(rows, width) -> (width,)``.
+
+    ``jnp.sum(axis=0)``'s reduction order is compiler-chosen and can
+    differ between the sharded and unsharded compilations of the same
+    program (observed: last-ulp drift in the Greek lane vectors under a
+    mesh), breaking the bitwise shard-invariance contract.  An explicit
+    halving tree is a fixed DAG the compiler evaluates as written —
+    same op count as the reduction it replaces.
+    """
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        half = n // 2
+        y = x[:half] + x[half:2 * half]
+        if n % 2:
+            y = jnp.concatenate([y, x[2 * half:]], axis=0)
+        x = y
+    return x[0]
 
 
 # ---------------------------------------------------------------------------

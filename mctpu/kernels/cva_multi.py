@@ -26,7 +26,7 @@ from mctpu import rng as mcrng
 from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
-                                  interpret_arg, prng_emulation, seed_prng,
+                                  det_col_sums, interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaMultiSpec
@@ -468,8 +468,8 @@ def greek_xla_partials(spec: CvaMultiSpec, chol, key: jax.Array,
                                   jnp.sum(cr_t), jnp.sum(cr_t * cr_t)),
                             plan.kahan)
             vecs = vecs + jnp.stack([
-                jnp.sum(d_t, axis=0), jnp.sum(d_t * d_t, axis=0),
-                jnp.sum(v_t, axis=0), jnp.sum(v_t * v_t, axis=0)])
+                det_col_sums(d_t), det_col_sums(d_t * d_t),
+                det_col_sums(v_t), det_col_sums(v_t * v_t)])
             return acc, vecs
 
         acc, vecs = jax.lax.fori_loop(
@@ -525,8 +525,8 @@ def _cva_multi_greeks_kernel(seed_ref, off_ref, scal_ref, dp_ref, ddp_ref,
                               jnp.sum(cr_t), jnp.sum(cr_t * cr_t)),
                         plan.kahan)
         vecs = vecs + jnp.stack([
-            jnp.sum(d_t, axis=0), jnp.sum(d_t * d_t, axis=0),
-            jnp.sum(v_t, axis=0), jnp.sum(v_t * v_t, axis=0)])
+            det_col_sums(d_t), det_col_sums(d_t * d_t),
+            det_col_sums(v_t), det_col_sums(v_t * v_t)])
         return acc, vecs
 
     acc, vecs = jax.lax.fori_loop(

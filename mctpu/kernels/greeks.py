@@ -67,7 +67,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 from mctpu.kernels import basket as kbasket
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
-                                  acc_final_n, acc_init_n, draw_normal_pair,
+                                  acc_final_n, acc_init_n, det_col_sums,
+                                  draw_normal_pair,
                                   interpret_arg, prng_emulation, seed_prng)
 from mctpu.types import BasketOption, VanillaOption
 
@@ -657,9 +658,9 @@ def xla_basket_partials(opt: BasketOption, chol, tilt, key: jax.Array,
                                   jnp.sum(th), jnp.sum(th * th)),
                             plan.kahan)
             vecs = vecs + jnp.stack([
-                jnp.sum(gd, axis=0), jnp.sum(gd * gd, axis=0),
-                jnp.sum(gv, axis=0), jnp.sum(gv * gv, axis=0),
-                jnp.sum(gg, axis=0), jnp.sum(gg * gg, axis=0)])
+                det_col_sums(gd), det_col_sums(gd * gd),
+                det_col_sums(gv), det_col_sums(gv * gv),
+                det_col_sums(gg), det_col_sums(gg * gg)])
             return acc, vecs
 
         acc, vecs = jax.lax.fori_loop(
@@ -703,7 +704,7 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
                               pair(r1, r2), pair(r1 * r1, r2 * r2),
                               pair(th1, th2), pair(th1 * th1, th2 * th2)),
                         plan.kahan)
-        row = lambda x1, x2: (jnp.sum(x1, axis=0) + jnp.sum(x2, axis=0))
+        row = lambda x1, x2: det_col_sums(x1) + det_col_sums(x2)
         vecs = vecs + jnp.stack([
             row(gd1, gd2), row(gd1 * gd1, gd2 * gd2),
             row(gv1, gv2), row(gv1 * gv1, gv2 * gv2),

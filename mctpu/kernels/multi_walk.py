@@ -26,12 +26,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import MATMUL_PRECISION, pack_assets, pack_factor
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
-                                  interpret_arg, prng_emulation, seed_prng,
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+                                  acc_final_n, acc_init_n, chunk_sums,
+                                  det_col_sums, interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials",
+           "greek_xla_partials", "greek_pallas_partials",
+           "N_MW_GREEK_SCALARS"]
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -274,3 +277,256 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["log_s0"], ops["drift"], ops["vol"],
       ops["d"], ops["chol_bd"], ops["wsel"])
+
+
+# ---------------------------------------------------------------------------
+# Greeks: basket-Asian pathwise sensitivities (per-asset delta/vega + rho)
+# ---------------------------------------------------------------------------
+#
+# P = max(Abar - K, 0), Abar = (1/n) sum_j B_j, B_j = sum_m w_m S_m(t_j).
+# Pathwise identities (average kink measure-zero, Glasserman 7.2):
+#
+#   delta_m = I w_m (1/n) sum_j S_m(t_j) / s0_m     (homogeneity per date)
+#   vega_m  = I w_m (1/n) sum_j S_m(t_j) dxv_m(t_j),
+#             dxv_m(t_j) = d log S_m(t_j)/dv_m = sqrt(dt) sum_{i<=j} bt_i
+#                          - v_m t_j              (one carried FMA per step)
+#   rho     = I (1/n) sum_j t_j B_j - t P          (dS/dr = t_j S; discount
+#                                                   term folded in)
+#
+# The walk carries two extra lane tiles (running spot sum AS, running
+# S*dxv sum AV) and one extra per-path tile (t_j-weighted basket sum);
+# the per-path indicator expands onto lanes with the 0/1 selector matmul
+# (same device as kernels/cva_multi.py / kernels/greeks.py).  Theta is
+# documented-absent (the observation grid moves with maturity — same
+# estimator-theory limit as the single-asset Asian); gamma likewise
+# (Stein tilt through the compound average-of-basket map; use CRN bumps).
+# Per block: 4 scalar sums (payoff, rho) + (4, width) lane rows.
+
+N_MW_GREEK_SCALARS = 4  # (sum, sum^2) of: payoff, rho
+
+
+def greek_step_ops(opt, chol, dtype, n_obs: int):
+    """:func:`_step_ops` plus the Greek-walk operand rows."""
+    ops = _step_ops(opt, chol, dtype, n_obs)
+    a = opt.n_assets
+    a_tile, c, width = pack_factor(a)
+    dt = jnp.asarray(opt.t, dtype) / n_obs
+    v_row = ops["vol"] / jnp.sqrt(dt)  # per-lane vols (vol = v sqrt(dt))
+    s0 = pack_assets(opt, chol, dtype)["s0"]
+    esel = jnp.zeros((c, width), dtype)
+    ones = jnp.zeros((a_tile,), dtype).at[:a].set(1.0)
+    for p in range(c):
+        esel = jax.lax.dynamic_update_slice(esel, ones[None, :],
+                                            (p, p * a_tile))
+    ops.update({
+        "esel": esel,
+        "w_row": jnp.sum(ops["wsel"], axis=1).reshape(1, width),
+        "inv_s0": jnp.where(s0 > 0, 1.0 / jnp.maximum(s0, 1e-30), 0.0),
+        "vdt": v_row * dt,
+        "sqdt": jnp.sqrt(dt),
+        "tj": dt * jnp.arange(1, n_obs + 1, dtype=dtype),
+    })
+    return ops
+
+
+def _greek_step_mw(j, z, carry, ops, mxu: bool):
+    """One basket-Asian Greek walk step."""
+    prec = MATMUL_PRECISION
+    x, dxv, acc, tb, a_s, a_v = carry
+    bt = jnp.dot(z, ops["chol_bd"], precision=prec,
+                 preferred_element_type=jnp.float32) + ops["d"]
+    x = x + ops["drift"] + ops["vol"] * bt
+    dxv = dxv + ops["sqdt"] * bt - ops["vdt"]
+    # Padded lanes carry exp(r t_j) here (drift r t, vol 0) — harmless:
+    # wsel and w_row are 0 there, zeroing them out of basket, dval, vval.
+    s = jnp.exp(x)
+    if mxu:
+        basket = jnp.dot(s, ops["wsel"], precision=prec,
+                         preferred_element_type=jnp.float32)
+    else:
+        width = ops["chol_bd"].shape[0]
+        c = ops["wsel"].shape[1]
+        prod = s * ops["w_row"]
+        basket = prod.reshape(prod.shape[0], c, width // c).sum(axis=-1)
+    return (x, dxv, acc + basket, tb + ops["tj"][j] * basket, a_s + s,
+            a_v + s * dxv)
+
+
+def _greek_payoff_mw(carry, ops, k, t, inv_n, mxu: bool):
+    """End-of-walk (payoff, rho, delta-lane, vega-lane) tiles."""
+    prec = MATMUL_PRECISION
+    _, _, acc, tb, a_s, a_v = carry
+    abar = acc * inv_n
+    p = jnp.maximum(abar - k, 0.0)
+    ind = jnp.where(abar > k, 1.0, 0.0)
+    gr = ind * (tb * inv_n) - t * p
+    if mxu:
+        ind_w = jnp.dot(ind, ops["esel"], precision=prec,
+                        preferred_element_type=jnp.float32)
+    else:
+        width = ops["chol_bd"].shape[0]
+        c = ops["wsel"].shape[1]
+        ind_w = jnp.repeat(ind, width // c, axis=1)
+    wiv = ind_w * ops["w_row"] * inv_n
+    dval = wiv * a_s * ops["inv_s0"]
+    vval = wiv * a_v
+    return p, gr, dval, vval
+
+
+def _greek_walk_init_mw(ops, shape, shape_c):
+    zero_w = jnp.zeros(shape, jnp.float32)
+    zero_c = jnp.zeros(shape_c, jnp.float32)
+    return (jnp.broadcast_to(ops["log_s0"], shape), zero_w, zero_c,
+            zero_c, zero_w, zero_w)
+
+
+def greek_xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
+                       n_blocks: int, *, n_obs: int):
+    """Per-block basket-Asian Greek partials:
+    ``((n_blocks, 4), (n_blocks, 4, width))``."""
+    dtype = plan.jdtype
+    o = opt.astype(dtype)
+    ops = greek_step_ops(o, chol, dtype, n_obs)
+    width = ops["chol_bd"].shape[0]
+    c = ops["wsel"].shape[1]
+    shape = (plan.rows, width)
+    shape_c = (plan.rows, c)
+    inv_n = 1.0 / jnp.asarray(float(n_obs), dtype)
+    t = jnp.asarray(o.t, dtype)
+
+    def one_walk(z_seq, sgn):
+        def body(j, carry):
+            return _greek_step_mw(j, sgn * z_seq[j], carry, ops, mxu=False)
+
+        carry = jax.lax.fori_loop(0, n_obs, body,
+                                  _greek_walk_init_mw(ops, shape, shape_c))
+        return _greek_payoff_mw(carry, ops, o.k, t, inv_n, mxu=False)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            acc, vecs = carry
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_obs,) + shape, dtype)
+            tiles = one_walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                mt = one_walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, mt))
+            p, gr, dval, vval = tiles
+            acc = acc_add_n(acc, (jnp.sum(p), jnp.sum(p * p),
+                                  jnp.sum(gr), jnp.sum(gr * gr)),
+                            plan.kahan)
+            vecs = vecs + jnp.stack([
+                det_col_sums(dval), det_col_sums(dval * dval),
+                det_col_sums(vval), det_col_sums(vval * vval)])
+            return acc, vecs
+
+        acc, vecs = jax.lax.fori_loop(
+            0, plan.iters, body,
+            (acc_init_n(N_MW_GREEK_SCALARS, dtype, plan.kahan),
+             jnp.zeros((4, width), dtype)))
+        return jnp.stack(acc_final_n(acc, plan.kahan)), vecs
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _mw_greeks_kernel(seed_ref, off_ref, scal_ref, tj_ref, s0_ref,
+                      drift_ref, vol_ref, d_ref, lt_ref, wsel_ref,
+                      esel_ref, wrow_ref, invs0_ref, vdt_ref, out_ref,
+                      vec_ref, *, plan: Plan, n_obs: int):
+    k, t, inv_n, sqdt = (scal_ref[0], scal_ref[1], scal_ref[2],
+                         scal_ref[3])
+    ops = {
+        "log_s0": s0_ref[:], "drift": drift_ref[:], "vol": vol_ref[:],
+        "d": d_ref[:], "chol_bd": lt_ref[:], "wsel": wsel_ref[:],
+        "esel": esel_ref[:], "w_row": wrow_ref[:],
+        "inv_s0": invs0_ref[:], "vdt": vdt_ref[:], "sqdt": sqdt,
+        "tj": tj_ref,
+    }
+    width = lt_ref.shape[0]
+    c = wsel_ref.shape[1]
+    shape = (plan.rows, width)
+    shape_c = (plan.rows, c)
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+        carry = walk_pairwise(
+            shape, n_obs,
+            lambda j, z, cy: _greek_step_mw(j, sgn * z, cy, ops, True),
+            _greek_walk_init_mw(ops, shape, shape_c))
+        return _greek_payoff_mw(carry, ops, k, t, inv_n, mxu=True)
+
+    def body(i, carry):
+        acc, vecs = carry
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            mt = one_walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b2) for a, b2 in zip(tiles, mt))
+        p, gr, dval, vval = tiles
+        acc = acc_add_n(acc, (jnp.sum(p), jnp.sum(p * p),
+                              jnp.sum(gr), jnp.sum(gr * gr)), plan.kahan)
+        vecs = vecs + jnp.stack([
+            det_col_sums(dval), det_col_sums(dval * dval),
+            det_col_sums(vval), det_col_sums(vval * vval)])
+        return acc, vecs
+
+    acc, vecs = jax.lax.fori_loop(
+        0, plan.iters, body,
+        (acc_init_n(N_MW_GREEK_SCALARS, jnp.float32, plan.kahan),
+         jnp.zeros((4, width), jnp.float32)))
+    vals = acc_final_n(acc, plan.kahan)
+    for j in range(N_MW_GREEK_SCALARS):
+        out_ref[b, j] = vals[j]
+    vec_ref[0] = vecs
+
+
+def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
+                          n_blocks: int, *, n_obs: int,
+                          interpret: bool = False):
+    """Fused basket-Asian Greek partials on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        ops = greek_step_ops(o, chol, jnp.float32, n_obs)
+        width = ops["chol_bd"].shape[0]
+        c = ops["wsel"].shape[1]
+        scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
+                          jnp.asarray(o.t, jnp.float32),
+                          jnp.asarray(1.0 / n_obs, jnp.float32),
+                          ops["sqdt"]])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_mw_greeks_kernel, plan=plan,
+                                   n_obs=n_obs)
+        paths_iter = plan.rows * c * (2 if plan.antithetic else 1)
+        out, vecs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * plan.rows * n_obs * (2 * width * width
+                                                        + 14 * width),
+                bytes_accessed=n_blocks * (4 + 4 * width) * 4,
+                transcendentals=plan.iters * paths_iter * n_obs * 3,
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, ops["tj"], ops["log_s0"], ops["drift"],
+          ops["vol"], ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"],
+          ops["w_row"], ops["inv_s0"], ops["vdt"])
+    return out, vecs

@@ -264,3 +264,12 @@ def test_greeks_cli_cva_multi(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "netting-set CVA Greeks" in out and "credit_delta" in out
+
+
+def test_greeks_cli_basket_asian(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "basket-asian", "--paths", "8192",
+                    "--assets", "3", "--obs", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "basket-asian call" in out and "rho" in out

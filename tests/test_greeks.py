@@ -1828,3 +1828,126 @@ class TestEngineGreeksCvaMulti:
             np.testing.assert_array_equal(
                 np.asarray(getattr(base, name).price),
                 np.asarray(getattr(shard, name).price), err_msg=name)
+
+
+class TestEngineGreeksBasketAsian:
+    """Basket-Asian pathwise Greeks: per-asset delta/vega + rho."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _opt(self, n_obs=8):
+        from mctpu.types import BasketAsianOption
+        return BasketAsianOption(BasketOption.equicorrelated(3, rho=0.3),
+                                 n_obs=n_obs)
+
+    def test_price_matches_pricer_exactly(self):
+        """Shared draw streams: the Greek kernel's price IS the pricer's."""
+        from mctpu import engine
+        opt = self._opt()
+        g = engine.greeks_basket_asian(opt, 1 << 15, KEY, self._cfg())
+        p = engine.price_basket_asian(opt, 1 << 15, KEY, self._cfg())
+        assert float(g.price.price) == float(p.price)
+
+    def test_matches_crn_bumps(self):
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = self._opt()
+        bk = opt.basket
+        n = 1 << 16
+        g = engine.greeks_basket_asian(opt, n, KEY, self._cfg())
+
+        def price(o):
+            return float(engine.price_basket_asian(o, n, KEY,
+                                                   self._cfg()).price)
+
+        s0 = np.asarray(bk.s, np.float64)
+        v0 = np.asarray(bk.v, np.float64)
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = 0.1
+            fd = (price(dc.replace(opt, basket=dc.replace(bk, s=s0 + e)))
+                  - price(dc.replace(opt, basket=dc.replace(bk, s=s0 - e)))
+                  ) / 0.2
+            got = float(np.asarray(g.delta.price)[i])
+            assert got == pytest.approx(fd, abs=5e-4), ("delta", i)
+            e[i] = 2e-3
+            fdv = (price(dc.replace(opt, basket=dc.replace(bk, v=v0 + e)))
+                   - price(dc.replace(opt, basket=dc.replace(bk, v=v0 - e)))
+                   ) / 4e-3
+            gotv = float(np.asarray(g.vega.price)[i])
+            assert gotv == pytest.approx(fdv, rel=0.01, abs=0.02), \
+                ("vega", i)
+        h = 1e-3
+        fd = (price(dc.replace(opt, basket=dc.replace(bk, r=bk.r + h)))
+              - price(dc.replace(opt, basket=dc.replace(bk, r=bk.r - h)))
+              ) / (2 * h)
+        assert float(g.rho.price) == pytest.approx(fd, rel=5e-3)
+
+    def test_single_asset_limit_matches_asian_kernel(self):
+        """a = 1 basket-Asian == the single-asset arithmetic Asian."""
+        from mctpu import engine
+        from mctpu.types import AsianOption, BasketAsianOption
+        bk1 = BasketOption(s=np.array([100.0]), v=np.array([0.2]),
+                           w=np.array([1.0]), corr=np.eye(1),
+                           d=np.zeros(1), k=100.0, r=0.05, t=1.0)
+        g1 = engine.greeks_basket_asian(BasketAsianOption(bk1, n_obs=8),
+                                        1 << 16, KEY, self._cfg())
+        a1 = engine.greeks_asian(
+            AsianOption(100.0, 100.0, 0.05, 0.2, 1.0, n_obs=8,
+                        average="arithmetic"), 1 << 16, KEY, self._cfg())
+        for nm in ("price", "delta", "vega", "rho"):
+            x = float(np.asarray(getattr(g1, nm).price).ravel()[0])
+            y = float(getattr(a1, nm).price)
+            se = np.hypot(
+                float(np.asarray(getattr(g1, nm).std_error).ravel()[0]),
+                float(getattr(a1, nm).std_error))
+            assert abs(x - y) < 5 * se + 1e-6, (nm, x, y)
+
+    def test_antithetic_variant(self):
+        from mctpu import engine
+        opt = self._opt()
+        g = engine.greeks_basket_asian(opt, 1 << 15, KEY,
+                                       self._cfg(antithetic=True))
+        ga = engine.greeks_basket_asian(opt, 1 << 15, KEY, self._cfg())
+        d = np.asarray(g.delta.price) - np.asarray(ga.delta.price)
+        se = np.hypot(np.asarray(g.delta.std_error),
+                      np.asarray(ga.delta.std_error))
+        assert (np.abs(d) < 5 * se).all()
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = self._opt(n_obs=4)
+        x = engine.greeks_basket_asian(opt, 1 << 13, KEY, self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_basket_asian(opt, 1 << 13, KEY, pcfg)
+        for nm in ("price", "rho"):
+            xa, pa = getattr(x, nm), getattr(p, nm)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, nm
+        for nm in ("delta", "vega"):
+            xa, pa = getattr(x, nm), getattr(p, nm)
+            se = np.hypot(np.asarray(xa.std_error),
+                          np.asarray(pa.std_error))
+            d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
+            assert (d < 5 * se).all(), nm
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._opt(n_obs=4)
+        base = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert base.theta is None and base.gamma is None
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        shard = engine.greeks_basket_asian(
+            opt, 1 << 14, KEY, self._cfg(mesh=path_mesh(devs[:8])))
+        for nm in ("price", "delta", "vega", "rho"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, nm).price),
+                np.asarray(getattr(shard, nm).price), err_msg=nm)

@@ -659,3 +659,20 @@ def test_greeks_cva_multi_on_chip():
         gotv = float(np.asarray(res.vega.price)[i])
         sev = float(np.asarray(res.vega.std_error)[i])
         assert abs(gotv - fdv) < 4 * sev, ("vega", i)
+
+
+def test_greeks_basket_asian_on_chip():
+    """Basket-Asian pathwise Greeks on the hardware PRNG: price must
+    equal the pricing kernel bitwise (shared streams); deltas positive
+    and summing below the all-ITM bound."""
+    from mctpu.types import BasketAsianOption
+    bk = BasketOption.equicorrelated(3, rho=0.3)
+    opt = BasketAsianOption(bk, n_obs=8)
+    res = engine.greeks_basket_asian(opt, 1 << 18, KEY, _cfg())
+    p = engine.price_basket_asian(opt, 1 << 18, KEY, _cfg())
+    assert float(res.price.price) == float(p.price)
+    d = np.asarray(res.delta.price)
+    assert (d > 0).all() and d.sum() < 1.0
+    v = np.asarray(res.vega.price)
+    assert (v > 0).all()
+    assert np.isfinite(float(res.rho.price))
