@@ -27,9 +27,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "basket-asian",
-                            "lookback", "rainbow", "varswap", "ladder",
-                            "barrier", "heston", "cva", "cva-multi",
-                            "american"],
+                            "basket-barrier", "lookback", "rainbow",
+                            "varswap", "ladder", "barrier", "heston",
+                            "cva", "cva-multi", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -149,6 +149,29 @@ def main(argv=None):
               f"obs), pathwise Greeks, paths={args.paths}  "
               f"time={dt * 1e3:.2f} ms")
         print(f"{'greek':>6} | {'pathwise MC':>28} | {'95% CI':>24}")
+        for name in ("price", "delta", "vega", "rho"):
+            r = getattr(res, name)
+            pv = np.atleast_1d(np.asarray(r.price, dtype=np.float64))
+            ci = np.atleast_1d(np.asarray(r.ci, dtype=np.float64))
+            print(f"{name:>6} | {np.array2string(pv, precision=4):>28} | "
+                  f"±{np.array2string(ci, precision=4):>23}")
+        return 0
+
+    if args.product == "basket-barrier":
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import BasketBarrierOption, BasketOption
+        bk = BasketOption.equicorrelated(args.assets, rho=0.3)
+        bbopt = BasketBarrierOption(bk, barrier=args.barrier,
+                                    n_obs=args.obs)
+        res, dt = common.timed(engine.greeks_basket_barrier, bbopt,
+                               args.paths, key)
+        print(f"\nup-and-out basket call ({args.assets} assets, barrier "
+              f"{args.barrier}, {args.obs} obs), likelihood-ratio Greeks "
+              f"(unbiased under the knockout), paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'LR MC':>28} | {'95% CI':>24}")
         for name in ("price", "delta", "vega", "rho"):
             r = getattr(res, name)
             pv = np.atleast_1d(np.asarray(r.price, dtype=np.float64))

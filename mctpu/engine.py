@@ -39,6 +39,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from mctpu import estimator as mcest
@@ -65,7 +66,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
            "greeks_varswap", "greeks_vanilla_ladder",
-           "greeks_basket_asian", "greeks_barrier",
+           "greeks_basket_asian", "greeks_basket_barrier",
+           "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_cva_multi",
            "greeks_american"]
 
@@ -992,6 +994,97 @@ def greeks_basket_asian(opt, n_paths: int, key: jax.Array,
     return GreeksResult(price=est(0), delta=delta, vega=vega, rho=est(1))
 
 
+def greeks_basket_barrier(opt, n_paths: int, key: jax.Array,
+                          config: EngineConfig = EngineConfig()) \
+        -> "GreeksResult":
+    """Per-asset LIKELIHOOD-RATIO delta/vega vectors + scalar rho of the
+    knock-out basket call.
+
+    The knockout indicator is discontinuous in every parameter, so
+    pathwise differentiation is biased — the kernel differentiates the
+    path DENSITY instead (Glasserman §7.3), carrying the per-asset
+    z-projections ``q_j = z_j (L^{-1})^T`` with one extra block-diagonal
+    MXU matmul per step (``kernels/multi_walk.py``, barrier Greeks
+    section; the single-asset limits reduce to the classic LR scores).
+    LR variance grows with the monitoring count — the standard trade-off,
+    shared with :func:`greeks_barrier`.  Gated against the single-asset
+    LR barrier kernel at ``a = 1`` and CRN bumps of
+    :func:`price_basket_barrier`.  Theta/gamma documented-absent.
+    """
+    from mctpu.kernels import multi_walk as kmulti_walk
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    bk = opt.basket
+    a = bk.n_assets
+    # The LR reparametrization shifts z along L^{-1} directions: it needs
+    # an INVERTIBLE correlation.  Rank-deficient matrices (e.g. the
+    # reference's alternating +-0.5 matrix beyond 2 assets) admit no such
+    # shift — fail eagerly with guidance rather than emit inf scores.
+    with jax.enable_x64(True):
+        ll = np.asarray(mcmath.cholesky_lower(
+            jnp.asarray(bk.corr, jnp.float64)), np.float64)
+    if np.diag(ll).min() <= 1e-6:
+        raise ValueError(
+            "greeks_basket_barrier needs a full-rank correlation matrix "
+            "(the likelihood-ratio scores shift z along L^-1 directions); "
+            "this correlation is rank-deficient — use CRN bumps "
+            "(mctpu.greeks.bump_and_revalue) instead")
+    up = opt.kind == "up-and-out"
+    barrier = float(opt.barrier)
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    a_tile, c, width = kbasket.pack_factor(a)
+    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    plan = kmulti_walk.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                                 cfg.dtype_str, cfg.precision.kahan,
+                                 n_assets=a)
+    cache_key = ("greeks_basket_barrier", opt.n_obs, a, barrier, up, plan,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(o.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda ar, off, nb: \
+                    kmulti_walk.bar_greek_pallas_partials(
+                        ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan,
+                        nb, n_obs=opt.n_obs, barrier=barrier, up=up,
+                        interpret=cfg.interpret)
+            else:
+                fn = lambda ar, off, nb: \
+                    kmulti_walk.bar_greek_xla_partials(
+                        ar[0], ar[1], ar[2], off, plan, nb,
+                        n_obs=opt.n_obs, barrier=barrier, up=up)
+            partials, vecs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (o, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
+            vtot = pairwise_tree_sum(
+                vtot.reshape(4, c, a_tile), axis=1)[:, :a]
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, vtot, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot, disc = runner(bk, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
+                          n_paths=plan.total_paths)
+    return GreeksResult(price=est(0), delta=delta, vega=vega, rho=est(1))
+
+
 def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
                      config: EngineConfig = EngineConfig()) \
         -> "CvaGreeksResult":
@@ -1304,9 +1397,11 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_cva(opt, n_paths, key, config)
     if isinstance(opt, CvaMultiSpec):
         return greeks_cva_multi(opt, n_paths, key, config)
-    from mctpu.types import BasketAsianOption
+    from mctpu.types import BasketAsianOption, BasketBarrierOption
     if isinstance(opt, BasketAsianOption):
         return greeks_basket_asian(opt, n_paths, key, config)
+    if isinstance(opt, BasketBarrierOption):
+        return greeks_basket_barrier(opt, n_paths, key, config)
     raise TypeError(f"no in-kernel Greeks for {type(opt).__name__}; "
                     "see mctpu.greeks for autodiff/CRN fallbacks")
 

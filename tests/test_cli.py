@@ -273,3 +273,12 @@ def test_greeks_cli_basket_asian(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "basket-asian call" in out and "rho" in out
+
+
+def test_greeks_cli_basket_barrier(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "basket-barrier", "--paths", "8192",
+                    "--assets", "3", "--obs", "4", "--barrier", "150"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "likelihood-ratio" in out and "up-and-out basket" in out

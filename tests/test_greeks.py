@@ -1951,3 +1951,159 @@ class TestEngineGreeksBasketAsian:
             np.testing.assert_array_equal(
                 np.asarray(getattr(base, nm).price),
                 np.asarray(getattr(shard, nm).price), err_msg=nm)
+
+
+class TestEngineGreeksBasketBarrier:
+    """Basket-barrier LIKELIHOOD-RATIO Greeks (pathwise is biased under
+    the knockout).  Gates: the far-barrier limit must reproduce the
+    European basket Greeks (tight pathwise kernel); the a = 1 limit the
+    single-asset LR barrier kernel; CRN bumps within the (large, honest)
+    LR standard errors."""
+
+    def _cfg(self, **kw):
+        from mctpu import engine
+        return engine.EngineConfig(num_blocks=16, rows=8, backend="xla",
+                                   **kw)
+
+    def _opt(self, barrier=130.0, n_obs=8):
+        from mctpu.types import BasketBarrierOption
+        return BasketBarrierOption(BasketOption.equicorrelated(3, rho=0.3),
+                                   barrier=barrier, n_obs=n_obs)
+
+    def test_price_matches_pricer_exactly(self):
+        from mctpu import engine
+        opt = self._opt()
+        g = engine.greeks_basket_barrier(opt, 1 << 15, KEY, self._cfg())
+        p = engine.price_basket_barrier(opt, 1 << 15, KEY, self._cfg())
+        assert float(g.price.price) == float(p.price)
+
+    def test_far_barrier_limit_matches_european_basket_greeks(self):
+        """Knockout never binds -> the LR Greeks must equal the European
+        basket's pathwise Greeks in expectation."""
+        from mctpu import engine
+        opt = self._opt(barrier=1e5)
+        g = engine.greeks_basket_barrier(opt, 1 << 17, KEY, self._cfg())
+        gb = engine.greeks_basket(opt.basket, 1 << 17, KEY, self._cfg())
+        for nm in ("price", "delta", "vega", "rho"):
+            x = np.asarray(getattr(g, nm).price)
+            y = np.asarray(getattr(gb, nm).price)
+            se = np.hypot(np.asarray(getattr(g, nm).std_error),
+                          np.asarray(getattr(gb, nm).std_error))
+            assert (np.abs(x - y) < 4 * se).all(), (nm, x, y)
+
+    def test_single_asset_limit_matches_barrier_kernel(self):
+        from mctpu import engine
+        from mctpu.types import BarrierOption, BasketBarrierOption
+        bk1 = BasketOption(s=np.array([100.0]), v=np.array([0.2]),
+                           w=np.array([1.0]), corr=np.eye(1),
+                           d=np.zeros(1), k=100.0, r=0.05, t=1.0)
+        g1 = engine.greeks_basket_barrier(
+            BasketBarrierOption(bk1, barrier=130.0, n_obs=8), 1 << 16,
+            KEY, self._cfg())
+        b1 = engine.greeks_barrier(
+            BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
+                          n_obs=8), 1 << 16, KEY, self._cfg())
+        for nm in ("price", "delta", "vega", "rho"):
+            x = float(np.asarray(getattr(g1, nm).price).ravel()[0])
+            y = float(getattr(b1, nm).price)
+            se = np.hypot(
+                float(np.asarray(getattr(g1, nm).std_error).ravel()[0]),
+                float(getattr(b1, nm).std_error))
+            assert abs(x - y) < 5 * se + 1e-6, (nm, x, y)
+
+    def test_matches_crn_bumps_within_lr_noise(self):
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = self._opt()
+        bk = opt.basket
+        n = 1 << 17
+        g = engine.greeks_basket_barrier(opt, n, KEY, self._cfg())
+
+        def price(o):
+            return float(engine.price_basket_barrier(o, n, KEY,
+                                                     self._cfg()).price)
+
+        s0 = np.asarray(bk.s, np.float64)
+        v0 = np.asarray(bk.v, np.float64)
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = 0.25
+            fd = (price(dc.replace(opt, basket=dc.replace(bk, s=s0 + e)))
+                  - price(dc.replace(opt, basket=dc.replace(bk, s=s0 - e)))
+                  ) / 0.5
+            got = float(np.asarray(g.delta.price)[i])
+            se = float(np.asarray(g.delta.std_error)[i])
+            # LR noise dominates; the FD also carries lumpy knockout-flip
+            # noise, so allow both.
+            assert abs(got - fd) < 6 * se + 0.003, ("delta", i, got, fd)
+            e[i] = 5e-3
+            fdv = (price(dc.replace(opt, basket=dc.replace(bk, v=v0 + e)))
+                   - price(dc.replace(opt, basket=dc.replace(bk, v=v0 - e)))
+                   ) / 0.01
+            gotv = float(np.asarray(g.vega.price)[i])
+            sev = float(np.asarray(g.vega.std_error)[i])
+            assert abs(gotv - fdv) < 6 * sev + 0.3, ("vega", i, gotv, fdv)
+        h = 2e-3
+        fd = (price(dc.replace(opt, basket=dc.replace(bk, r=bk.r + h)))
+              - price(dc.replace(opt, basket=dc.replace(bk, r=bk.r - h)))
+              ) / (2 * h)
+        got = float(g.rho.price)
+        assert abs(got - fd) < 6 * float(g.rho.std_error) + 0.3, (got, fd)
+
+    def test_down_and_out_variant(self):
+        from mctpu import engine
+        from mctpu.types import BasketBarrierOption
+        opt = BasketBarrierOption(BasketOption.equicorrelated(3, rho=0.3),
+                                  barrier=70.0, n_obs=8,
+                                  kind="down-and-out")
+        g = engine.greeks_basket_barrier(opt, 1 << 15, KEY, self._cfg())
+        assert np.isfinite(np.asarray(g.delta.price)).all()
+        assert (np.asarray(g.delta.price) > 0).all()
+
+    def test_pallas_interpret_twin_consistent(self):
+        from mctpu import engine
+        opt = self._opt(n_obs=4)
+        x = engine.greeks_basket_barrier(opt, 1 << 13, KEY, self._cfg())
+        pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
+                                   interpret=True)
+        p = engine.greeks_basket_barrier(opt, 1 << 13, KEY, pcfg)
+        for nm in ("price", "rho"):
+            xa, pa = getattr(x, nm), getattr(p, nm)
+            se = np.hypot(float(xa.std_error), float(pa.std_error))
+            assert abs(float(xa.price) - float(pa.price)) < 5 * se, nm
+        for nm in ("delta", "vega"):
+            xa, pa = getattr(x, nm), getattr(p, nm)
+            se = np.hypot(np.asarray(xa.std_error),
+                          np.asarray(pa.std_error))
+            d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
+            assert (d < 5 * se).all(), nm
+
+    def test_dispatcher_and_shard_invariance(self):
+        from mctpu import engine
+        from mctpu.parallel import path_mesh
+        opt = self._opt(n_obs=4)
+        base = engine.greeks(opt, 1 << 14, KEY, self._cfg())
+        assert base.theta is None and base.gamma is None
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        shard = engine.greeks_basket_barrier(
+            opt, 1 << 14, KEY, self._cfg(mesh=path_mesh(devs[:8])))
+        for nm in ("price", "delta", "vega", "rho"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, nm).price),
+                np.asarray(getattr(shard, nm).price), err_msg=nm)
+
+
+def test_basket_barrier_greeks_rank_deficient_raises():
+    """The reference's rank-deficient 3-asset corr admits no LR shift."""
+    from mctpu import engine
+    from mctpu.types import BasketBarrierOption
+    opt = BasketBarrierOption(BasketOption.default_reference(3),
+                              barrier=200.0, n_obs=4)
+    with pytest.raises(ValueError, match="full-rank"):
+        engine.greeks_basket_barrier(opt, 1 << 12, KEY,
+                                     engine.EngineConfig(num_blocks=8,
+                                                         rows=8,
+                                                         backend="xla"))

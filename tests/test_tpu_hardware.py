@@ -676,3 +676,25 @@ def test_greeks_basket_asian_on_chip():
     v = np.asarray(res.vega.price)
     assert (v > 0).all()
     assert np.isfinite(float(res.rho.price))
+
+
+def test_greeks_basket_barrier_on_chip():
+    """Basket-barrier LR Greeks on the hardware PRNG: price bitwise
+    equals the pricer; far-barrier limit matches the European basket
+    Greeks within LR noise."""
+    from mctpu.types import BasketBarrierOption
+    bk = BasketOption.equicorrelated(3, rho=0.3)
+    opt = BasketBarrierOption(bk, barrier=130.0, n_obs=8)
+    res = engine.greeks_basket_barrier(opt, 1 << 18, KEY, _cfg())
+    p = engine.price_basket_barrier(opt, 1 << 18, KEY, _cfg())
+    assert float(res.price.price) == float(p.price)
+    far = engine.greeks_basket_barrier(
+        BasketBarrierOption(bk, barrier=1e5, n_obs=8), 1 << 18, KEY,
+        _cfg())
+    eur = engine.greeks_basket(bk, 1 << 18, KEY, _cfg())
+    for nm in ("price", "delta", "vega", "rho"):
+        x = np.asarray(getattr(far, nm).price)
+        y = np.asarray(getattr(eur, nm).price)
+        se = np.hypot(np.asarray(getattr(far, nm).std_error),
+                      np.asarray(getattr(eur, nm).std_error))
+        assert (np.abs(x - y) < 4 * se).all(), nm
