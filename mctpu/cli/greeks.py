@@ -40,6 +40,10 @@ def main(argv=None):
                         "exposure grid (cva)")
     p.add_argument("--wwr-b", type=float, default=0.0,
                    help="wrong-way-risk coupling for --product cva")
+    p.add_argument("--rqmc", action="store_true",
+                   help="vanilla only: the full Greek surface on Sobol "
+                        "nets (16 digitally-shifted replicates; ~an order "
+                        "of magnitude tighter CIs at equal points)")
     p.add_argument("--engine", action="store_true",
                    help="use the in-kernel engine-tier Greeks (fused "
                         "pathwise accumulators with per-Greek CIs) instead "
@@ -478,6 +482,24 @@ def main(argv=None):
         print(f"cf price: {float(mheston.cf_call_price(hopt)):.6f}")
         for name in ("price", "delta", "dv0", "dxi"):
             print(f"{name:>6} | {float(mc[name]):12.6f}")
+        return 0
+
+    if args.rqmc:
+        from mctpu import qmc_engine
+        reps = 16
+        pts = max(args.paths // reps, 1 << 10)
+        res, dt = common.timed(qmc_engine.greeks_vanilla_rqmc, opt, pts,
+                               key, None, reps)
+        cf = mcmath.bs_greeks(opt.s, opt.k, opt.r, opt.v, opt.t)
+        print(f"\nSobol-RQMC Greek surface ({reps} replicates x {pts} "
+              f"points), time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'RQMC':>12} | {'95% CI':>12} | "
+              f"{'closed form':>12}")
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma",
+                     "vanna", "volga"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):10.8f} | {float(cf[name]):12.6f}")
         return 0
 
     if args.engine:

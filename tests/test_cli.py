@@ -282,3 +282,11 @@ def test_greeks_cli_basket_barrier(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "likelihood-ratio" in out and "up-and-out basket" in out
+
+
+def test_greeks_cli_rqmc(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--rqmc", "--paths", "16384"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Sobol-RQMC Greek surface" in out and "volga" in out

@@ -698,3 +698,20 @@ def test_greeks_basket_barrier_on_chip():
         se = np.hypot(np.asarray(getattr(far, nm).std_error),
                       np.asarray(getattr(eur, nm).std_error))
         assert (np.abs(x - y) < 4 * se).all(), nm
+
+
+def test_greeks_vanilla_rqmc_on_chip():
+    """Sobol Greek surface on hardware: all 8 outputs within 4 spread-CI
+    sigmas of bs_greeks, delta CI at least 5x tighter than plain MC."""
+    from mctpu import qmc_engine
+    g = qmc_engine.greeks_vanilla_rqmc(OPT, 1 << 16, KEY, _cfg(),
+                                       replicates=16)
+    cf = mcmath.bs_greeks(100.0, 100.0, 0.048790, 0.2, 1.0)
+    for nm in ("price", "delta", "vega", "rho", "theta", "gamma",
+               "vanna", "volga"):
+        r = getattr(g, nm)
+        assert _z(r.price, float(cf[nm]), max(float(r.std_error),
+                                              1e-15)) < 4, nm
+    mc = engine.greeks_vanilla(OPT, 1 << 20, KEY, _cfg())
+    assert (float(mc.delta.std_error)
+            / max(float(g.delta.std_error), 1e-15)) > 5.0
