@@ -924,6 +924,49 @@ def greeks_heston(opt: HestonOption, n_paths: int, key: jax.Array,
                               dxi=est(6))
 
 
+def _vec_greeks_runner(cfg, backend, plan, pallas_fn, xla_fn, c, a_tile,
+                       keep, spot_scale=False, discounted=True):
+    """Shared jitted runner for the vector-Greeks families (basket-Asian,
+    basket-barrier, CVA-multi): Cholesky prep from ``opt.corr``, backend
+    dispatch, mesh-sharded ``((B, 4), (B, 4, width))`` partials,
+    fixed-order combines, and the deterministic packed-group fold onto
+    the first ``keep`` slots (``pairwise_tree_sum`` — a ``.sum(axis=1)``
+    here has compiler-chosen association that breaks bitwise shard
+    invariance).  ``pallas_fn(opt, chol, seed, off, plan, nb)`` /
+    ``xla_fn(opt, chol, key, off, plan, nb)`` arrive with their product
+    statics pre-bound.  ``spot_scale`` applies the homogeneity
+    ``1/s0`` / ``1/s0^2`` factors to the delta rows (CVA-multi).
+    """
+    def run(o, k):
+        chol = mcmath.cholesky_lower(
+            jnp.asarray(o.corr, mcest.wide_dtype()))
+        if backend == "pallas":
+            fn = lambda ar, off, nb: pallas_fn(
+                ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb)
+        else:
+            fn = lambda ar, off, nb: xla_fn(ar[0], ar[1], ar[2], off,
+                                            plan, nb)
+        partials, vecs = _shard_blocks(
+            cfg, plan.num_blocks, fn, (o, chol, k),
+            (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+        wide = mcest.wide_dtype()
+        total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+        vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
+        vtot = pairwise_tree_sum(
+            vtot.reshape(4, c, a_tile), axis=1)[:, :keep]
+        if spot_scale:
+            s0 = jnp.asarray(o.s, wide)
+            vtot = vtot.at[0].divide(s0).at[1].divide(s0 * s0)
+        if discounted:
+            disc = jnp.exp(-jnp.asarray(o.r, wide)
+                           * jnp.asarray(o.t, wide))
+        else:
+            disc = jnp.asarray(1.0, wide)
+        return total, vtot, disc
+
+    return jax.jit(run)
+
+
 def greeks_basket_asian(opt, n_paths: int, key: jax.Array,
                         config: EngineConfig = EngineConfig()) \
         -> "GreeksResult":
@@ -957,28 +1000,16 @@ def greeks_basket_asian(opt, n_paths: int, key: jax.Array,
     cache_key = ("greeks_basket_asian", opt.n_obs, a, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
-        def run(o, k):
-            chol = mcmath.cholesky_lower(
-                jnp.asarray(o.corr, mcest.wide_dtype()))
-            if backend == "pallas":
-                fn = lambda ar, off, nb: kmulti_walk.greek_pallas_partials(
-                    ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan, nb,
-                    n_obs=opt.n_obs, interpret=cfg.interpret)
-            else:
-                fn = lambda ar, off, nb: kmulti_walk.greek_xla_partials(
-                    ar[0], ar[1], ar[2], off, plan, nb, n_obs=opt.n_obs)
-            partials, vecs = _shard_blocks(
-                cfg, plan.num_blocks, fn, (o, chol, k),
-                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
-            wide = mcest.wide_dtype()
-            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
-            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
-            vtot = pairwise_tree_sum(
-                vtot.reshape(4, c, a_tile), axis=1)[:, :a]
-            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return total, vtot, disc
-
-        runner = jax.jit(run)
+        runner = _vec_greeks_runner(
+            cfg, backend, plan,
+            lambda o, ch, sd, off, pl_, nb:
+                kmulti_walk.greek_pallas_partials(
+                    o, ch, sd, off, pl_, nb, n_obs=opt.n_obs,
+                    interpret=cfg.interpret),
+            lambda o, ch, k, off, pl_, nb:
+                kmulti_walk.greek_xla_partials(
+                    o, ch, k, off, pl_, nb, n_obs=opt.n_obs),
+            c, a_tile, a)
         _RUNNERS[cache_key] = runner
     total, vtot, disc = runner(bk, key)
     n = plan.total_units
@@ -1044,32 +1075,17 @@ def greeks_basket_barrier(opt, n_paths: int, key: jax.Array,
                  cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
-        def run(o, k):
-            chol = mcmath.cholesky_lower(
-                jnp.asarray(o.corr, mcest.wide_dtype()))
-            if backend == "pallas":
-                fn = lambda ar, off, nb: \
-                    kmulti_walk.bar_greek_pallas_partials(
-                        ar[0], ar[1], mcrng.key_to_seed(ar[2]), off, plan,
-                        nb, n_obs=opt.n_obs, barrier=barrier, up=up,
-                        interpret=cfg.interpret)
-            else:
-                fn = lambda ar, off, nb: \
-                    kmulti_walk.bar_greek_xla_partials(
-                        ar[0], ar[1], ar[2], off, plan, nb,
-                        n_obs=opt.n_obs, barrier=barrier, up=up)
-            partials, vecs = _shard_blocks(
-                cfg, plan.num_blocks, fn, (o, chol, k),
-                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
-            wide = mcest.wide_dtype()
-            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
-            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
-            vtot = pairwise_tree_sum(
-                vtot.reshape(4, c, a_tile), axis=1)[:, :a]
-            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
-            return total, vtot, disc
-
-        runner = jax.jit(run)
+        runner = _vec_greeks_runner(
+            cfg, backend, plan,
+            lambda o, ch, sd, off, pl_, nb:
+                kmulti_walk.bar_greek_pallas_partials(
+                    o, ch, sd, off, pl_, nb, n_obs=opt.n_obs,
+                    barrier=barrier, up=up, interpret=cfg.interpret),
+            lambda o, ch, k, off, pl_, nb:
+                kmulti_walk.bar_greek_xla_partials(
+                    o, ch, k, off, pl_, nb, n_obs=opt.n_obs,
+                    barrier=barrier, up=up),
+            c, a_tile, a)
         _RUNNERS[cache_key] = runner
     total, vtot, disc = runner(bk, key)
     n = plan.total_units
@@ -1119,43 +1135,26 @@ def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
     cache_key = ("greeks_cva_multi", spec.n_grid, m, plan, cfg._key())
     runner = _RUNNERS.get(cache_key)
     if runner is None:
-        def run(sp, k):
-            chol = mcmath.cholesky_lower(
-                jnp.asarray(sp.corr, mcest.wide_dtype()))
-            if backend == "pallas":
-                fn = lambda a, off, nb: kmulti.greek_pallas_partials(
-                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
-                    interpret=cfg.interpret)
-            else:
-                fn = lambda a, off, nb: kmulti.greek_xla_partials(
-                    a[0], a[1], a[2], off, plan, nb)
-            partials, vecs = _shard_blocks(
-                cfg, plan.num_blocks, fn, (sp, chol, k),
-                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
-            wide = mcest.wide_dtype()
-            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
-            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide), axis=0)
-            # Fold the c packed path groups back onto the underlying slots.
-            vtot = pairwise_tree_sum(
-                vtot.reshape(4, c, a_tile), axis=1)[:, :m]
-            s0 = jnp.asarray(sp.s, wide)
-            # Apply the homogeneity 1/s0_m scale to the delta sums.
-            vtot = vtot.at[0].divide(s0).at[1].divide(s0 * s0)
-            return total, vtot
-
-        runner = jax.jit(run)
+        runner = _vec_greeks_runner(
+            cfg, backend, plan,
+            lambda o, ch, sd, off, pl_, nb: kmulti.greek_pallas_partials(
+                o, ch, sd, off, pl_, nb, interpret=cfg.interpret),
+            lambda o, ch, k, off, pl_, nb: kmulti.greek_xla_partials(
+                o, ch, k, off, pl_, nb),
+            c, a_tile, m, spot_scale=True, discounted=False)
         _RUNNERS[cache_key] = runner
-    total, vtot = runner(spec, key)
+    total, vtot, disc = runner(spec, key)
     n = plan.total_units
 
     def est(i):
-        # CVA semantics: undiscounted mean (MonteCarloKernel.cu:467).
+        # CVA semantics: undiscounted mean (MonteCarloKernel.cu:467);
+        # the runner's disc is 1.0 (discounted=False).
         return mcest.estimate(total[2 * i], total[2 * i + 1], n,
-                              discount=1.0, n_paths=plan.total_paths)
+                              discount=disc, n_paths=plan.total_paths)
 
-    delta = mcest.estimate(vtot[0], vtot[1], n, discount=1.0,
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=disc,
                            n_paths=plan.total_paths)
-    vega = mcest.estimate(vtot[2], vtot[3], n, discount=1.0,
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=disc,
                           n_paths=plan.total_paths)
     return CvaGreeksResult(cva=est(0), credit_delta=est(1), delta=delta,
                            vega=vega)

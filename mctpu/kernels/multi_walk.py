@@ -314,13 +314,8 @@ def greek_step_ops(opt, chol, dtype, n_obs: int):
     dt = jnp.asarray(opt.t, dtype) / n_obs
     v_row = ops["vol"] / jnp.sqrt(dt)  # per-lane vols (vol = v sqrt(dt))
     s0 = pack_assets(opt, chol, dtype)["s0"]
-    esel = jnp.zeros((c, width), dtype)
-    ones = jnp.zeros((a_tile,), dtype).at[:a].set(1.0)
-    for p in range(c):
-        esel = jax.lax.dynamic_update_slice(esel, ones[None, :],
-                                            (p, p * a_tile))
     ops.update({
-        "esel": esel,
+        "esel": _esel(a, dtype),
         "w_row": jnp.sum(ops["wsel"], axis=1).reshape(1, width),
         "inv_s0": jnp.where(s0 > 0, 1.0 / jnp.maximum(s0, 1e-30), 0.0),
         "vdt": v_row * dt,
@@ -596,6 +591,7 @@ def barrier_greek_ops(opt, chol, dtype, n_obs: int):
     ops.update({
         "esel": esel,
         "eselT": esel.T.copy(),
+        "w_row": jnp.sum(ops["wsel"], axis=1).reshape(1, -1),
         "linvT_bd": linv_bd,
         "cd_row": jnp.where(
             safe, 1.0 / jnp.maximum(s0 * v_row * sqdt, 1e-30), 0.0),
@@ -681,7 +677,6 @@ def bar_greek_xla_partials(opt, chol, key: jax.Array, block_offset,
     dtype = plan.jdtype
     o = opt.astype(dtype)
     ops = barrier_greek_ops(o, chol, dtype, n_obs)
-    ops["w_row"] = jnp.sum(ops["wsel"], axis=1).reshape(1, -1)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
     shape = (plan.rows, width)

@@ -215,6 +215,30 @@ def _directions_np() -> np.ndarray:
 # Vanilla (1-D net): XLA twin + fused Pallas kernel
 # ---------------------------------------------------------------------------
 
+def _net_chunk_bits(plan: Plan, v_scalars, shift):
+    """``bits(chunk_idx)`` for a 1-D net, with the gray-code LOW tile
+    hoisted out of the chunk loop when the chunk size is a power of two
+    (see the chunk-split derivation above).  Shared by the price and
+    Greek replicate kernels so the net construction cannot drift."""
+    lb = _chunk_log2(plan.rows * LANES)
+    if lb is None:
+        def bits(c):
+            return _sobol_tile(_point_index_tile(c, plan.rows), v_scalars,
+                               shift)
+
+        return bits
+    j = (jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 0)
+         * jnp.uint32(LANES)
+         + jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 1))
+    low = _sobol_low_tile(j, v_scalars, lb)
+
+    def bits(c):
+        base = jnp.uint32(c) * jnp.uint32(plan.rows * LANES)
+        return low ^ _sobol_chunk_const(base, v_scalars, shift, lb)
+
+    return bits
+
+
 def _vanilla_rep_sums(shift, params, plan: Plan, v_scalars, dtype, put):
     """Kahan (sum, comp, sum2, comp2) of undiscounted payoffs over one
     replicate's net.
@@ -224,22 +248,10 @@ def _vanilla_rep_sums(shift, params, plan: Plan, v_scalars, dtype, put):
     nets; the f64 combine outside reconstructs full precision.
     """
     s0, k, mu, sig = params
-    lb = _chunk_log2(plan.rows * LANES)
-    if lb is not None:
-        # LOW(j) is chunk-invariant: build it once, outside the loop.
-        j = (jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 0)
-             * jnp.uint32(LANES)
-             + jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 1))
-        low = _sobol_low_tile(j, v_scalars, lb)
+    net_bits = _net_chunk_bits(plan, v_scalars, shift)
 
     def chunk(c, carry):
-        if lb is None:
-            idx = _point_index_tile(c, plan.rows)
-            bits = _sobol_tile(idx, v_scalars, shift)
-        else:
-            base = jnp.uint32(c) * jnp.uint32(plan.rows * LANES)
-            bits = low ^ _sobol_chunk_const(base, v_scalars, shift, lb)
-        z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
+        z = _norm_ppf(_u_from_bits30(net_bits(c), dtype), dtype)
         st = s0 * jnp.exp(mu + sig * z)
         p = jnp.maximum(k - st, 0.0) if put else jnp.maximum(st - k, 0.0)
         return acc_add_n(carry, (jnp.sum(p), jnp.sum(p * p)), True)
@@ -329,21 +341,10 @@ def _vanilla_greek_rep_sums(shift, params, plan: Plan, v_scalars, dtype,
     """(32,) per-replicate Kahan quads: 8 Greek outputs x (s, c, s2, c2)."""
     from mctpu.kernels.greeks import _greek_tile
     s0, k, r, v, t, mu, sig, sqt = params
-    lb = _chunk_log2(plan.rows * LANES)
-    if lb is not None:
-        j = (jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 0)
-             * jnp.uint32(LANES)
-             + jax.lax.broadcasted_iota(jnp.uint32, (plan.rows, LANES), 1))
-        low = _sobol_low_tile(j, v_scalars, lb)
+    net_bits = _net_chunk_bits(plan, v_scalars, shift)
 
     def chunk(c, carry):
-        if lb is None:
-            idx = _point_index_tile(c, plan.rows)
-            bits = _sobol_tile(idx, v_scalars, shift)
-        else:
-            base = jnp.uint32(c) * jnp.uint32(plan.rows * LANES)
-            bits = low ^ _sobol_chunk_const(base, v_scalars, shift, lb)
-        z = _norm_ppf(_u_from_bits30(bits, dtype), dtype)
+        z = _norm_ppf(_u_from_bits30(net_bits(c), dtype), dtype)
         tiles = _greek_tile(s0, k, r, v, t, mu, sig, sqt, z,
                             antithetic=False, put=put)
         vals = []
@@ -848,8 +849,17 @@ def _eager_pallas_workaround() -> bool:
 # floor; for more f32 accuracy, add replicates, not points.)
 F32_ACCURACY_FLOOR = 1e-5
 
+# The GREEK integrands amplify the same deterministic f32 ppf error: the
+# pure-indicator outputs (rho = t K 1{S>K}, the LR-weighted gamma) turn
+# the ~5e-5 max erf_inv abscissa error into a value bias measured at
+# 8.5e-5 relative on rho (shared by every digitally-shifted replicate, so
+# the between-replicate spread cannot see it).  Their CI floor is wider
+# accordingly; f64 XLA runs have no floor.
+F32_GREEK_ACCURACY_FLOOR = 2e-4
 
-def _rqmc_estimate(partials, n_pts: int, disc, f32: bool = True) -> McResult:
+
+def _rqmc_estimate(partials, n_pts: int, disc, f32: bool = True,
+                   floor: float = F32_ACCURACY_FLOOR) -> McResult:
     """Replicate-spread estimator with genuine accumulator sums.
 
     ``partials``: (R, 4) per-replicate Kahan (sum, comp, sum2, comp2) of
@@ -872,7 +882,7 @@ def _rqmc_estimate(partials, n_pts: int, disc, f32: bool = True) -> McResult:
     disc = jnp.asarray(disc, wide)
     se = disc * jnp.sqrt(var / r)
     if f32:
-        se = jnp.maximum(se, F32_ACCURACY_FLOOR * jnp.abs(disc * mean))
+        se = jnp.maximum(se, floor * jnp.abs(disc * mean))
     sums = pairwise_tree_sum(p, axis=0)
     return McResult(price=disc * mean, ci=1.96 * se, std_error=se,
                     sum_p=sums[0], sum_p2=sums[1], n=r,
@@ -992,7 +1002,8 @@ def greeks_vanilla_rqmc(opt: VanillaOption, n_points: int,
 
     def est(i):
         return _rqmc_estimate(partials[:, 4 * i:4 * i + 4],
-                              plan.paths_per_block, disc, f32=f32)
+                              plan.paths_per_block, disc, f32=f32,
+                              floor=F32_GREEK_ACCURACY_FLOOR)
 
     return GreeksResult(price=est(0), delta=est(1), vega=est(2),
                         rho=est(3), theta=est(4), gamma=est(5),

@@ -996,7 +996,9 @@ class CvaGreeksResult:
                 return "None"
             p = np.asarray(r.price)
             if p.ndim:  # per-underlying vectors (greeks_cva_multi)
-                return np.array2string(p, precision=4)
+                ci = np.asarray(r.ci)
+                return (f"{np.array2string(p, precision=4)}"
+                        f"±{np.array2string(ci, precision=4)}")
             return f"{float(r.price):.6f}±{float(r.ci):.6f}"
 
         return (f"CvaGreeksResult(cva={fmt(self.cva)}, "
