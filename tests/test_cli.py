@@ -290,3 +290,12 @@ def test_greeks_cli_rqmc(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Sobol-RQMC Greek surface" in out and "volga" in out
+
+
+def test_exotic_cli_mlmc_barrier(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(["--product", "mlmc-barrier", "--eps", "0.2",
+                      "--barrier", "130"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "mlmc barrier" in out and "continuous closed form" in out

@@ -247,3 +247,91 @@ class TestAsianMlmc:
         sex = np.sqrt(max(sx2 / nx - mx * mx, 0) / nx)
         sep = np.sqrt(max(sp2 / npp - mp * mp, 0) / npp)
         assert abs(mx - mp) < 5 * np.hypot(sex, sep)
+
+
+class TestBarrierMlmc:
+    """Monitoring-frequency MLMC for the knock-out barrier (alpha = 1/2
+    convergence to the continuous limit, beta ~= 1/2 level variance)."""
+
+    def _opt(self):
+        from mctpu.types import BarrierOption
+        return BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
+                             n_obs=8)
+
+    def test_level_means_match_pricer_differences(self):
+        """Level mean == price(n_f) - price(n_c) of independent pricer
+        runs (undiscounted), within combined noise."""
+        import dataclasses as dc
+
+        from mctpu import engine
+        opt = self._opt()
+        disc = np.exp(-0.05)
+        for lv in (1, 2):
+            s, s2, n = mlmc.barrier_level_partials(
+                opt, jax.random.fold_in(KEY, lv), lv, 8, 1 << 16, CFG)
+            m = s / n
+            v = max(s2 / n - m * m, 0.0)
+            nf, nc = 8 * 2 ** lv, 4 * 2 ** lv
+            pf = engine.price_barrier(dc.replace(opt, n_obs=nf), 1 << 17,
+                                      KEY, CFG)
+            pc = engine.price_barrier(dc.replace(opt, n_obs=nc), 1 << 17,
+                                      KEY, CFG)
+            want = (float(pf.price) - float(pc.price)) / disc
+            tol = 4 * np.hypot(np.sqrt(v / n),
+                               np.hypot(float(pf.std_error),
+                                        float(pc.std_error)) / disc)
+            assert abs(m - want) < tol, (lv, m, want)
+            assert m < 0  # finer monitoring knocks out MORE up-and-out
+
+    def test_variance_decays_at_beta_half(self):
+        stats = {}
+        for lv in (1, 3):
+            s, s2, n = mlmc.barrier_level_partials(
+                opt := self._opt(), jax.random.fold_in(KEY, lv), lv, 8,
+                1 << 16, CFG)
+            m = s / n
+            stats[lv] = max(s2 / n - m * m, 0.0)
+        # beta ~= 1/2: two levels should shed ~2x variance; gate at 1.5.
+        assert stats[3] < stats[1] / 1.5, stats
+
+    def test_estimator_approaches_continuous_closed_form(self):
+        from mctpu import math as mcmath
+        opt = self._opt()
+        res = mlmc.price_barrier_mlmc(opt, 0.05, KEY, CFG, n0=8,
+                                      max_levels=9, n_pilot=1 << 13)
+        cont = float(mcmath.up_and_out_call(100.0, 100.0, 0.05, 0.2, 1.0,
+                                            130.0))
+        # alpha = 1/2 leaves a documented remaining-bias estimate; gate
+        # at the total-error budget plus it.
+        last = abs(res.levels[-1].mean) * np.exp(-0.05)
+        bias_est = last / (2 ** 0.5 - 1.0)
+        assert abs(res.price - cont) < 0.05 + bias_est + 3 * res.std_error
+        # the telescoped sum must sit BETWEEN the coarse price and the
+        # continuous limit (monotone knockout refinement)
+        assert res.price > cont
+
+    def test_level_bitwise_shard_invariant(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mctpu.parallel import path_mesh
+        base = mlmc.barrier_level_partials(self._opt(), KEY, 2, 8,
+                                           1 << 14, CFG)
+        mcfg = EngineConfig(num_blocks=8, rows=8, backend="xla",
+                            mesh=path_mesh(devs[:8]))
+        shard = mlmc.barrier_level_partials(self._opt(), KEY, 2, 8,
+                                            1 << 14, mcfg)
+        assert base[0] == shard[0] and base[1] == shard[1]
+
+    @pytest.mark.slow
+    def test_level_kernel_interpret_parity(self):
+        icfg = EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                            interpret=True)
+        sx, sx2, nx = mlmc.barrier_level_partials(self._opt(), KEY, 2, 8,
+                                                  1 << 13, CFG)
+        sp, sp2, npp = mlmc.barrier_level_partials(self._opt(), KEY, 2, 8,
+                                                   1 << 13, icfg)
+        mx, mp = sx / nx, sp / npp
+        sex = np.sqrt(max(sx2 / nx - mx * mx, 0) / nx)
+        sep = np.sqrt(max(sp2 / npp - mp * mp, 0) / npp)
+        assert abs(mx - mp) < 5 * np.hypot(sex, sep)
