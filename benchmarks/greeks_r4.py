@@ -1,0 +1,257 @@
+"""Round-4 Greek-kernel rate measurements (the family-sweep kernels).
+
+Measures the fused Pallas Greek kernels added by the round-4 family
+sweep — rainbow, varswap (GBM + Heston), strike ladder, CVA-multi,
+basket-Asian and basket-barrier-LR — with honest source-counted op
+budgets, using the ROOFLINE.md methodology (fetch-closed chained clock,
+best of two jit instances, median of 3).  Run on the real chip:
+
+    python -m benchmarks.greeks_r4
+
+``--cpu-smoke`` runs tiny shapes on the CPU backend to validate the
+measurement plumbing without hardware (rates are meaningless there).
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.perf_r4 import _chained_rate, load_ceilings
+
+LANES = 128
+SMOKE = "--cpu-smoke" in sys.argv
+
+
+def _geom(blocks, rows, paths):
+    """Production geometry, shrunk hard under --cpu-smoke."""
+    if SMOKE:
+        return 4, 8, 1 << 12
+    return blocks, rows, paths
+
+
+def _chol(corr):
+    from mctpu import math as mcmath
+    return mcmath.cholesky_lower(jnp.asarray(corr, jnp.float64))
+
+
+def _budget_rate(name, rate, dt, ops, budget_desc, per="path"):
+    """Assemble one result row from an op-budget dict."""
+    ceil = load_ceilings()
+    t = 0.0
+    for op, cnt in ops.items():
+        t += cnt / ceil[op]
+    ceiling = 1.0 / t / 1e9
+    return {"kernel": name, f"g{per}s_per_s": rate / 1e9, "dt_s": dt,
+            "budget_ceiling": round(ceiling, 1),
+            "pct_of_ceiling": round(100 * rate / 1e9 / ceiling, 1),
+            "budget": budget_desc}
+
+
+def rainbow_greeks_rate():
+    from mctpu.kernels import rainbow as krainbow
+    from mctpu.types import RainbowOption
+
+    opt = RainbowOption(s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=np.array([[1.0, 0.5], [0.5, 1.0]]), k=100.0,
+                        r=0.05, t=1.0)
+    blocks, rows, n = _geom(512, 32, 1 << 26)
+    plan = krainbow.make_plan(n, blocks, rows, False, n_assets=2)
+    chol = _chol(opt.corr)
+
+    def build(seed):
+        return krainbow.greek_pallas_partials(opt, chol, seed, 0, plan,
+                                              plan.num_blocks,
+                                              interpret=SMOKE)
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(50 + i) + (out[0, 0] * 0).astype(jnp.int32),
+        plan.total_paths)
+    # Per path (a = 2): one Box-Muller pair per asset pair of tiles
+    # (2 draws), a(a+1)/2 = 3 Cholesky FMAs + 2 exp + arg-extreme selects
+    # + ~18 Greek FMAs (delta/vega/rho/theta integrands + 10 accum adds).
+    return _budget_rate(
+        "rainbow2_greeks", rate, dt,
+        {"normal_pair": 1.0, "exp": 2.0, "fma": 28.0},
+        "1 normal-pair + 2 exp + ~28 vec ops/path (a=2, 14 sums)")
+
+
+def varswap_greeks_rate(dynamics):
+    from mctpu.kernels import varswap as kvarswap
+    from mctpu.types import HestonOption, VanillaOption
+
+    n_obs = 16 if SMOKE else 252
+    if dynamics == "gbm":
+        opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+        # GBM Greeks: +1 accumulator over pricing — ~5 vops/step.
+        ops = {"normal_pair": 0.5, "fma": 5.0}
+        desc = "0.5 normal-pair + ~5 vec ops/step (2 carried sums)"
+    else:
+        opt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
+                           kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
+        # Tangent walk: CIR sqrt + rsqrt guard + 8 tangent updates (2 FMA
+        # each) + 4 dacc FMAs + walk ~8 vops.
+        ops = {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 32.0}
+        desc = ("1 normal-pair + sqrt + rsqrt + ~32 vec ops/step "
+                "(8 tangent pairs + 4 dacc)")
+    blocks, rows, n = _geom(512, 32, 1 << 22)
+    plan = kvarswap.make_plan(n, blocks, rows, False)
+
+    def build(seed):
+        return kvarswap.greek_pallas_partials(opt, seed, 0, plan,
+                                               plan.num_blocks,
+                                               n_obs=n_obs,
+                                               dynamics=dynamics,
+                                               interpret=SMOKE)
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(60 + i) + (out[0, 0] * 0).astype(jnp.int32),
+        plan.total_paths * n_obs)
+    return _budget_rate(f"varswap_{dynamics}{n_obs}_greeks", rate, dt, ops,
+                        desc, per="step")
+
+
+def ladder_greeks_rate():
+    from mctpu.kernels import ladder as kladder
+    from mctpu.types import VanillaOption
+
+    opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+    strikes = jnp.linspace(80.0, 120.0, 9)
+    blocks, rows, n = _geom(512, 32, 1 << 24)
+    plan = kladder.make_plan(n, blocks, rows, False)
+
+    def build(seed):
+        return kladder.greek_pallas_partials(opt, strikes, seed, 0, plan,
+                                              plan.num_blocks,
+                                              interpret=SMOKE)
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(70 + i)
+        + (out[0, 0, 0] * 0).astype(jnp.int32),
+        plan.total_paths)
+    # Per path: 0.5 normal-pair + 1 exp shared; per strike ~12 integrand
+    # vops + 12 accumulate adds (Kahan doubles them) => 9 * 24 + ~8 shared.
+    return _budget_rate(
+        "ladder9_greeks", rate, dt,
+        {"normal_pair": 0.5, "exp": 1.0, "fma": 8.0 + 9 * 24.0},
+        "0.5 normal-pair + 1 exp + (8 + 9x24) vec ops/path "
+        "(9 strikes x 6 outputs, Kahan)")
+
+
+def cva_multi_greeks_rate():
+    from mctpu.kernels import cva_multi as kmulti
+    from mctpu.types import CvaMultiSpec
+
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6,
+                        s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=np.array([[1.0, 0.4], [0.4, 1.0]]), r=0.05,
+                        t=1.0, strikes=np.array([100.0, 90.0]),
+                        weights=np.array([1.0, 0.5]),
+                        n_grid=10 if SMOKE else 50)
+    blocks, rows, n = _geom(256, 16, 1 << 19)
+    plan = kmulti.make_plan(n, blocks, rows, False, n_underlyings=2)
+    chol = _chol(spec.corr)
+
+    def build(seed):
+        out, vecs = kmulti.greek_pallas_partials(spec, chol, seed, 0,
+                                                 plan, plan.num_blocks,
+                                                 interpret=SMOKE)
+        return out
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(80 + i) + (out[0, 0] * 0).astype(jnp.int32),
+        plan.total_paths * spec.n_grid)
+    # Per path-node (width = 128 lanes, c = 64 paths/row): 3 matmul rows
+    # (walk chol + net fold + indicator expand ~ 3*width MACs/path at
+    # width=128 -> dominated by VPU work here), 2 cnd (Hastings ~10 fma)
+    # + 1 phi exp + 1 spot exp + divides (isig) ~6 + ~20 integrand vops.
+    return _budget_rate(
+        "cva_multi2_greeks50", rate, dt,
+        {"normal_pair": 0.5, "exp": 2.0, "fma": 52.0},
+        "0.5 normal-pair + 2 exp + ~52 vec ops/path-node "
+        "(2 Hastings cnd + phi + tangent + 3 fold/expand matmuls)",
+        per="step")
+
+
+def basket_asian_greeks_rate():
+    from mctpu.kernels import multi_walk as kmw
+    from mctpu.types import BasketOption
+
+    bk = BasketOption.equicorrelated(3, rho=0.3)
+    n_obs = 4 if SMOKE else 16
+    blocks, rows, n = _geom(256, 16, 1 << 20)
+    plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
+    chol = _chol(bk.corr)
+
+    def build(seed):
+        out, vecs = kmw.greek_pallas_partials(bk, chol, seed, 0, plan,
+                                              plan.num_blocks, n_obs=n_obs,
+                                              interpret=SMOKE)
+        return out
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(90 + i) + (out[0, 0] * 0).astype(jnp.int32),
+        plan.total_paths * n_obs)
+    return _budget_rate(
+        f"basket_asian3_greeks{n_obs}", rate, dt,
+        {"normal_pair": 0.5, "exp": 1.0, "fma": 18.0},
+        "0.5 normal-pair + 1 exp + ~18 vec ops/path-step "
+        "(walk matmul + fold + dxv/AS/AV/tB carries)", per="step")
+
+
+def basket_barrier_greeks_rate():
+    from mctpu.kernels import multi_walk as kmw
+    from mctpu.types import BasketOption
+
+    bk = BasketOption.equicorrelated(3, rho=0.3)
+    n_obs = 4 if SMOKE else 50
+    blocks, rows, n = _geom(256, 16, 1 << 20)
+    plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
+    chol = _chol(bk.corr)
+
+    def build(seed):
+        out, vecs = kmw.bar_greek_pallas_partials(
+            bk, chol, seed, 0, plan, plan.num_blocks, n_obs=n_obs,
+            barrier=130.0, up=True, interpret=SMOKE)
+        return out
+
+    rate, dt = _chained_rate(
+        build, jnp.int32(7),
+        lambda i, out: jnp.int32(95 + i) + (out[0, 0] * 0).astype(jnp.int32),
+        plan.total_paths * n_obs)
+    return _budget_rate(
+        f"basket_barrier3_greeks{n_obs}", rate, dt,
+        {"normal_pair": 0.5, "exp": 1.0, "fma": 22.0},
+        "0.5 normal-pair + 1 exp + ~22 vec ops/path-step "
+        "(TWO block-diag matmuls: walk chol + L^-1 projections)",
+        per="step")
+
+
+def main():
+    if not SMOKE and jax.default_backend() != "tpu":
+        raise SystemExit("run on the TPU (or pass --cpu-smoke)")
+    out = {}
+    for fn in (rainbow_greeks_rate,
+               lambda: varswap_greeks_rate("gbm"),
+               lambda: varswap_greeks_rate("heston"),
+               ladder_greeks_rate, cva_multi_greeks_rate,
+               basket_asian_greeks_rate, basket_barrier_greeks_rate):
+        r = fn()
+        out[r["kernel"]] = r
+        print(json.dumps(r), flush=True)
+    if not SMOKE:
+        import pathlib
+        pathlib.Path(__file__).with_name("greeks_r4.json").write_text(
+            json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,7 @@ def load_ceilings():
         "cnd": d["cnd"]["gops"] * 1e9,
         "divide": d["divide"]["gops"] * 1e9,
         "erfinv": d["erfinv"]["gops"] * 1e9,
+        "rsqrt": d["rsqrt"]["gops"] * 1e9,
         # Box-Muller pair rate (pairs/s): measured composite when present.
         "normal_pair": (d["normal_pair"]["gpairs"] if "normal_pair" in d
                         else d["sincos_folded"]["gops"]) * 1e9,
