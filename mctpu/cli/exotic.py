@@ -240,8 +240,10 @@ def main(argv=None):
         return 0
 
     if args.product == "mlmc-barrier":
+        # NOTE: BarrierOption comes from the MODULE-level import — a local
+        # `from mctpu.types import BarrierOption` here would make the name
+        # function-local and break the plain barrier branch above.
         from mctpu import mlmc
-        from mctpu.types import BarrierOption
         opt = BarrierOption(args.spot, args.strike, args.rate, args.vol,
                             args.maturity, barrier=args.barrier, n_obs=8)
         # alpha = 1/2 sends the level ladder deep; cap it so the CLI
