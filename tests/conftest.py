@@ -35,6 +35,22 @@ def devices():
     return jax.devices()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full lane compiles many hundreds of XLA:CPU programs in one
+    process; past roughly 250 tests the CPU backend segfaults inside
+    ``backend_compile_and_load`` (reproduced twice at the same suite
+    offset, while every module passes standalone — an upstream JIT
+    memory issue, not a test bug).  Releasing executables at module
+    teardown keeps the live-program count bounded; modules rarely share
+    compiled programs, so the recompile cost is near zero.
+    """
+    yield
+    jax.clear_caches()
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--slow", action="store_true", default=False,
