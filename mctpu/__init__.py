@@ -21,13 +21,14 @@ from mctpu.engine import (EngineConfig, fair_variance_strike,
                           greeks_basket, greeks_vanilla,
                           price_asian, price_barrier,
                           price_basket, price_basket_asian,
-                          price_basket_barrier, price_cva, price_cva_multi,
+                          price_basket_barrier, price_cliquet,
+                          price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_lookback,
                           price_rainbow, price_vanilla,
                           price_vanilla_ladder)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
-                         LookbackOption, RainbowOption,
+                         CliquetOption, LookbackOption, RainbowOption,
                          BasketOption, HestonOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult,
                          CvaSpec, GreeksResult, McResult,
@@ -60,6 +61,7 @@ __all__ = [
     "price_barrier",
     "price_lookback",
     "price_rainbow",
+    "price_cliquet",
     "price_heston",
     "price_american",
     "price_american_heston",
@@ -67,6 +69,7 @@ __all__ = [
     "price_cva_portfolio",
     "price_cva_multi",
     "fair_variance_strike",
+    "CliquetOption",
     "VanillaOption",
     "BasketOption",
     "BasketAsianOption",

@@ -23,7 +23,7 @@ def main(argv=None):
                             "lookback", "rainbow", "basket-asian",
                             "basket-barrier", "varswap", "ladder", "rqmc",
                             "mlmc", "mlmc-asian", "mlmc-barrier",
-                            "cva-multi", "is"],
+                            "cliquet", "cva-multi", "is"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -237,6 +237,21 @@ def main(argv=None):
         for lv in res.levels:
             print(f"  {lv.level}    {lv.n_steps:5d}  {lv.n_paths:9d}  "
                   f"{lv.mean:+.3e}   {lv.var:.3e}")
+        return 0
+
+    if args.product == "cliquet":
+        from mctpu.types import CliquetOption
+        opt = CliquetOption(s=args.spot, r=args.rate, v=args.vol,
+                            t=args.maturity, n_periods=args.obs,
+                            cap=0.05, floor=-0.02)
+        engine.price_cliquet(opt, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_cliquet, opt, n, key, cfg)
+        common.print_result(f"cliquet cap 5% floor -2% x{args.obs}",
+                            res.price, res.ci, dt, res.n_paths * args.obs,
+                            extra="  (path-steps/s)")
+        cf = float(mcmath.cliquet_closed_form(
+            args.rate, args.vol, args.maturity, args.obs, 0.05, -0.02))
+        print(f"exact closed form (i.i.d. period returns): {cf:.6f}")
         return 0
 
     if args.product == "mlmc-barrier":

@@ -28,8 +28,8 @@ def main(argv=None):
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "basket-asian",
                             "basket-barrier", "lookback", "rainbow",
-                            "varswap", "ladder", "barrier", "heston",
-                            "cva", "cva-multi", "american"],
+                            "varswap", "cliquet", "ladder", "barrier",
+                            "heston", "cva", "cva-multi", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -224,6 +224,32 @@ def main(argv=None):
             pv = np.asarray(r.price, dtype=np.float64)
             print(f"{name:>12} | {np.array2string(pv, precision=5):>24} | "
                   f"{'(per-underlying)':>12}")
+        return 0
+
+    if args.product == "cliquet":
+        from mctpu import engine
+        from mctpu.types import CliquetOption
+        copt = CliquetOption(s=args.spot, r=args.rate, v=args.vol,
+                             t=args.maturity, n_periods=args.obs,
+                             cap=0.05, floor=-0.02)
+        res, dt = common.timed(engine.greeks_cliquet, copt, args.paths,
+                               key)
+        gv, gr, gt = [float(x) for x in jax.grad(
+            lambda v, r, t: mcmath.cliquet_closed_form(
+                r, v, t, args.obs, 0.05, -0.02),
+            argnums=(0, 1, 2))(args.vol, args.rate, args.maturity)]
+        cf = {"price": float(mcmath.cliquet_closed_form(
+            args.rate, args.vol, args.maturity, args.obs, 0.05, -0.02)),
+            "delta": 0.0, "vega": gv, "rho": gr, "theta": gt}
+        print(f"\ncliquet cap 5% floor -2% x{args.obs}, pathwise Greeks "
+              f"(delta/gamma exactly 0: returns are s0-free), "
+              f"paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'greek':>6} | {'pathwise MC':>12} | {'95% CI':>12} | "
+              f"{'exact':>12}")
+        for name in ("price", "delta", "vega", "rho", "theta"):
+            r = getattr(res, name)
+            print(f"{name:>6} | {float(r.price):12.6f} | "
+                  f"±{float(r.ci):10.8f} | {cf[name]:12.6f}")
         return 0
 
     if args.product == "ladder":

@@ -59,6 +59,7 @@ from mctpu.types import (AsianOption, BarrierOption, BasketOption,
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
+           "price_cliquet", "greeks_cliquet",
            "fair_variance_strike",
            "price_vanilla_ladder",
            "price_basket_asian", "price_basket_barrier",
@@ -445,6 +446,79 @@ def price_rainbow(opt, n_paths: int, key: jax.Array,
                          (opt.n_assets, opt.kind), opt, n_paths, key,
                          config, prep=_prep_chol,
                          plan_kwargs=(("n_assets", opt.n_assets),))
+
+
+def price_cliquet(opt, n_paths: int, key: jax.Array,
+                  config: EngineConfig = EngineConfig()) -> McResult:
+    """Locally capped/floored cliquet (ratchet) on GBM period returns.
+
+    The flagship structured-product family, beyond the reference.  Each
+    step is one log-return draw + exp + clamp (no spot level carried);
+    period-return independence gives an EXACT closed form at any period
+    count (:func:`mctpu.math.cliquet_closed_form`) — the oracle the
+    tests gate against.
+    """
+    from mctpu.kernels import cliquet as kcliquet
+
+    opt.validate()
+    anti = 2 if config.antithetic else 1
+    return _price_scalar("cliquet", kcliquet, kcliquet.LANES * anti,
+                         (opt.n_periods,), opt, n_paths, key, config)
+
+
+def greeks_cliquet(opt, n_paths: int, key: jax.Array,
+                   config: EngineConfig = EngineConfig()) \
+        -> "GreeksResult":
+    """Pathwise vega/rho/theta of the cliquet at engine scale.
+
+    The clip corners have measure zero, so pathwise differentiation is
+    unbiased; each Greek is a per-period masked FMA on register values
+    (``kernels/cliquet.py``).  Spot delta AND gamma are identically zero
+    (the ratchet depends on returns only) and come back as exact
+    ``0 ± 0``; every other output gates against ``jax.grad`` of the
+    exact closed form.
+    """
+    from mctpu.kernels import cliquet as kcliquet
+    from mctpu.types import GreeksResult
+
+    opt.validate()
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kcliquet.LANES * anti)
+    plan = kcliquet.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                              cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_cliquet", opt.n_periods, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(o, k):
+            if backend == "pallas":
+                fn = lambda a, off, nb: kcliquet.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kcliquet.greek_xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (o, k),
+                                     P(PATH_AXIS, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(opt, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    zero = mcest.estimate(jnp.zeros(()), jnp.zeros(()), n, discount=disc,
+                          n_paths=plan.total_paths)
+    return GreeksResult(price=est(0), delta=zero, vega=est(1),
+                        rho=est(2), theta=est(3), gamma=zero)
 
 
 def price_lookback(opt, n_paths: int, key: jax.Array,
@@ -1396,7 +1470,10 @@ def greeks(opt, n_paths: int, key: jax.Array,
         return greeks_cva(opt, n_paths, key, config)
     if isinstance(opt, CvaMultiSpec):
         return greeks_cva_multi(opt, n_paths, key, config)
-    from mctpu.types import BasketAsianOption, BasketBarrierOption
+    from mctpu.types import (BasketAsianOption, BasketBarrierOption,
+                             CliquetOption)
+    if isinstance(opt, CliquetOption):
+        return greeks_cliquet(opt, n_paths, key, config)
     if isinstance(opt, BasketAsianOption):
         return greeks_basket_asian(opt, n_paths, key, config)
     if isinstance(opt, BasketBarrierOption):

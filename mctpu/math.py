@@ -25,6 +25,7 @@ __all__ = [
     "cva_multi_closed_form",
     "lookback_floating_call",
     "bivariate_norm_cdf",
+    "cliquet_closed_form",
     "rainbow_min_call",
     "rainbow_max_call",
     "default_leg_weights",
@@ -439,3 +440,36 @@ def rainbow_max_call(s1, s2, k, r, v1, v2, rho, t, dtype=None):
     ``C_max = C1 + C2 - C_min``."""
     return (bs_call(s1, k, r, v1, t) + bs_call(s2, k, r, v2, t)
             - rainbow_min_call(s1, s2, k, r, v1, v2, rho, t, dtype=dtype))
+
+
+def cliquet_closed_form(r, v, t, n_periods: int, cap, floor, dtype=None):
+    """Exact value of the locally capped/floored cliquet.
+
+    Payoff (paid at T): ``sum_j clip(S_{t_j}/S_{t_{j-1}} - 1, floor, cap)``
+    over ``n_periods`` equal periods.  Under GBM the period returns are
+    i.i.d., so the expectation telescopes to ``n`` copies of one period's
+    clipped-return mean, which is a call-spread in the gross return
+    ``R = e^{(r - v^2/2) dt + v sqrt(dt) z}``:
+
+        E[clip(R - 1, f, c)] = f + E[(R - (1+f))^+] - E[(R - (1+c))^+]
+
+    with the UNDISCOUNTED Black expectation
+    ``E[(R - K)^+] = e^{r dt} N(d1) - K N(d2)``.  The cliquet value is
+    ``e^{-rT} n E[clip]`` — exact at any n, the oracle for the MC kernel.
+    """
+    if dtype is None:
+        dtype = wide_dtype()
+    r = jnp.asarray(r, dtype)
+    v = jnp.asarray(v, dtype)
+    t = jnp.asarray(t, dtype)
+    dt = t / n_periods
+    sq = v * jnp.sqrt(dt)
+
+    def call_on_gross(kk):
+        kk = jnp.asarray(kk, dtype)
+        d1 = (-jnp.log(kk) + (r + 0.5 * v * v) * dt) / sq
+        return jnp.exp(r * dt) * norm_cdf(d1) - kk * norm_cdf(d1 - sq)
+
+    e_clip = (jnp.asarray(floor, dtype) + call_on_gross(1.0 + floor)
+              - call_on_gross(1.0 + cap))
+    return jnp.exp(-r * t) * n_periods * e_clip

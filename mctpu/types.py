@@ -448,6 +448,52 @@ class AsianOption:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class CliquetOption:
+    """Locally capped/floored cliquet (ratchet) on GBM period returns.
+
+    Pays ``sum_j clip(S_{t_j}/S_{t_{j-1}} - 1, floor, cap)`` at maturity
+    over ``n_periods`` equal periods — the flagship structured-product
+    family.  Period returns are i.i.d. under GBM, so the value telescopes
+    to an EXACT closed form (:func:`mctpu.math.cliquet_closed_form`), the
+    oracle for the MC kernel at any period count.  Spot delta is
+    identically zero (returns are s0-free, like the variance swap).
+    """
+
+    s: Any
+    r: Any
+    v: Any
+    t: Any
+    n_periods: int = _static(default=12)
+    cap: Any = 0.08
+    floor: Any = 0.0
+
+    def astype(self, dtype) -> "CliquetOption":
+        return CliquetOption(
+            s=jnp.asarray(self.s, dtype), r=jnp.asarray(self.r, dtype),
+            v=jnp.asarray(self.v, dtype), t=jnp.asarray(self.t, dtype),
+            n_periods=self.n_periods,
+            cap=jnp.asarray(self.cap, dtype),
+            floor=jnp.asarray(self.floor, dtype))
+
+    def validate(self) -> None:
+        if self.n_periods < 1:
+            raise ValueError("n_periods must be >= 1")
+        if not _concrete(self.s, self.v, self.t, self.cap, self.floor):
+            return
+        if float(self.s) <= 0:
+            raise ValueError("spot must be positive")
+        if float(self.v) < 0:
+            raise ValueError("volatility must be non-negative")
+        if float(self.t) <= 0:
+            raise ValueError("time to maturity must be positive")
+        if float(self.cap) <= float(self.floor):
+            raise ValueError("cap must exceed floor")
+        if float(self.floor) < -1.0:
+            raise ValueError("floor below -100% is meaningless")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class HestonOption:
     """European call under Heston stochastic volatility.
 

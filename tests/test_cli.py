@@ -299,3 +299,20 @@ def test_exotic_cli_mlmc_barrier(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "mlmc barrier" in out and "continuous closed form" in out
+
+
+def test_exotic_cli_cliquet(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(["--product", "cliquet", "--obs", "6", "--mult", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cliquet" in out and "exact closed form" in out
+
+
+def test_greeks_cli_cliquet(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "cliquet", "--paths", "16384",
+                    "--obs", "6"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cliquet" in out and "theta" in out

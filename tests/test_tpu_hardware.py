@@ -715,3 +715,24 @@ def test_greeks_vanilla_rqmc_on_chip():
     mc = engine.greeks_vanilla(OPT, 1 << 20, KEY, _cfg())
     assert (float(mc.delta.std_error)
             / max(float(g.delta.std_error), 1e-15)) > 5.0
+
+
+def test_cliquet_on_chip():
+    """Cliquet price + Greeks on the hardware PRNG vs the exact closed
+    form and its gradients."""
+    from mctpu.types import CliquetOption
+    opt = CliquetOption(s=100.0, r=0.03, v=0.2, t=1.0, n_periods=12,
+                        cap=0.05, floor=-0.02)
+    res = engine.price_cliquet(opt, 1 << 20, KEY, _cfg())
+    cf = float(mcmath.cliquet_closed_form(0.03, 0.2, 1.0, 12, 0.05,
+                                          -0.02))
+    assert _z(res.price, cf, res.std_error) < 4
+    g = engine.greeks_cliquet(opt, 1 << 20, KEY, _cfg())
+    gv, gr, gt = [float(x) for x in jax.grad(
+        lambda v, r, t: mcmath.cliquet_closed_form(r, v, t, 12, 0.05,
+                                                   -0.02),
+        argnums=(0, 1, 2))(0.2, 0.03, 1.0)]
+    for nm, want in (("vega", gv), ("rho", gr), ("theta", gt)):
+        r = getattr(g, nm)
+        assert _z(r.price, want, r.std_error) < 4, nm
+    assert float(g.delta.price) == 0.0
