@@ -8,12 +8,20 @@ best of two jit instances, median of 3).  Run on the real chip:
 
     python -m benchmarks.greeks_r4
 
+Workloads auto-size: each kernel starts from a small path count and
+doubles until a single chained call runs >= 300 ms (the ROOFLINE.md
+sizing rule — shorter calls sit inside the axon tunnel's 10s-of-ms
+dispatch-noise regime and depress measured rates; the first run of this
+script at fixed 20 ms geometries reported the rainbow kernel at 7.7% of
+ceiling purely from that artifact).
+
 ``--cpu-smoke`` runs tiny shapes on the CPU backend to validate the
 measurement plumbing without hardware (rates are meaningless there).
 """
 from __future__ import annotations
 
 import json
+import math
 import sys
 
 import jax
@@ -25,17 +33,51 @@ from benchmarks.perf_r4 import _chained_rate, load_ceilings
 LANES = 128
 SMOKE = "--cpu-smoke" in sys.argv
 
-
-def _geom(blocks, rows, paths):
-    """Production geometry, shrunk hard under --cpu-smoke."""
-    if SMOKE:
-        return 4, 8, 1 << 12
-    return blocks, rows, paths
+MIN_CALL_S = 0.30   # ROOFLINE.md sizing rule
+PATH_CAP = 1 << 36  # runaway guard for the auto-sizer
 
 
 def _chol(corr):
     from mctpu import math as mcmath
     return mcmath.cholesky_lower(jnp.asarray(corr, jnp.float64))
+
+
+def _scalar_chain(base):
+    """Chain fn for kernels whose first output is a 2-D partial array."""
+    return lambda i, out: (jnp.int32(base + i)
+                           + (out[0, 0] * 0).astype(jnp.int32))
+
+
+def _rate_sized(mk, n0, chain):
+    """Auto-sized, overhead-cancelled chained rate.
+
+    ``mk(n)`` returns ``(build_fn, work_per_call)`` for an ``n``-path
+    plan.  A 1-rep single-instance probe grows ``n`` until one chained
+    call runs >= 300 ms (each resize is one extra compile); the final
+    rate is **k-differenced** across the sized geometry and a 4x-smaller
+    one — ``(w2 - w1) / (dt2 - dt1)`` — so the fixed per-call dispatch
+    cost (tens of ms through the axon tunnel) cancels exactly instead of
+    depressing the rate by ~10% even at 300 ms calls.  Both points are
+    best-of-two jit instances, 3 reps (ROOFLINE.md methodology).
+    """
+    n = n0
+    while True:
+        build, work = mk(n)
+        if SMOKE:
+            return _chained_rate(build, jnp.int32(7), chain, work,
+                                 reps=1, n_instances=1)
+        _, dt = _chained_rate(build, jnp.int32(7), chain, work,
+                              reps=1, n_instances=1)
+        if dt >= MIN_CALL_S or n >= PATH_CAP:
+            break
+        mult = 1 << max(1, math.ceil(math.log2(1.2 * MIN_CALL_S / dt)))
+        n = min(PATH_CAP, n * mult)
+    _, dt2 = _chained_rate(build, jnp.int32(7), chain, work)
+    build1, work1 = mk(max(n // 4, 1 << 12))
+    _, dt1 = _chained_rate(build1, jnp.int32(7), chain, work1)
+    if work > work1 and dt2 > dt1:
+        return (work - work1) / (dt2 - dt1), dt2
+    return work / dt2, dt2  # degenerate sizing; plain rate
 
 
 def _budget_rate(name, rate, dt, ops, budget_desc, per="path"):
@@ -58,19 +100,17 @@ def rainbow_greeks_rate():
     opt = RainbowOption(s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
                         corr=np.array([[1.0, 0.5], [0.5, 1.0]]), k=100.0,
                         r=0.05, t=1.0)
-    blocks, rows, n = _geom(512, 32, 1 << 26)
-    plan = krainbow.make_plan(n, blocks, rows, False, n_assets=2)
     chol = _chol(opt.corr)
+    blocks, rows = (4, 8) if SMOKE else (512, 32)
 
-    def build(seed):
-        return krainbow.greek_pallas_partials(opt, chol, seed, 0, plan,
-                                              plan.num_blocks,
-                                              interpret=SMOKE)
+    def mk(n):
+        plan = krainbow.make_plan(n, blocks, rows, False, n_assets=2)
+        build = lambda seed: krainbow.greek_pallas_partials(
+            opt, chol, seed, 0, plan, plan.num_blocks, interpret=SMOKE)
+        return build, plan.total_paths
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
-        lambda i, out: jnp.int32(50 + i) + (out[0, 0] * 0).astype(jnp.int32),
-        plan.total_paths)
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 28,
+                           _scalar_chain(50))
     # Per path (a = 2): one Box-Muller pair per asset pair of tiles
     # (2 draws), a(a+1)/2 = 3 Cholesky FMAs + 2 exp + arg-extreme selects
     # + ~18 Greek FMAs (delta/vega/rho/theta integrands + 10 accum adds).
@@ -98,20 +138,17 @@ def varswap_greeks_rate(dynamics):
         ops = {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 32.0}
         desc = ("1 normal-pair + sqrt + rsqrt + ~32 vec ops/step "
                 "(8 tangent pairs + 4 dacc)")
-    blocks, rows, n = _geom(512, 32, 1 << 22)
-    plan = kvarswap.make_plan(n, blocks, rows, False)
+    blocks, rows = (4, 8) if SMOKE else (512, 32)
 
-    def build(seed):
-        return kvarswap.greek_pallas_partials(opt, seed, 0, plan,
-                                               plan.num_blocks,
-                                               n_obs=n_obs,
-                                               dynamics=dynamics,
-                                               interpret=SMOKE)
+    def mk(n):
+        plan = kvarswap.make_plan(n, blocks, rows, False)
+        build = lambda seed: kvarswap.greek_pallas_partials(
+            opt, seed, 0, plan, plan.num_blocks, n_obs=n_obs,
+            dynamics=dynamics, interpret=SMOKE)
+        return build, plan.total_paths * n_obs
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
-        lambda i, out: jnp.int32(60 + i) + (out[0, 0] * 0).astype(jnp.int32),
-        plan.total_paths * n_obs)
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 24,
+                           _scalar_chain(60))
     return _budget_rate(f"varswap_{dynamics}{n_obs}_greeks", rate, dt, ops,
                         desc, per="step")
 
@@ -122,19 +159,18 @@ def ladder_greeks_rate():
 
     opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
     strikes = jnp.linspace(80.0, 120.0, 9)
-    blocks, rows, n = _geom(512, 32, 1 << 24)
-    plan = kladder.make_plan(n, blocks, rows, False)
+    blocks, rows = (4, 8) if SMOKE else (512, 32)
 
-    def build(seed):
-        return kladder.greek_pallas_partials(opt, strikes, seed, 0, plan,
-                                              plan.num_blocks,
-                                              interpret=SMOKE)
+    def mk(n):
+        plan = kladder.make_plan(n, blocks, rows, False)
+        build = lambda seed: kladder.greek_pallas_partials(
+            opt, strikes, seed, 0, plan, plan.num_blocks, interpret=SMOKE)
+        return build, plan.total_paths
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
+    rate, dt = _rate_sized(
+        mk, 1 << 12 if SMOKE else 1 << 26,
         lambda i, out: jnp.int32(70 + i)
-        + (out[0, 0, 0] * 0).astype(jnp.int32),
-        plan.total_paths)
+        + (out[0, 0, 0] * 0).astype(jnp.int32))
     # Per path: 0.5 normal-pair + 1 exp shared; per strike ~12 integrand
     # vops + 12 accumulate adds (Kahan doubles them) => 9 * 24 + ~8 shared.
     return _budget_rate(
@@ -148,26 +184,28 @@ def cva_multi_greeks_rate():
     from mctpu.kernels import cva_multi as kmulti
     from mctpu.types import CvaMultiSpec
 
+    n_grid = 10 if SMOKE else 50
     spec = CvaMultiSpec(intensity=0.03, lgd=0.6,
                         s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
                         corr=np.array([[1.0, 0.4], [0.4, 1.0]]), r=0.05,
                         t=1.0, strikes=np.array([100.0, 90.0]),
-                        weights=np.array([1.0, 0.5]),
-                        n_grid=10 if SMOKE else 50)
-    blocks, rows, n = _geom(256, 16, 1 << 19)
-    plan = kmulti.make_plan(n, blocks, rows, False, n_underlyings=2)
+                        weights=np.array([1.0, 0.5]), n_grid=n_grid)
     chol = _chol(spec.corr)
+    blocks, rows = (4, 8) if SMOKE else (256, 16)
 
-    def build(seed):
-        out, vecs = kmulti.greek_pallas_partials(spec, chol, seed, 0,
-                                                 plan, plan.num_blocks,
-                                                 interpret=SMOKE)
-        return out
+    def mk(n):
+        plan = kmulti.make_plan(n, blocks, rows, False, n_underlyings=2)
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
-        lambda i, out: jnp.int32(80 + i) + (out[0, 0] * 0).astype(jnp.int32),
-        plan.total_paths * spec.n_grid)
+        def build(seed):
+            out, vecs = kmulti.greek_pallas_partials(
+                spec, chol, seed, 0, plan, plan.num_blocks,
+                interpret=SMOKE)
+            return out
+
+        return build, plan.total_paths * n_grid
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 22,
+                           _scalar_chain(80))
     # Per path-node (width = 128 lanes, c = 64 paths/row): 3 matmul rows
     # (walk chol + net fold + indicator expand ~ 3*width MACs/path at
     # width=128 -> dominated by VPU work here), 2 cnd (Hastings ~10 fma)
@@ -186,25 +224,29 @@ def basket_asian_greeks_rate():
 
     bk = BasketOption.equicorrelated(3, rho=0.3)
     n_obs = 4 if SMOKE else 16
-    blocks, rows, n = _geom(256, 16, 1 << 20)
-    plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
     chol = _chol(bk.corr)
+    blocks, rows = (4, 8) if SMOKE else (256, 16)
 
-    def build(seed):
-        out, vecs = kmw.greek_pallas_partials(bk, chol, seed, 0, plan,
-                                              plan.num_blocks, n_obs=n_obs,
-                                              interpret=SMOKE)
-        return out
+    def mk(n):
+        plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
-        lambda i, out: jnp.int32(90 + i) + (out[0, 0] * 0).astype(jnp.int32),
-        plan.total_paths * n_obs)
+        def build(seed):
+            out, vecs = kmw.greek_pallas_partials(
+                bk, chol, seed, 0, plan, plan.num_blocks, n_obs=n_obs,
+                interpret=SMOKE)
+            return out
+
+        return build, plan.total_paths * n_obs
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 24,
+                           _scalar_chain(90))
+    # Asset-major (a = 3): per path-step a/2 normal pairs + a exp +
+    # a(a+1)/2 chol FMAs + ~9a carry vops (x, basket, dxv, AS, AV, acc/tB).
     return _budget_rate(
         f"basket_asian3_greeks{n_obs}", rate, dt,
-        {"normal_pair": 0.5, "exp": 1.0, "fma": 18.0},
-        "0.5 normal-pair + 1 exp + ~18 vec ops/path-step "
-        "(walk matmul + fold + dxv/AS/AV/tB carries)", per="step")
+        {"normal_pair": 1.5, "exp": 3.0, "fma": 33.0},
+        "1.5 normal-pair + 3 exp + ~33 vec ops/path-step "
+        "(asset-major chol FMAs + dxv/AS/AV/tB carries)", per="step")
 
 
 def basket_barrier_greeks_rate():
@@ -213,25 +255,29 @@ def basket_barrier_greeks_rate():
 
     bk = BasketOption.equicorrelated(3, rho=0.3)
     n_obs = 4 if SMOKE else 50
-    blocks, rows, n = _geom(256, 16, 1 << 20)
-    plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
     chol = _chol(bk.corr)
+    blocks, rows = (4, 8) if SMOKE else (256, 16)
 
-    def build(seed):
-        out, vecs = kmw.bar_greek_pallas_partials(
-            bk, chol, seed, 0, plan, plan.num_blocks, n_obs=n_obs,
-            barrier=130.0, up=True, interpret=SMOKE)
-        return out
+    def mk(n):
+        plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
 
-    rate, dt = _chained_rate(
-        build, jnp.int32(7),
-        lambda i, out: jnp.int32(95 + i) + (out[0, 0] * 0).astype(jnp.int32),
-        plan.total_paths * n_obs)
+        def build(seed):
+            out, vecs = kmw.bar_greek_pallas_partials(
+                bk, chol, seed, 0, plan, plan.num_blocks, n_obs=n_obs,
+                barrier=130.0, up=True, interpret=SMOKE)
+            return out
+
+        return build, plan.total_paths * n_obs
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 23,
+                           _scalar_chain(95))
+    # Asset-major (a = 3): chol + L^-1 projections are a(a+1) FMAs, plus
+    # ~11a carry vops (x, basket, qd selects, acc_q, acc_v, alive).
     return _budget_rate(
         f"basket_barrier3_greeks{n_obs}", rate, dt,
-        {"normal_pair": 0.5, "exp": 1.0, "fma": 22.0},
-        "0.5 normal-pair + 1 exp + ~22 vec ops/path-step "
-        "(TWO block-diag matmuls: walk chol + L^-1 projections)",
+        {"normal_pair": 1.5, "exp": 3.0, "fma": 41.0},
+        "1.5 normal-pair + 3 exp + ~41 vec ops/path-step "
+        "(asset-major chol + L^-1 projection FMAs + LR carries)",
         per="step")
 
 

@@ -39,6 +39,13 @@ def _chained_rate(build_fn, arg0, chain_arg, work_per_call, reps=3,
             fn = build_fn
         out = fn(arg0)
         np.asarray(out)  # compile + drain
+        # Warm the chain too: chain_arg's tiny scalar ops (out[0,0]*0 + i)
+        # are themselves jit programs that compile through the remote
+        # helper on first use (~0.6 s each on the axon tunnel) — without
+        # this, the first timed rep absorbs ~2 s of tiny-op compiles and a
+        # 1-rep probe overstates dt by 50x (observed on the rainbow row).
+        out = fn(chain_arg(0, out))
+        np.asarray(out)
         t0 = time.perf_counter()
         for i in range(reps):
             out = fn(chain_arg(i + 1, out))

@@ -1066,8 +1066,14 @@ def greeks_basket_asian(opt, n_paths: int, key: jax.Array,
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
-    a_tile, c, width = kbasket.pack_factor(a)
-    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    if kbasket.use_asset_major(a):
+        # Asset-major regime: vec partials are (B, 4, LANES) with per-asset
+        # sums in lanes 0..a-1 — the runner folds them with c = 1.
+        c, a_tile = 1, kbasket.LANES
+        blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
+    else:
+        a_tile, c, _ = kbasket.pack_factor(a)
+        blocks, rows = cfg.layout_for(n_paths, c * anti)
     plan = kmulti_walk.make_plan(n_paths, blocks, rows, cfg.antithetic,
                                  cfg.dtype_str, cfg.precision.kahan,
                                  n_assets=a)
@@ -1140,8 +1146,12 @@ def greeks_basket_barrier(opt, n_paths: int, key: jax.Array,
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
-    a_tile, c, width = kbasket.pack_factor(a)
-    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    if kbasket.use_asset_major(a):
+        c, a_tile = 1, kbasket.LANES
+        blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
+    else:
+        a_tile, c, _ = kbasket.pack_factor(a)
+        blocks, rows = cfg.layout_for(n_paths, c * anti)
     plan = kmulti_walk.make_plan(n_paths, blocks, rows, cfg.antithetic,
                                  cfg.dtype_str, cfg.precision.kahan,
                                  n_assets=a)
@@ -1515,7 +1525,12 @@ def price_basket_asian(opt, n_paths: int, key: jax.Array,
     opt.validate()
     bk = opt.basket
     anti = 2 if config.antithetic else 1
-    _, c, _ = kbasket.pack_factor(bk.n_assets)
+    # Paths per (block, iter, row): asset-major walks a full 128-lane path
+    # tile; the packed layout walks c paths per row (kernels/multi_walk.py).
+    if kbasket.use_asset_major(bk.n_assets):
+        c = kbasket.LANES
+    else:
+        _, c, _ = kbasket.pack_factor(bk.n_assets)
     shim = _multi_walk_shim(product="asian", n_obs=opt.n_obs)
     return _price_scalar("basket_asian", shim, c * anti,
                          (opt.n_obs, bk.n_assets), bk, n_paths, key, config,
@@ -1529,7 +1544,10 @@ def price_basket_barrier(opt, n_paths: int, key: jax.Array,
     opt.validate()
     bk = opt.basket
     anti = 2 if config.antithetic else 1
-    _, c, _ = kbasket.pack_factor(bk.n_assets)
+    if kbasket.use_asset_major(bk.n_assets):
+        c = kbasket.LANES
+    else:
+        _, c, _ = kbasket.pack_factor(bk.n_assets)
     up = opt.kind == "up-and-out"
     barrier = float(opt.barrier)
     shim = _multi_walk_shim(product="barrier", n_obs=opt.n_obs,

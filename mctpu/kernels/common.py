@@ -19,7 +19,8 @@ from mctpu import rng as mcrng
 
 __all__ = ["Plan", "LANES", "GRID_SEMANTICS", "det_col_sums", "seed_prng",
            "draw_normal_pair", "chunk_sums",
-           "walk_pairwise", "prng_emulation", "interpret_arg",
+           "walk_pairwise", "walk_pairwise_multi",
+           "prng_emulation", "interpret_arg",
            "acc_init_n", "acc_add_n", "acc_final_n"]
 
 LANES = 128
@@ -311,4 +312,33 @@ def walk_pairwise(shape, n_steps: int, step_fn, init):
     if n_steps % 2:
         z1, _ = draw_normal_pair(shape, half)
         carry = step_fn(n_steps - 1, z1, carry)
+    return carry
+
+
+def walk_pairwise_multi(shape, n_draws: int, n_steps: int, step_fn, init):
+    """Multi-draw variant of :func:`walk_pairwise` for asset-major walks.
+
+    ``step_fn(j, zs, carry) -> carry`` advances one grid step consuming a
+    LIST of ``n_draws`` independent normal tiles (one per asset).  Both
+    Box-Muller branches are consumed across two successive steps — per
+    pair of steps exactly ``n_draws`` bit draws are generated, so there
+    is no branch waste at any asset count (a per-step pair draw would
+    discard the sine branch for every odd asset).
+    """
+    half = n_steps // 2
+
+    def body(jj, carry):
+        zs1, zs2 = [], []
+        for i in range(n_draws):
+            z1, z2 = draw_normal_pair(shape, jj * n_draws + i)
+            zs1.append(z1)
+            zs2.append(z2)
+        carry = step_fn(2 * jj, zs1, carry)
+        return step_fn(2 * jj + 1, zs2, carry)
+
+    carry = jax.lax.fori_loop(0, half, body, init)
+    if n_steps % 2:
+        zs1 = [draw_normal_pair(shape, half * n_draws + i)[0]
+               for i in range(n_draws)]
+        carry = step_fn(n_steps - 1, zs1, carry)
     return carry

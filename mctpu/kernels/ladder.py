@@ -119,11 +119,10 @@ def _ladder_kernel(seed_ref, off_ref, par_ref, k_ref, out_ref, *,
 
     init = tuple(_accum_init(jnp.float32, plan.kahan) for _ in range(n_k))
     carry = jax.lax.fori_loop(0, plan.iters, body, init)
-    b = pl.program_id(0)
     for m in range(n_k):
         s, s2 = _accum_final(carry[m], plan.kahan)
-        out_ref[b, m, 0] = s
-        out_ref[b, m, 1] = s2
+        out_ref[0, m, 0] = s
+        out_ref[0, m, 1] = s2
 
 
 def pallas_partials(opt, strikes, seed, block_offset, plan: Plan,
@@ -157,7 +156,13 @@ def _pallas_partials(opt, strikes, seed, block_offset, plan, n_blocks,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        # Blocked SMEM window: the full (n_blocks, K, 2) array pads each
+        # block row to (16, 128) scalars, which overflows the 1 MB SMEM at
+        # production block counts (512 blocks x 8 KB = 4 MB); a (1, K, 2)
+        # per-iteration window keeps 8 KB live and each block is visited
+        # exactly once.
+        out_specs=pl.BlockSpec((1, n_k, 2), lambda b: (b, 0, 0),
+                               memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, n_k, 2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
@@ -302,10 +307,9 @@ def _ladder_greeks_kernel(seed_ref, off_ref, par_ref, k_ref, out_ref, *,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
-    b = pl.program_id(0)
     for m in range(n_k):
         for j in range(N_LADDER_GREEK_SUMS):
-            out_ref[b, m, j] = vals[m * N_LADDER_GREEK_SUMS + j]
+            out_ref[0, m, j] = vals[m * N_LADDER_GREEK_SUMS + j]
 
 
 def greek_pallas_partials(opt, strikes, seed, block_offset, plan: Plan,
@@ -329,7 +333,11 @@ def greek_pallas_partials(opt, strikes, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            # Blocked SMEM window — see pallas_partials: the full 3-D array
+            # overflows SMEM at production block counts.
+            out_specs=pl.BlockSpec(
+                (1, n_k, N_LADDER_GREEK_SUMS), lambda b: (b, 0, 0),
+                memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct(
                 (n_blocks, n_k, N_LADDER_GREEK_SUMS), jnp.float32),
             compiler_params=pltpu.CompilerParams(

@@ -25,11 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.basket import MATMUL_PRECISION, pack_assets, pack_factor
+from mctpu.kernels.basket import (MATMUL_PRECISION, pack_assets, pack_factor,
+                                  use_asset_major)
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   det_col_sums, interpret_arg, prng_emulation, seed_prng,
-                                  walk_pairwise)
+                                  walk_pairwise, walk_pairwise_multi)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials",
@@ -40,11 +41,27 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials",
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
               dtype: str = "float32", kahan: bool = True,
-              n_assets: int = 3) -> Plan:
-    # One (rows, width) tile walks the whole grid per iteration; each row
-    # packs c paths.
-    _, c, _ = pack_factor(n_assets)
-    units = rows * c
+              n_assets: int = 3, asset_major: bool | None = None) -> Plan:
+    """Launch geometry for a multi-asset walk.
+
+    ``asset_major=None`` picks the regime the PRICING kernels use
+    (asset-major for ``n_assets <= ASSET_MAJOR_MAX``).  The Greek kernels
+    run the packed layout only — their callers pass
+    ``asset_major=False`` so the plan's unit accounting matches the
+    ``rows * c`` paths each packed iteration actually walks.
+    """
+    if asset_major is None:
+        asset_major = use_asset_major(n_assets)
+    if asset_major:
+        # Asset-major walk (small baskets): every lane of the ``a``
+        # carried (rows, 128) spot tiles is a path — per iteration one
+        # full-lane path tile walks the whole grid.
+        units = rows * LANES
+    else:
+        # Packed layout: one (rows, width) tile walks the whole grid per
+        # iteration; each row packs c paths.
+        _, c, _ = pack_factor(n_assets)
+        units = rows * c
     paths = units * (2 if antithetic else 1)
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
                      dtype, kahan)
@@ -129,15 +146,93 @@ def _monitor_fns(product: str, n_obs: int, k, barrier, up: bool):
 
 
 # ---------------------------------------------------------------------------
+# Asset-major walk core (a <= ASSET_MAJOR_MAX)
+# ---------------------------------------------------------------------------
+# Small baskets skip the MXU (see kernels/basket.py:45): the packed walk
+# pays TWO width x width HIGHEST-precision matmuls per step for ~97% zeros
+# at a = 3, measured at ~3% of its VPU op ceiling.  Asset-major carries one
+# (rows, 128) log-spot tile PER ASSET — every lane a path — and computes
+# the correlation as a(a+1)/2 broadcast-scalar FMAs.  Draws pair across
+# two successive steps (walk_pairwise_multi), so no Box-Muller branch is
+# wasted at any asset count.
+
+def _am_walk_ops(opt, chol, dtype, n_obs: int):
+    """Per-asset per-step operand rows: ``params (5, a)`` = log_s0,
+    drift*dt, vol*sqrt(dt), d/sqrt(n), w; ``lt (a, a)`` the Cholesky
+    factor.  Same per-step semantics as :func:`_step_ops`."""
+    a = opt.n_assets
+    n = jnp.asarray(float(n_obs), dtype)
+    v = jnp.asarray(opt.v, dtype)
+    t = jnp.asarray(opt.t, dtype)
+    r = jnp.asarray(opt.r, dtype)
+    log_s0 = jnp.log(jnp.asarray(opt.s, dtype))
+    drift = jnp.broadcast_to((r - 0.5 * v * v) * t / n, (a,))
+    vol = jnp.broadcast_to(v * jnp.sqrt(t) / jnp.sqrt(n), (a,))
+    d = jnp.broadcast_to(jnp.asarray(opt.d, dtype) / jnp.sqrt(n), (a,))
+    w = jnp.broadcast_to(jnp.asarray(opt.w, dtype), (a,))
+    params = jnp.stack([log_s0, drift, vol, d, w])
+    return jnp.asarray(chol, dtype), params
+
+
+def _am_core(zs, xs, lt_at, par_at, a: int):
+    """One asset-major walk step shared by the pricing and Greek kernels
+    (pricing ignores the extras; tracing DCE drops them), so the log-spot
+    chain is bitwise identical across kernels — the shared-stream
+    price == pricer contract.
+
+    Returns ``(new_xs, basket, bts, ss)``: advanced log-spot tiles, the
+    weighted basket tile, and the per-asset correlated-increment /
+    terminal-spot tiles.
+    """
+    new_xs, bts, ss = [], [], []
+    basket = None
+    for i in range(a):
+        bt = par_at(3, i)
+        for j in range(i + 1):
+            bt = bt + lt_at(i, j) * zs[j]
+        x = xs[i] + par_at(1, i) + par_at(2, i) * bt
+        s = jnp.exp(x)
+        term = par_at(4, i) * s
+        basket = term if basket is None else basket + term
+        new_xs.append(x)
+        bts.append(bt)
+        ss.append(s)
+    return tuple(new_xs), basket, bts, ss
+
+
+def _am_init_xs(par_at, a: int, shape, dtype=jnp.float32):
+    return tuple(jnp.zeros(shape, dtype) + par_at(0, i)
+                 for i in range(a))
+
+
+def _am_lane_rows(vals, offset: int, a: int, n_rows: int):
+    """Pack ``n_rows`` groups of ``a`` scalars into lanes 0..a-1 of
+    ``(n_rows, LANES)`` (the per-block vector-partial layout; the engine
+    fold reads ``[:, :a]``)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    rows = []
+    for r in range(n_rows):
+        row = jnp.zeros((1, LANES), jnp.float32)
+        for i in range(a):
+            row = row + jnp.where(lane == i, vals[offset + r * a + i], 0.0)
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
 # XLA backend
 # ---------------------------------------------------------------------------
 
 def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
                  n_blocks: int, *, product: str, n_obs: int,
                  barrier=None, up: bool = True):
-    """Per-block partial sums ``(n_blocks, 2)`` for the packed walk."""
+    """Per-block partial sums ``(n_blocks, 2)`` (either walk regime)."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
+    if use_asset_major(opt.n_assets):
+        return _am_xla_partials(o, chol, key, block_offset, plan, n_blocks,
+                                product=product, n_obs=n_obs,
+                                barrier=barrier, up=up)
     ops = _step_ops(o, chol, dtype, n_obs)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
@@ -162,6 +257,50 @@ def xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
         def body(i, carry):
             ikey = jax.random.fold_in(bkey, i)
             z_seq = jax.random.normal(ikey, (n_obs,) + shape, dtype)
+            pay = walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                pay = 0.5 * (pay + walk(z_seq, jnp.asarray(-1.0, dtype)))
+            cs, cs2 = chunk_sums(pay)
+            return _accum_add(carry, cs, cs2, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  _accum_init(dtype, plan.kahan))
+        s, s2 = _accum_final(carry, plan.kahan)
+        return jnp.stack([s, s2])
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _am_xla_partials(o, chol, key, block_offset, plan: Plan, n_blocks: int,
+                     *, product: str, n_obs: int, barrier, up: bool):
+    """Asset-major XLA twin of the walk pricing kernel."""
+    dtype = plan.jdtype
+    a = o.n_assets
+    lt, params = _am_walk_ops(o, chol, dtype, n_obs)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r, i: params[r, i]
+    monitor, init_extra, payoff = _monitor_fns(
+        product, n_obs, o.k,
+        None if barrier is None else jnp.asarray(barrier, dtype), up)
+    shape = (plan.rows, LANES)
+
+    def walk(z_seq, sgn):
+        def body(j, carry):
+            xs, extra = carry
+            zs = [sgn * z_seq[j, i] for i in range(a)]
+            xs, basket, _, _ = _am_core(zs, xs, lt_at, par_at, a)
+            return (xs, monitor(basket, extra))
+
+        init = (_am_init_xs(par_at, a, shape, dtype),
+                init_extra(shape, dtype))
+        _, extra = jax.lax.fori_loop(0, n_obs, body, init)
+        return payoff(extra)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_obs, a) + shape, dtype)
             pay = walk(z_seq, jnp.asarray(1.0, dtype))
             if plan.antithetic:
                 pay = 0.5 * (pay + walk(z_seq, jnp.asarray(-1.0, dtype)))
@@ -235,9 +374,75 @@ def pallas_partials(opt, chol, seed, block_offset, plan: Plan, n_blocks: int,
                                 interpret)
 
 
+def _mw_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref, out_ref, *,
+                  plan: Plan, a: int, product: str, n_obs: int, up: bool):
+    k, barrier = scal_ref[0], scal_ref[1]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    shape = (plan.rows, LANES)
+    monitor, init_extra, payoff = _monitor_fns(product, n_obs, k, barrier, up)
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        # Re-seed per (block, iter): antithetic mirror replays the stream.
+        seed_prng(seed_ref[0], (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            xs, extra = carry
+            xs, basket, _, _ = _am_core([sgn * z for z in zs], xs, lt_at,
+                                        par_at, a)
+            return (xs, monitor(basket, extra))
+
+        init = (_am_init_xs(par_at, a, shape), init_extra(shape, jnp.float32))
+        _, extra = walk_pairwise_multi(shape, a, n_obs, step, init)
+        return payoff(extra)
+
+    def body(i, carry):
+        pay = one_walk(i, 1.0)
+        if plan.antithetic:
+            pay = 0.5 * (pay + one_walk(i, -1.0))
+        cs, cs2 = chunk_sums(pay)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
                      n_obs, barrier, up, interpret):
     o = opt.astype(jnp.float32)
+    a = opt.n_assets
+    if use_asset_major(a):
+        lt, params = _am_walk_ops(o, chol, jnp.float32, n_obs)
+        scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
+                          jnp.asarray(0.0 if barrier is None else barrier,
+                                      jnp.float32)])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_mw_am_kernel, plan=plan, a=a,
+                                   product=product, n_obs=n_obs, up=up)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * n_obs
+                * (a * (a + 1) + 6 * a + 4),
+                bytes_accessed=n_blocks * 8,
+                transcendentals=plan.iters * paths_iter * n_obs
+                * (a + a // 2 + 1),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, lt, params)
     ops = _step_ops(o, chol, jnp.float32, n_obs)
     scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
                       jnp.asarray(0.0 if barrier is None else barrier,
@@ -379,9 +584,13 @@ def _greek_walk_init_mw(ops, shape, shape_c):
 def greek_xla_partials(opt, chol, key: jax.Array, block_offset, plan: Plan,
                        n_blocks: int, *, n_obs: int):
     """Per-block basket-Asian Greek partials:
-    ``((n_blocks, 4), (n_blocks, 4, width))``."""
+    ``((n_blocks, 4), (n_blocks, 4, width))`` (``width = LANES`` in the
+    asset-major regime)."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
+    if use_asset_major(o.n_assets):
+        return _am_greek_xla_partials(o, chol, key, block_offset, plan,
+                                      n_blocks, n_obs=n_obs)
     ops = greek_step_ops(o, chol, dtype, n_obs)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
@@ -482,6 +691,10 @@ def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
                           n_blocks: int, *, n_obs: int,
                           interpret: bool = False):
     """Fused basket-Asian Greek partials on TPU."""
+    if use_asset_major(opt.n_assets):
+        return _am_greek_pallas_partials(opt, chol, seed, block_offset,
+                                         plan, n_blocks, n_obs=n_obs,
+                                         interpret=interpret)
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
@@ -673,9 +886,14 @@ def bar_greek_xla_partials(opt, chol, key: jax.Array, block_offset,
                            plan: Plan, n_blocks: int, *, n_obs: int,
                            barrier, up: bool):
     """Per-block basket-barrier LR Greek partials:
-    ``((n_blocks, 4), (n_blocks, 4, width))``."""
+    ``((n_blocks, 4), (n_blocks, 4, width))`` (``width = LANES`` in the
+    asset-major regime)."""
     dtype = plan.jdtype
     o = opt.astype(dtype)
+    if use_asset_major(o.n_assets):
+        return _am_bar_greek_xla_partials(o, chol, key, block_offset, plan,
+                                          n_blocks, n_obs=n_obs,
+                                          barrier=barrier, up=up)
     ops = barrier_greek_ops(o, chol, dtype, n_obs)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
@@ -778,6 +996,11 @@ def bar_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
                               n_blocks: int, *, n_obs: int, barrier,
                               up: bool, interpret: bool = False):
     """Fused basket-barrier LR Greek partials on TPU."""
+    if use_asset_major(opt.n_assets):
+        return _am_bar_greek_pallas_partials(opt, chol, seed, block_offset,
+                                             plan, n_blocks, n_obs=n_obs,
+                                             barrier=barrier, up=up,
+                                             interpret=interpret)
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
         o = opt.astype(jnp.float32)
@@ -821,4 +1044,400 @@ def bar_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
           ops["vol"], ops["d"], ops["chol_bd"], ops["linvT_bd"],
           ops["wsel"], ops["esel"], ops["eselT"], ops["cd_row"],
           ops["sr_row"], ops["inv_v"])
+    return out, vecs
+
+
+# ---------------------------------------------------------------------------
+# Greeks: asset-major regime (a <= ASSET_MAJOR_MAX)
+# ---------------------------------------------------------------------------
+#
+# Same sensitivities as the packed Greek kernels above, on the asset-major
+# walk core the PRICING kernels use for small baskets (``_am_core``): one
+# full-lane (rows, 128) tile per asset, correlation as a(a+1)/2
+# broadcast-scalar FMAs instead of two width x width matmuls.  Sharing
+# ``_am_core`` keeps the log-spot chain bitwise identical to the pricer —
+# the shared-stream price == pricer contract the engine tests assert.
+# Per-block outputs: 4 scalar sums (payoff, rho pairs) + a (4, LANES) lane
+# row holding the per-asset (delta, delta^2, vega, vega^2) sums in lanes
+# 0..a-1 (the engine fold reads ``[:, :a]`` via ``c = 1``).
+
+
+def _am_greek_ops(opt, chol, dtype, n_obs: int):
+    """``params (8, a)``: the 5 walk rows of :func:`_am_walk_ops` plus
+    ``vdt`` (v dt), ``winvn`` (w / n_obs), ``inv_s0``."""
+    lt, walk_params = _am_walk_ops(opt, chol, dtype, n_obs)
+    a = opt.n_assets
+    dt = jnp.asarray(opt.t, dtype) / n_obs
+    v = jnp.broadcast_to(jnp.asarray(opt.v, dtype), (a,))
+    s0 = jnp.broadcast_to(jnp.asarray(opt.s, dtype), (a,))
+    w = jnp.broadcast_to(jnp.asarray(opt.w, dtype), (a,))
+    extra = jnp.stack([v * dt, w / n_obs, 1.0 / s0])
+    return lt, jnp.concatenate([walk_params, extra]), jnp.sqrt(dt), dt
+
+
+def _am_greek_step(j, zs, carry, lt_at, par_at, sqdt, dt, a: int):
+    """One asset-major basket-Asian Greek step (pathwise tangents)."""
+    xs, dxvs, acc, tb, a_s, a_v = carry
+    xs, basket, bts, ss = _am_core(zs, xs, lt_at, par_at, a)
+    dxvs = tuple(dxvs[i] + sqdt * bts[i] - par_at(5, i) for i in range(a))
+    a_s = tuple(a_s[i] + ss[i] for i in range(a))
+    a_v = tuple(a_v[i] + ss[i] * dxvs[i] for i in range(a))
+    tj = dt * (jnp.asarray(j, dt.dtype) + 1.0)
+    return (xs, dxvs, acc + basket, tb + tj * basket, a_s, a_v)
+
+
+def _am_greek_init(par_at, a: int, shape, dtype=jnp.float32):
+    zero = lambda: jnp.zeros(shape, dtype)
+    zeros_a = lambda: tuple(zero() for _ in range(a))
+    return (_am_init_xs(par_at, a, shape, dtype), zeros_a(), zero(),
+            zero(), zeros_a(), zeros_a())
+
+
+def _am_greek_payoff(carry, par_at, k, t, inv_n, a: int):
+    _, _, acc, tb, a_s, a_v = carry
+    abar = acc * inv_n
+    p = jnp.maximum(abar - k, 0.0)
+    ind = jnp.where(abar > k, 1.0, 0.0)
+    gr = ind * (tb * inv_n) - t * p
+    dvals = [ind * par_at(6, i) * a_s[i] * par_at(7, i) for i in range(a)]
+    vvals = [ind * par_at(6, i) * a_v[i] for i in range(a)]
+    return p, gr, dvals, vvals
+
+
+def _am_greek_sums(tiles):
+    """Per-iteration scalar sums, ordered for :func:`_am_lane_rows`:
+    ``[p, p^2, gr, gr^2, d_0.., d^2_0.., v_0.., v^2_0..]``."""
+    p, gr, dvals, vvals = tiles
+    vals = [jnp.sum(p), jnp.sum(p * p), jnp.sum(gr), jnp.sum(gr * gr)]
+    for grp in (dvals, [d * d for d in dvals],
+                vvals, [v * v for v in vvals]):
+        vals.extend(jnp.sum(g) for g in grp)
+    return tuple(vals)
+
+
+def _am_greek_xla_partials(o, chol, key, block_offset, plan: Plan,
+                           n_blocks: int, *, n_obs: int):
+    """Asset-major XLA twin of the basket-Asian Greek kernel."""
+    dtype = plan.jdtype
+    a = o.n_assets
+    lt, params, sqdt, dt = _am_greek_ops(o, chol, dtype, n_obs)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r, i: params[r, i]
+    shape = (plan.rows, LANES)
+    inv_n = jnp.asarray(1.0 / n_obs, dtype)
+    t = jnp.asarray(o.t, dtype)
+    n_sums = 4 + 4 * a
+
+    def one_walk(z_seq, sgn):
+        def body(j, carry):
+            zs = [sgn * z_seq[j, i] for i in range(a)]
+            return _am_greek_step(j, zs, carry, lt_at, par_at, sqdt, dt, a)
+
+        carry = jax.lax.fori_loop(0, n_obs, body,
+                                  _am_greek_init(par_at, a, shape, dtype))
+        return _am_greek_payoff(carry, par_at, o.k, t, inv_n, a)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_obs, a) + shape, dtype)
+            tiles = one_walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                mt = one_walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(
+                    0.5 * (x + y) if not isinstance(x, list)
+                    else [0.5 * (xi + yi) for xi, yi in zip(x, y)]
+                    for x, y in zip(tiles, mt))
+            return acc_add_n(carry, _am_greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        vals = acc_final_n(carry, plan.kahan)
+        return (jnp.stack(vals[:N_MW_GREEK_SCALARS]),
+                _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
+                .astype(dtype))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _mw_am_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
+                         out_ref, vec_ref, *, plan: Plan, a: int,
+                         n_obs: int):
+    k, t, inv_n, sqdt, dt = (scal_ref[0], scal_ref[1], scal_ref[2],
+                             scal_ref[3], scal_ref[4])
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    shape = (plan.rows, LANES)
+    n_sums = 4 + 4 * a
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        seed_prng(seed_ref[0], (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_greek_step(j, [sgn * z for z in zs], carry, lt_at,
+                                  par_at, sqdt, dt, a)
+
+        carry = walk_pairwise_multi(shape, a, n_obs, step,
+                                    _am_greek_init(par_at, a, shape))
+        return _am_greek_payoff(carry, par_at, k, t, inv_n, a)
+
+    def body(i, carry):
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            mt = one_walk(i, -1.0)
+            tiles = tuple(
+                0.5 * (x + y) if not isinstance(x, list)
+                else [0.5 * (xi + yi) for xi, yi in zip(x, y)]
+                for x, y in zip(tiles, mt))
+        return acc_add_n(carry, _am_greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(N_MW_GREEK_SCALARS):
+        out_ref[b, j] = vals[j]
+    vec_ref[0] = _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
+
+
+def _am_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
+                              n_blocks: int, *, n_obs: int,
+                              interpret: bool):
+    """Fused asset-major basket-Asian Greek partials on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        a = o.n_assets
+        lt, params, sqdt, dt = _am_greek_ops(o, chol, jnp.float32, n_obs)
+        scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
+                          jnp.asarray(o.t, jnp.float32),
+                          jnp.asarray(1.0 / n_obs, jnp.float32), sqdt, dt])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_mw_am_greeks_kernel, plan=plan, a=a,
+                                   n_obs=n_obs)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        out, vecs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * n_obs
+                * (a * (a + 1) + 14 * a + 8),
+                bytes_accessed=n_blocks * (4 + 4 * LANES) * 4,
+                transcendentals=plan.iters * paths_iter * n_obs
+                * (a + a // 2 + 1),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, lt, params)
+    return out, vecs
+
+
+def _am_bar_greek_ops(opt, chol, dtype, n_obs: int):
+    """``params (8, a)``: the 5 walk rows plus the LR-score rows
+    ``inv_v``, ``cd`` (1 / (s0 v sqrt(dt))), ``sr`` (sqrt(dt) / v)."""
+    lt, walk_params = _am_walk_ops(opt, chol, dtype, n_obs)
+    a = opt.n_assets
+    dt = jnp.asarray(opt.t, dtype) / n_obs
+    sqdt = jnp.sqrt(dt)
+    import jax.scipy.linalg as jsla
+    linv = jsla.solve_triangular(jnp.asarray(chol, dtype),
+                                 jnp.eye(a, dtype=dtype), lower=True)
+    v = jnp.broadcast_to(jnp.asarray(opt.v, dtype), (a,))
+    s0 = jnp.broadcast_to(jnp.asarray(opt.s, dtype), (a,))
+    extra = jnp.stack([1.0 / v, 1.0 / (s0 * v * sqdt), sqdt / v])
+    return lt, linv, jnp.concatenate([walk_params, extra]), sqdt
+
+
+def _am_bar_greek_step(j, zs, carry, lt_at, linv_at, par_at, sqdt,
+                       barrier, up: bool, a: int):
+    """One asset-major LR-score barrier walk step.
+
+    ``q_m = <z, L^{-1} e_m> = sum_{j >= m} Linv[j, m] z_j`` — the same
+    projections the packed kernel computes with a block-diagonal matmul,
+    here as a(a+1)/2 broadcast-scalar FMAs."""
+    xs, qds, acc_q, acc_v, alive, last = carry
+    xs, basket, bts, ss = _am_core(zs, xs, lt_at, par_at, a)
+    qs = []
+    for m in range(a):
+        q = linv_at(m, m) * zs[m]
+        for jj in range(m + 1, a):
+            q = q + linv_at(jj, m) * zs[jj]
+        qs.append(q)
+    qds = tuple(jnp.where(j == 0, qs[m], qds[m]) for m in range(a))
+    acc_q = tuple(acc_q[m] + qs[m] for m in range(a))
+    acc_v = tuple(acc_v[m] + qs[m] * (bts[m] * par_at(5, m) - sqdt)
+                  for m in range(a))
+    hit = (basket < barrier) if up else (basket > barrier)
+    alive = alive * hit.astype(alive.dtype)
+    return (xs, qds, acc_q, acc_v, alive, basket)
+
+
+def _am_bar_greek_init(par_at, a: int, shape, dtype=jnp.float32):
+    zero = lambda: jnp.zeros(shape, dtype)
+    zeros_a = lambda: tuple(zero() for _ in range(a))
+    return (_am_init_xs(par_at, a, shape, dtype), zeros_a(), zeros_a(),
+            zeros_a(), jnp.ones(shape, dtype), zero())
+
+
+def _am_bar_greek_payoff(carry, par_at, k, t, n_obs: int, a: int):
+    _, qds, acc_q, acc_v, alive, last = carry
+    p = alive * jnp.maximum(last - k, 0.0)
+    score_r = acc_q[0] * par_at(7, 0)
+    for m in range(1, a):
+        score_r = score_r + acc_q[m] * par_at(7, m)
+    gr = p * score_r - t * p
+    dvals = [p * qds[m] * par_at(6, m) for m in range(a)]
+    vvals = [p * (acc_v[m] - n_obs * par_at(5, m)) for m in range(a)]
+    return p, gr, dvals, vvals
+
+
+def _am_bar_greek_xla_partials(o, chol, key, block_offset, plan: Plan,
+                               n_blocks: int, *, n_obs: int, barrier,
+                               up: bool):
+    """Asset-major XLA twin of the basket-barrier LR Greek kernel."""
+    dtype = plan.jdtype
+    a = o.n_assets
+    lt, linv, params, sqdt = _am_bar_greek_ops(o, chol, dtype, n_obs)
+    lt_at = lambda i, j: lt[i, j]
+    linv_at = lambda i, j: linv[i, j]
+    par_at = lambda r, i: params[r, i]
+    shape = (plan.rows, LANES)
+    bar = jnp.asarray(barrier, dtype)
+    t = jnp.asarray(o.t, dtype)
+    n_sums = 4 + 4 * a
+
+    def one_walk(z_seq, sgn):
+        def body(j, carry):
+            zs = [sgn * z_seq[j, i] for i in range(a)]
+            return _am_bar_greek_step(j, zs, carry, lt_at, linv_at,
+                                      par_at, sqdt, bar, up, a)
+
+        carry = jax.lax.fori_loop(
+            0, n_obs, body, _am_bar_greek_init(par_at, a, shape, dtype))
+        return _am_bar_greek_payoff(carry, par_at, o.k, t, n_obs, a)
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (n_obs, a) + shape, dtype)
+            tiles = one_walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                mt = one_walk(z_seq, jnp.asarray(-1.0, dtype))
+                tiles = tuple(
+                    0.5 * (x + y) if not isinstance(x, list)
+                    else [0.5 * (xi + yi) for xi, yi in zip(x, y)]
+                    for x, y in zip(tiles, mt))
+            return acc_add_n(carry, _am_greek_sums(tiles), plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        vals = acc_final_n(carry, plan.kahan)
+        return (jnp.stack(vals[:N_MW_GREEK_SCALARS]),
+                _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
+                .astype(dtype))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _mw_am_bar_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, linv_ref,
+                             par_ref, out_ref, vec_ref, *, plan: Plan,
+                             a: int, n_obs: int, up: bool):
+    k, t, bar, sqdt = scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    linv_at = lambda ii, jj: linv_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    shape = (plan.rows, LANES)
+    n_sums = 4 + 4 * a
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        seed_prng(seed_ref[0], (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_bar_greek_step(j, [sgn * z for z in zs], carry,
+                                      lt_at, linv_at, par_at, sqdt, bar,
+                                      up, a)
+
+        carry = walk_pairwise_multi(shape, a, n_obs, step,
+                                    _am_bar_greek_init(par_at, a, shape))
+        return _am_bar_greek_payoff(carry, par_at, k, t, n_obs, a)
+
+    def body(i, carry):
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            mt = one_walk(i, -1.0)
+            tiles = tuple(
+                0.5 * (x + y) if not isinstance(x, list)
+                else [0.5 * (xi + yi) for xi, yi in zip(x, y)]
+                for x, y in zip(tiles, mt))
+        return acc_add_n(carry, _am_greek_sums(tiles), plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(N_MW_GREEK_SCALARS):
+        out_ref[b, j] = vals[j]
+    vec_ref[0] = _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
+
+
+def _am_bar_greek_pallas_partials(opt, chol, seed, block_offset,
+                                  plan: Plan, n_blocks: int, *, n_obs: int,
+                                  barrier, up: bool, interpret: bool):
+    """Fused asset-major basket-barrier LR Greek partials on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        o = opt.astype(jnp.float32)
+        a = o.n_assets
+        lt, linv, params, sqdt = _am_bar_greek_ops(o, chol, jnp.float32,
+                                                   n_obs)
+        scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
+                          jnp.asarray(o.t, jnp.float32),
+                          jnp.asarray(barrier, jnp.float32), sqdt])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_mw_am_bar_greeks_kernel, plan=plan,
+                                   a=a, n_obs=n_obs, up=up)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        out, vecs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * n_obs
+                * (2 * a * (a + 1) + 14 * a + 8),
+                bytes_accessed=n_blocks * (4 + 4 * LANES) * 4,
+                transcendentals=plan.iters * paths_iter * n_obs
+                * (a + a // 2 + 1),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, lt, linv, params)
     return out, vecs

@@ -2044,7 +2044,10 @@ class TestEngineGreeksBasketBarrier:
             gotv = float(np.asarray(g.vega.price)[i])
             sev = float(np.asarray(g.vega.std_error)[i])
             assert abs(gotv - fdv) < 6 * sev + 0.3, ("vega", i, gotv, fdv)
-        h = 2e-3
+        # Wider r-step: at h = 2e-3 the CRN difference is dominated by
+        # knockout flips (each flip moves the FD by payoff / (2 h n)); the
+        # O(h^2) bias at 1e-2 is far below the LR noise floor.
+        h = 1e-2
         fd = (price(dc.replace(opt, basket=dc.replace(bk, r=bk.r + h)))
               - price(dc.replace(opt, basket=dc.replace(bk, r=bk.r - h)))
               ) / (2 * h)
