@@ -93,7 +93,7 @@ def _budget_rate(name, rate, dt, ops, budget_desc, per="path"):
             "budget": budget_desc}
 
 
-def rainbow_greeks_rate():
+def rainbow_greeks_rate(geom=(512, 256)):
     from mctpu.kernels import rainbow as krainbow
     from mctpu.types import RainbowOption
 
@@ -101,7 +101,7 @@ def rainbow_greeks_rate():
                         corr=np.array([[1.0, 0.5], [0.5, 1.0]]), k=100.0,
                         r=0.05, t=1.0)
     chol = _chol(opt.corr)
-    blocks, rows = (4, 8) if SMOKE else (512, 32)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = krainbow.make_plan(n, blocks, rows, False, n_assets=2)
@@ -120,7 +120,7 @@ def rainbow_greeks_rate():
         "1 normal-pair + 2 exp + ~28 vec ops/path (a=2, 14 sums)")
 
 
-def varswap_greeks_rate(dynamics):
+def varswap_greeks_rate(dynamics, geom=(512, 256)):
     from mctpu.kernels import varswap as kvarswap
     from mctpu.types import HestonOption, VanillaOption
 
@@ -138,7 +138,7 @@ def varswap_greeks_rate(dynamics):
         ops = {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 32.0}
         desc = ("1 normal-pair + sqrt + rsqrt + ~32 vec ops/step "
                 "(8 tangent pairs + 4 dacc)")
-    blocks, rows = (4, 8) if SMOKE else (512, 32)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = kvarswap.make_plan(n, blocks, rows, False)
@@ -153,13 +153,13 @@ def varswap_greeks_rate(dynamics):
                         desc, per="step")
 
 
-def ladder_greeks_rate():
+def ladder_greeks_rate(geom=(512, 256)):
     from mctpu.kernels import ladder as kladder
     from mctpu.types import VanillaOption
 
     opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
     strikes = jnp.linspace(80.0, 120.0, 9)
-    blocks, rows = (4, 8) if SMOKE else (512, 32)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = kladder.make_plan(n, blocks, rows, False)
@@ -180,7 +180,7 @@ def ladder_greeks_rate():
         "(9 strikes x 6 outputs, Kahan)")
 
 
-def cva_multi_greeks_rate():
+def cva_multi_greeks_rate(geom=(256, 64)):
     from mctpu.kernels import cva_multi as kmulti
     from mctpu.types import CvaMultiSpec
 
@@ -191,7 +191,7 @@ def cva_multi_greeks_rate():
                         t=1.0, strikes=np.array([100.0, 90.0]),
                         weights=np.array([1.0, 0.5]), n_grid=n_grid)
     chol = _chol(spec.corr)
-    blocks, rows = (4, 8) if SMOKE else (256, 16)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = kmulti.make_plan(n, blocks, rows, False, n_underlyings=2)
@@ -206,26 +206,28 @@ def cva_multi_greeks_rate():
 
     rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 22,
                            _scalar_chain(80))
-    # Per path-node (width = 128 lanes, c = 64 paths/row): 3 matmul rows
-    # (walk chol + net fold + indicator expand ~ 3*width MACs/path at
-    # width=128 -> dominated by VPU work here), 2 cnd (Hastings ~10 fma)
-    # + 1 phi exp + 1 spot exp + divides (isig) ~6 + ~20 integrand vops.
+    # Asset-major regime (m = 2, one lane tile per underlying): per
+    # path-node m/2 normal pairs, 2m exp (spot + phi), 2m Hastings cnd
+    # (measured as their own op class), m(m+1)/2 chol FMAs + ~24m carry/
+    # integrand vops (x, dxv, d1/d2, bs, val, ws/dval/vval, accumulators)
+    # + the netting fold.  No MXU matmuls (the packed regime's three
+    # width x width matmuls measured at 29% of ceiling even at 256 rows).
     return _budget_rate(
         "cva_multi2_greeks50", rate, dt,
-        {"normal_pair": 0.5, "exp": 2.0, "fma": 52.0},
-        "0.5 normal-pair + 2 exp + ~52 vec ops/path-node "
-        "(2 Hastings cnd + phi + tangent + 3 fold/expand matmuls)",
+        {"normal_pair": 1.0, "exp": 4.0, "cnd": 4.0, "fma": 50.0},
+        "1 normal-pair + 4 exp + 4 cnd + ~50 vec ops/path-node "
+        "(asset-major: chol FMAs + per-leg BS node + tangent carries)",
         per="step")
 
 
-def basket_asian_greeks_rate():
+def basket_asian_greeks_rate(geom=(256, 64)):
     from mctpu.kernels import multi_walk as kmw
     from mctpu.types import BasketOption
 
     bk = BasketOption.equicorrelated(3, rho=0.3)
     n_obs = 4 if SMOKE else 16
     chol = _chol(bk.corr)
-    blocks, rows = (4, 8) if SMOKE else (256, 16)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
@@ -249,14 +251,14 @@ def basket_asian_greeks_rate():
         "(asset-major chol FMAs + dxv/AS/AV/tB carries)", per="step")
 
 
-def basket_barrier_greeks_rate():
+def basket_barrier_greeks_rate(geom=(256, 64)):
     from mctpu.kernels import multi_walk as kmw
     from mctpu.types import BasketOption
 
     bk = BasketOption.equicorrelated(3, rho=0.3)
     n_obs = 4 if SMOKE else 50
     chol = _chol(bk.corr)
-    blocks, rows = (4, 8) if SMOKE else (256, 16)
+    blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
         plan = kmw.make_plan(n, blocks, rows, False, n_assets=3)
@@ -285,9 +287,14 @@ def main():
     if not SMOKE and jax.default_backend() != "tpu":
         raise SystemExit("run on the TPU (or pass --cpu-smoke)")
     out = {}
+    # Per-kernel geometry knees (measured, benchmarks/geom_probe_r4.py):
+    # reduction-heavy kernels want 256-row tiles; the Heston tangent walk
+    # (8 carried tangent pairs, deep per-step dependency chain) is
+    # monotone FASTER at small tiles — 28.2 Gsteps/s at 32 rows vs 16.8
+    # at 256.
     for fn in (rainbow_greeks_rate,
                lambda: varswap_greeks_rate("gbm"),
-               lambda: varswap_greeks_rate("heston"),
+               lambda: varswap_greeks_rate("heston", geom=(512, 32)),
                ladder_greeks_rate, cva_multi_greeks_rate,
                basket_asian_greeks_rate, basket_barrier_greeks_rate):
         r = fn()

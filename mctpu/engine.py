@@ -1193,10 +1193,11 @@ def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
     The multi-underlying completion of :func:`greeks_cva`: scalar credit
     delta (dCVA/dlambda, the CDS hedge ratio of the netting set) plus
     PER-UNDERLYING spot delta and vega vectors, fused into the correlated
-    exposure walk (``kernels/cva_multi.py``, Greeks section).  The packed
-    lane layout makes the per-underlying tangents nearly free — each lane
-    already is one underlying, so ``d log S_m/dv_m`` is one carried FMA
-    per lane per step.  All-long netting sets gate against f64 finite
+    exposure walk (``kernels/cva_multi.py``, Greeks section).  Small sets
+    (m <= 8) run the asset-major regime — one lane tile per underlying,
+    no MXU matmuls, the ``d log S_m/dv_m`` tangent one carried FMA per
+    tile per step; wider sets use the packed-lane layout, where each lane
+    already is one underlying.  All-long netting sets gate against f64 finite
     differences of the exact closed form
     (:func:`mctpu.math.cva_multi_closed_form`); mixed-sign sets against
     CRN bumps.  Second-order outputs are ``None`` here (the single-
@@ -1211,8 +1212,14 @@ def greeks_cva_multi(spec, n_paths: int, key: jax.Array,
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
     m = spec.n_underlyings
-    a_tile, c, width = kbasket.pack_factor(m)
-    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    if kbasket.use_asset_major(m):
+        # Asset-major regime: vec partials are (B, 4, LANES) with
+        # per-underlying sums in lanes 0..m-1 — the runner folds c = 1.
+        c, a_tile = 1, kbasket.LANES
+        blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
+    else:
+        a_tile, c, _ = kbasket.pack_factor(m)
+        blocks, rows = cfg.layout_for(n_paths, c * anti)
     plan = kmulti.make_plan(n_paths, blocks, rows, cfg.antithetic,
                             cfg.dtype_str, cfg.precision.kahan,
                             n_underlyings=m)
@@ -1645,8 +1652,12 @@ def price_cva_multi(spec, n_paths: int, key: jax.Array,
     cfg = config
     backend = cfg.resolve_backend()
     anti = 2 if cfg.antithetic else 1
-    _, c, _ = kbasket.pack_factor(spec.n_underlyings)
-    blocks, rows = cfg.layout_for(n_paths, c * anti)
+    if kbasket.use_asset_major(spec.n_underlyings):
+        unit = kbasket.LANES * anti  # asset-major: every lane a path
+    else:
+        _, c, _ = kbasket.pack_factor(spec.n_underlyings)
+        unit = c * anti
+    blocks, rows = cfg.layout_for(n_paths, unit)
     plan = kmulti.make_plan(n_paths, blocks, rows, cfg.antithetic,
                             cfg.dtype_str, cfg.precision.kahan,
                             n_underlyings=spec.n_underlyings)

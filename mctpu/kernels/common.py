@@ -17,7 +17,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
-__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "det_col_sums", "seed_prng",
+__all__ = ["Plan", "LANES", "GRID_SEMANTICS", "am_lane_rows",
+           "det_col_sums", "seed_prng",
            "draw_normal_pair", "chunk_sums",
            "walk_pairwise", "walk_pairwise_multi",
            "prng_emulation", "interpret_arg",
@@ -242,6 +243,20 @@ def draw_normal_pair(shape, ctr):
 def chunk_sums(p):
     """(sum, sum of squares) of one payoff tile, reduced on the VPU."""
     return jnp.sum(p), jnp.sum(p * p)
+
+
+def am_lane_rows(vals, offset: int, a: int, n_rows: int):
+    """Pack ``n_rows`` groups of ``a`` scalars into lanes 0..a-1 of
+    ``(n_rows, LANES)`` (the per-block vector-partial layout of the
+    asset-major Greek kernels; the engine fold reads ``[:, :a]``)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    rows = []
+    for r in range(n_rows):
+        row = jnp.zeros((1, LANES), jnp.float32)
+        for i in range(a):
+            row = row + jnp.where(lane == i, vals[offset + r * a + i], 0.0)
+        rows.append(row)
+    return jnp.concatenate(rows, axis=0)
 
 
 def det_col_sums(x):

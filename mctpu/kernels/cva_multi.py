@@ -1,12 +1,17 @@
 """Fused multi-underlying CVA kernel: netting set over correlated GBMs.
 
-Composes the lane-packed correlated walk (``mctpu/kernels/basket.py``
-machinery: ``c`` paths per 128-lane row, block-diagonal Cholesky) with the
-CVA exposure grid (``mctpu/kernels/cva.py``): option ``m`` is a call on
-underlying ``m``; at node ``j`` every packed path re-prices all its options
-with the Hastings-CDF Black-Scholes on the VPU (per-lane strikes/vols), the
-signed position values net through one indicator matmul, and the positive
-part feeds the default leg ``lgd * sum_j dp_j * max(netted_j, 0)``.
+Composes the correlated walk with the CVA exposure grid
+(``mctpu/kernels/cva.py``): option ``m`` is a call on underlying ``m``; at
+node ``j`` every path re-prices all its options with the Hastings-CDF
+Black-Scholes on the VPU, the signed position values net per path, and the
+positive part feeds the default leg ``lgd * sum_j dp_j * max(netted_j, 0)``.
+
+Dual walk regime (the ``kernels/basket.py`` convention): netting sets of
+``m <= ASSET_MAJOR_MAX`` underlyings run asset-major — one (rows, 128)
+log-spot tile per underlying, correlation as m(m+1)/2 broadcast-scalar
+FMAs, netting as tile adds (see the asset-major section below).  Wider
+sets use the lane-packed layout (``c`` paths per 128-lane row,
+block-diagonal Cholesky, indicator matmuls on the MXU).
 
 Beyond the reference (single underlying, single option); the exposure
 profile per node is accumulated in Kahan-compensated SMEM scalars.
@@ -23,11 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.basket import MATMUL_PRECISION, pack_factor
+from mctpu.kernels.basket import (MATMUL_PRECISION, pack_factor,
+                                  use_asset_major)
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
-                                  acc_final_n, acc_init_n, chunk_sums,
-                                  det_col_sums, interpret_arg, prng_emulation, seed_prng,
-                                  walk_pairwise)
+                                  acc_final_n, acc_init_n, am_lane_rows,
+                                  chunk_sums, det_col_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise,
+                                  walk_pairwise_multi)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaMultiSpec
 
@@ -39,8 +46,11 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec",
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
               dtype: str = "float32", kahan: bool = True,
               n_underlyings: int = 2) -> Plan:
-    _, c, _ = pack_factor(n_underlyings)
-    units = rows * c
+    if use_asset_major(n_underlyings):
+        units = rows * LANES  # every lane a path (one tile per underlying)
+    else:
+        _, c, _ = pack_factor(n_underlyings)
+        units = rows * c
     paths = units * (2 if antithetic else 1)
     return Plan.plan(n_paths, num_blocks, rows, paths, units, antithetic,
                      dtype, kahan)
@@ -126,6 +136,8 @@ def xla_partials(spec: CvaMultiSpec, chol, key: jax.Array, block_offset,
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))``."""
     dtype = plan.jdtype
     sp = spec.astype(dtype)
+    if use_asset_major(spec.n_underlyings):
+        return _am_xla_partials(sp, chol, key, block_offset, plan, n_blocks)
     g = spec.n_grid
     ops = pack_spec(sp, chol, dtype)
     width = ops["chol_bd"].shape[0]
@@ -257,6 +269,9 @@ def pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset, plan: Plan,
     """Per-block partials: ``((n_blocks, 2), (n_blocks, n_grid))`` on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
+        if use_asset_major(spec.n_underlyings):
+            return _am_pallas_partials(spec, chol, seed, block_offset,
+                                       plan, n_blocks, interpret)
         return _pallas_partials(spec, chol, seed, block_offset, plan,
                                 n_blocks, interpret)
 
@@ -442,10 +457,13 @@ def greek_ops(spec: CvaMultiSpec, chol, dtype):
 
 def greek_xla_partials(spec: CvaMultiSpec, chol, key: jax.Array,
                        block_offset, plan: Plan, n_blocks: int):
-    """Per-block Greek partials:
-    ``((n_blocks, 4), (n_blocks, 4, width))``."""
+    """Per-block Greek partials: ``((n_blocks, 4), (n_blocks, 4, width))``
+    (``width = LANES`` in the asset-major regime)."""
     dtype = plan.jdtype
     sp = spec.astype(dtype)
+    if use_asset_major(spec.n_underlyings):
+        return _am_greek_xla_partials(sp, chol, key, block_offset, plan,
+                                      n_blocks)
     g = spec.n_grid
     ops = greek_ops(sp, chol, dtype)
     tables = greek_tables(sp, dtype)
@@ -545,6 +563,9 @@ def greek_pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset,
     """Fused netting-set CVA Greek partials on TPU."""
     ctx = prng_emulation() if interpret else contextlib.nullcontext()
     with jax.enable_x64(False), ctx:
+        if use_asset_major(spec.n_underlyings):
+            return _am_greek_pallas_partials(spec, chol, seed, block_offset,
+                                             plan, n_blocks, interpret)
         sp = spec.astype(jnp.float32)
         g = spec.n_grid
         ops = greek_ops(sp, chol, jnp.float32)
@@ -586,4 +607,456 @@ def greek_pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset,
           ops["k"], ops["logk"], ops["w"], ops["v"], ops["v2half"],
           ops["vdt"], ops["drift"], ops["vol"], ops["chol_bd"],
           ops["isel"], ops["iselT"])
+    return out, vecs
+
+
+# ---------------------------------------------------------------------------
+# Asset-major regime (m <= ASSET_MAJOR_MAX)
+# ---------------------------------------------------------------------------
+# Small netting sets skip the MXU entirely (the kernels/basket.py:45 /
+# kernels/multi_walk.py argument): the packed walk pays THREE width x width
+# HIGHEST-precision matmuls per node (Cholesky walk, indicator fold,
+# indicator expand) for ~97% zeros at m = 2 — measured at 29% of its VPU op
+# ceiling even at 256-row geometry (benchmarks/greeks_r4.json).  Asset-major
+# carries one (rows, 128) log-spot tile PER UNDERLYING — every lane a
+# path — so the correlation costs m(m+1)/2 broadcast-scalar FMAs, the
+# netting fold is m-1 tile adds, and the exercise indicator is shared by
+# all legs with no expand at all.  Draws pair across two successive grid
+# steps (walk_pairwise_multi); streams therefore differ from the packed
+# regime (the same regime-keyed convention as kernels/basket.py).  The
+# node math below is SHARED between the pricer and the Greek kernel
+# (tracing DCE drops the Greek factors from the pricing program), so
+# greeks_cva_multi's price ties to price_cva_multi bitwise on shared
+# streams.
+
+def _am_ops(spec: CvaMultiSpec, chol, dtype):
+    """``(lt (m, m), params (9, m), sqdt)``: per-underlying columns
+    0 log_s0, 1 drift dt, 2 v sqrt(dt), 3 v dt, 4 w, 5 k, 6 log k,
+    7 v^2/2, 8 v."""
+    m = spec.n_underlyings
+    dt = jnp.asarray(spec.t, dtype) / spec.n_grid
+    v = jnp.broadcast_to(jnp.asarray(spec.v, dtype), (m,))
+    s0 = jnp.broadcast_to(jnp.asarray(spec.s, dtype), (m,))
+    k = jnp.broadcast_to(jnp.asarray(spec.strikes, dtype), (m,))
+    w = jnp.broadcast_to(jnp.asarray(spec.weights, dtype), (m,))
+    r = jnp.asarray(spec.r, dtype)
+    params = jnp.stack([jnp.log(s0), (r - 0.5 * v * v) * dt,
+                        v * jnp.sqrt(dt), v * dt, w, k, jnp.log(k),
+                        0.5 * v * v, v])
+    return jnp.asarray(chol, dtype), params, jnp.sqrt(dt)
+
+
+def _am_quants(zs, xs, lt_at, par_at, r, tau_j, sqtau_j, disc_j, m: int):
+    """Advance the ``m`` log-spot tiles one grid node and re-price every
+    leg.
+
+    Returns ``(new_xs, bts, ss, vals, nd1_effs, phis)``: the advanced
+    walk state, per-asset correlated increments and spots, the signed
+    position-value tiles, and the delta/vega node factors (the pricing
+    walk ignores the last two; tracing DCE drops them).  Node semantics
+    match the packed :func:`_greek_node` exactly: Hastings-CDF
+    Black-Scholes exposure, intrinsic value and the ITM indicator at the
+    final node.
+    """
+    last = tau_j <= 0.0
+    tau_safe = jnp.maximum(tau_j, 1e-12)
+    sq_floor = jnp.maximum(sqtau_j, 1e-6)
+    new_xs, bts, ss, vals, nd1_effs, phis = [], [], [], [], [], []
+    for i in range(m):
+        bt = None
+        for jj in range(i + 1):
+            zc = lt_at(i, jj) * zs[jj]
+            bt = zc if bt is None else bt + zc
+        x = xs[i] + par_at(1, i) + par_at(2, i) * bt
+        s = jnp.exp(x)
+        sq = par_at(8, i) * sq_floor
+        isig = 1.0 / sq
+        d1 = (x - par_at(6, i) + (r + par_at(7, i)) * tau_safe) * isig
+        d2 = d1 - sq
+        nd1 = mcmath.norm_cdf_hastings(d1)
+        bs = s * nd1 - par_at(5, i) * disc_j * mcmath.norm_cdf_hastings(d2)
+        intr = jnp.maximum(s - par_at(5, i), 0.0)
+        val = par_at(4, i) * jnp.where(last, intr, bs)
+        itm = jnp.where(s > par_at(5, i), 1.0, 0.0)
+        nd1_eff = jnp.where(last, itm, nd1)
+        phi = jnp.where(last, 0.0,
+                        0.3989422804014327 * jnp.exp(-0.5 * d1 * d1))
+        new_xs.append(x)
+        bts.append(bt)
+        ss.append(s)
+        vals.append(val)
+        nd1_effs.append(nd1_eff)
+        phis.append(phi)
+    return tuple(new_xs), bts, ss, vals, nd1_effs, phis
+
+
+def _am_net(vals):
+    net = vals[0]
+    for v in vals[1:]:
+        net = net + v
+    return jnp.maximum(net, 0.0), net
+
+
+def _am_init_xs(par_at, m: int, shape, dtype=jnp.float32):
+    return tuple(jnp.zeros(shape, dtype) + par_at(0, i) for i in range(m))
+
+
+# -- pricing ----------------------------------------------------------------
+
+def _am_price_step(j, zs, carry, lt_at, par_at, r, tables_at, m: int,
+                   node_hook=None):
+    """One pricing grid step: ``carry = (xs, acc)`` with ``acc`` the
+    per-path running default-leg sum.  ``node_hook(j, ee)`` feeds the
+    exposure-profile accumulator (SMEM Kahan scalars in the kernel, a
+    vector ``.at[j].add`` on the XLA twin)."""
+    dp_at, tau_at, sqtau_at, disc_at = tables_at
+    xs, acc = carry
+    xs, _, _, vals, _, _ = _am_quants(zs, xs, lt_at, par_at, r, tau_at(j),
+                                      sqtau_at(j), disc_at(j), m)
+    ee, _ = _am_net(vals)
+    if node_hook is not None:
+        node_hook(j, ee)
+    return (xs, acc + dp_at(j) * ee)
+
+
+def _am_xla_partials(sp, chol, key, block_offset, plan: Plan,
+                     n_blocks: int):
+    """Asset-major XLA twin: ``((n_blocks, 2), (n_blocks, n_grid))``."""
+    dtype = plan.jdtype
+    m = sp.n_underlyings
+    g = sp.n_grid
+    lt, params, _ = _am_ops(sp, chol, dtype)
+    dp, _, tau, sqtau, disc = greek_tables(sp, dtype)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r_, i: params[r_, i]
+    tables_at = (lambda j: dp[j], lambda j: tau[j], lambda j: sqtau[j],
+                 lambda j: disc[j])
+    shape = (plan.rows, LANES)
+    r = jnp.asarray(sp.r, dtype)
+    sgn_half = jnp.asarray(0.5 if plan.antithetic else 1.0, dtype)
+
+    def walk(z_seq, sgn, ee_sums):
+        def body(j, carry):
+            xs, acc, ee_acc = carry
+            zs = [sgn * z_seq[j, i] for i in range(m)]
+            seen = []
+            xs, acc = _am_price_step(j, zs, (xs, acc), lt_at, par_at, r,
+                                     tables_at, m,
+                                     node_hook=lambda _, ee: seen.append(ee))
+            ee_acc = ee_acc.at[j].add(sgn_half * jnp.sum(seen[0]))
+            return (xs, acc, ee_acc)
+
+        init = (_am_init_xs(par_at, m, shape, dtype),
+                jnp.zeros(shape, dtype), ee_sums)
+        _, acc, ee_sums = jax.lax.fori_loop(0, g, body, init)
+        return sp.lgd * acc, ee_sums
+
+    def block_fn(bkey):
+        def body(i, carry):
+            acc, ee_acc = carry
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g, m) + shape, dtype)
+            cva_tile, ee_acc = walk(z_seq, jnp.asarray(1.0, dtype), ee_acc)
+            if plan.antithetic:
+                cva_m, ee_acc = walk(z_seq, jnp.asarray(-1.0, dtype),
+                                     ee_acc)
+                cva_tile = 0.5 * (cva_tile + cva_m)
+            cs, cs2 = chunk_sums(cva_tile)
+            return (_accum_add(acc, cs, cs2, plan.kahan), ee_acc)
+
+        init = (_accum_init(dtype, plan.kahan), jnp.zeros((g,), dtype))
+        acc, ee_acc = jax.lax.fori_loop(0, plan.iters, body, init)
+        s, s2 = _accum_final(acc, plan.kahan)
+        return jnp.stack([s, s2]), ee_acc
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _am_cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, tau_ref,
+                         sqtau_ref, disc_ref, lt_ref, par_ref, out_ref,
+                         ee_ref, prof_ref, comp_ref, *, plan: Plan,
+                         n_grid: int, m: int):
+    r, lgd = scal_ref[0], scal_ref[1]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    tables_at = (lambda j: dp_ref[j], lambda j: tau_ref[j],
+                 lambda j: sqtau_ref[j], lambda j: disc_ref[j])
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    g_pad = prof_ref.shape[0]
+    sgn_half = 0.5 if plan.antithetic else 1.0
+
+    def hook(j, ee):
+        # Kahan-compensated scalar profile accumulation in SMEM.
+        total = sgn_half * jnp.sum(ee)
+        y = total - comp_ref[j]
+        t_new = prof_ref[j] + y
+        comp_ref[j] = (t_new - prof_ref[j]) - y
+        prof_ref[j] = t_new
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_price_step(j, [sgn * z for z in zs], carry, lt_at,
+                                  par_at, r, tables_at, m, node_hook=hook)
+
+        init = (_am_init_xs(par_at, m, shape), jnp.zeros(shape, jnp.float32))
+        _, acc = walk_pairwise_multi(shape, m, n_grid, step, init)
+        return lgd * acc
+
+    def body(i, carry):
+        if plan.antithetic:
+            cva_tile = 0.5 * (walk(i, 1.0) + walk(i, -1.0))
+        else:
+            cva_tile = walk(i, 1.0)
+        cs, cs2 = chunk_sums(cva_tile)
+        return _accum_add(carry, cs, cs2, plan.kahan)
+
+    def zero_prof(j, _):
+        prof_ref[j] = 0.0
+        comp_ref[j] = 0.0
+        return 0
+
+    jax.lax.fori_loop(0, g_pad, zero_prof, 0)
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              _accum_init(jnp.float32, plan.kahan))
+    s, s2 = _accum_final(carry, plan.kahan)
+    out_ref[b, 0] = s
+    out_ref[b, 1] = s2
+
+    def write_prof(j, _):
+        ee_ref[b, j] = prof_ref[j] + comp_ref[j]
+        return 0
+
+    jax.lax.fori_loop(0, g_pad, write_prof, 0)
+
+
+def _am_pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
+                        interpret):
+    sp = spec.astype(jnp.float32)
+    m = sp.n_underlyings
+    g = sp.n_grid
+    lt, params, _ = _am_ops(sp, chol, jnp.float32)
+    dp, _, tau, sqtau, disc = greek_tables(sp, jnp.float32)
+    scal = jnp.stack([sp.r, sp.lgd])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+    g_pad = _round_up(g, 8)
+    kernel = functools.partial(_am_cva_multi_kernel, plan=plan, n_grid=g,
+                               m=m)
+    paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+    out, ee = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((g_pad,), jnp.float32),
+                        pltpu.SMEM((g_pad,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=GRID_SEMANTICS,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.iters * paths_iter * g * (m * (m + 1) + 12 * m + 4),
+            bytes_accessed=n_blocks * (2 + g) * 4,
+            transcendentals=plan.iters * paths_iter * g * (3 * m + m // 2),
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal, dp, tau, sqtau, disc, lt, params)
+    return out, ee[:, :g]
+
+
+# -- Greeks -----------------------------------------------------------------
+
+def _am_greek_step(j, zs, carry, lt_at, par_at, r, sqdt, tables_at,
+                   m: int):
+    """One Greek grid step.  ``carry = (xs, dxvs, acc, acc_cr, acc_d,
+    acc_v)``; integrands match the packed :func:`_greek_step` exactly
+    (the per-asset vol tangent ``dxv_i += sqdt bt_i - v_i dt``, the
+    shared per-path exercise indicator, and the delta/vega node
+    factors)."""
+    dp_at, ddp_at, tau_at, sqtau_at, disc_at = tables_at
+    xs, dxvs, acc, acc_cr, acc_d, acc_v = carry
+    sqtau_j = sqtau_at(j)
+    xs, bts, ss, vals, nd1_effs, phis = _am_quants(
+        zs, xs, lt_at, par_at, r, tau_at(j), sqtau_j, disc_at(j), m)
+    dxvs = tuple(dxvs[i] + sqdt * bts[i] - par_at(3, i) for i in range(m))
+    ee, net = _am_net(vals)
+    ind = jnp.where(net > 0.0, 1.0, 0.0)
+    dp_j, ddp_j = dp_at(j), ddp_at(j)
+    new_d, new_v = [], []
+    for i in range(m):
+        ws = ind * par_at(4, i) * ss[i]
+        dval = ws * nd1_effs[i]
+        vval = dval * dxvs[i] + ws * phis[i] * sqtau_j
+        new_d.append(acc_d[i] + dp_j * dval)
+        new_v.append(acc_v[i] + dp_j * vval)
+    return (xs, dxvs, acc + dp_j * ee, acc_cr + ddp_j * ee,
+            tuple(new_d), tuple(new_v))
+
+
+def _am_greek_init(par_at, m: int, shape, dtype=jnp.float32):
+    zero = lambda: jnp.zeros(shape, dtype)
+    zeros_m = lambda: tuple(zero() for _ in range(m))
+    return (_am_init_xs(par_at, m, shape, dtype), zeros_m(), zero(),
+            zero(), zeros_m(), zeros_m())
+
+
+def _am_greek_sums(tiles, m: int):
+    """Per-iteration scalar sums, ordered for :func:`am_lane_rows`:
+    ``[cva, cva^2, cr, cr^2, d_0.., d^2_0.., v_0.., v^2_0..]``."""
+    cva_t, cr_t, dvals, vvals = tiles
+    vals = [jnp.sum(cva_t), jnp.sum(cva_t * cva_t),
+            jnp.sum(cr_t), jnp.sum(cr_t * cr_t)]
+    for grp in (dvals, [d * d for d in dvals],
+                vvals, [v * v for v in vvals]):
+        vals.extend(jnp.sum(g) for g in grp)
+    return tuple(vals)
+
+
+def _am_avg_tiles(ta, tb):
+    return tuple(
+        0.5 * (x + y) if not isinstance(x, list)
+        else [0.5 * (xi + yi) for xi, yi in zip(x, y)]
+        for x, y in zip(ta, tb))
+
+
+def _am_greek_xla_partials(sp, chol, key, block_offset, plan: Plan,
+                           n_blocks: int):
+    """Asset-major XLA twin of the netting-set Greek kernel."""
+    dtype = plan.jdtype
+    m = sp.n_underlyings
+    g = sp.n_grid
+    lt, params, sqdt = _am_ops(sp, chol, dtype)
+    dp, ddp, tau, sqtau, disc = greek_tables(sp, dtype)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r_, i: params[r_, i]
+    tables_at = (lambda j: dp[j], lambda j: ddp[j], lambda j: tau[j],
+                 lambda j: sqtau[j], lambda j: disc[j])
+    shape = (plan.rows, LANES)
+    r = jnp.asarray(sp.r, dtype)
+    n_sums = N_MULTI_GREEK_SCALARS + 4 * m
+
+    def one_walk(z_seq, sgn):
+        def body(j, carry):
+            zs = [sgn * z_seq[j, i] for i in range(m)]
+            return _am_greek_step(j, zs, carry, lt_at, par_at, r, sqdt,
+                                  tables_at, m)
+
+        carry = jax.lax.fori_loop(0, g, body,
+                                  _am_greek_init(par_at, m, shape, dtype))
+        _, _, acc, acc_cr, acc_d, acc_v = carry
+        return (sp.lgd * acc, sp.lgd * acc_cr,
+                [sp.lgd * d for d in acc_d], [sp.lgd * v for v in acc_v])
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g, m) + shape, dtype)
+            tiles = one_walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                tiles = _am_avg_tiles(
+                    tiles, one_walk(z_seq, jnp.asarray(-1.0, dtype)))
+            return acc_add_n(carry, _am_greek_sums(tiles, m), plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        vals = acc_final_n(carry, plan.kahan)
+        return (jnp.stack(vals[:N_MULTI_GREEK_SCALARS]),
+                am_lane_rows(vals, N_MULTI_GREEK_SCALARS, m, 4)
+                .astype(dtype))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _am_cva_multi_greeks_kernel(seed_ref, off_ref, scal_ref, dp_ref,
+                                ddp_ref, tau_ref, sqtau_ref, disc_ref,
+                                lt_ref, par_ref, out_ref, vec_ref, *,
+                                plan: Plan, n_grid: int, m: int):
+    r, lgd, sqdt = scal_ref[0], scal_ref[1], scal_ref[2]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    tables_at = (lambda j: dp_ref[j], lambda j: ddp_ref[j],
+                 lambda j: tau_ref[j], lambda j: sqtau_ref[j],
+                 lambda j: disc_ref[j])
+    shape = (plan.rows, LANES)
+    n_sums = N_MULTI_GREEK_SCALARS + 4 * m
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_greek_step(j, [sgn * z for z in zs], carry, lt_at,
+                                  par_at, r, sqdt, tables_at, m)
+
+        carry = walk_pairwise_multi(shape, m, n_grid, step,
+                                    _am_greek_init(par_at, m, shape))
+        _, _, acc, acc_cr, acc_d, acc_v = carry
+        return (lgd * acc, lgd * acc_cr, [lgd * d for d in acc_d],
+                [lgd * v for v in acc_v])
+
+    def body(i, carry):
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            tiles = _am_avg_tiles(tiles, one_walk(i, -1.0))
+        return acc_add_n(carry, _am_greek_sums(tiles, m), plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(N_MULTI_GREEK_SCALARS):
+        out_ref[b, j] = vals[j]
+    vec_ref[0] = am_lane_rows(vals, N_MULTI_GREEK_SCALARS, m, 4)
+
+
+def _am_greek_pallas_partials(spec, chol, seed, block_offset, plan: Plan,
+                              n_blocks: int, interpret: bool):
+    """Fused asset-major netting-set CVA Greek partials on TPU."""
+    sp = spec.astype(jnp.float32)
+    m = sp.n_underlyings
+    g = sp.n_grid
+    lt, params, sqdt = _am_ops(sp, chol, jnp.float32)
+    dp, ddp, tau, sqtau, disc = greek_tables(sp, jnp.float32)
+    scal = jnp.stack([sp.r, sp.lgd, sqdt])
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+    kernel = functools.partial(_am_cva_multi_greeks_kernel, plan=plan,
+                               n_grid=g, m=m)
+    paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+    out, vecs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 10,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, N_MULTI_GREEK_SCALARS),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=GRID_SEMANTICS,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=plan.iters * paths_iter * g * (m * (m + 1) + 20 * m + 6),
+            bytes_accessed=n_blocks * (4 + 4 * LANES) * 4,
+            transcendentals=plan.iters * paths_iter * g * (3 * m + m // 2),
+        ),
+        interpret=interpret_arg(interpret),
+    )(seed_arr, off_arr, scal, dp, ddp, tau, sqtau, disc, lt, params)
     return out, vecs

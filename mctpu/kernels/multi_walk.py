@@ -28,9 +28,10 @@ from mctpu import rng as mcrng
 from mctpu.kernels.basket import (MATMUL_PRECISION, pack_assets, pack_factor,
                                   use_asset_major)
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
-                                  acc_final_n, acc_init_n, chunk_sums,
-                                  det_col_sums, interpret_arg, prng_emulation, seed_prng,
-                                  walk_pairwise, walk_pairwise_multi)
+                                  acc_final_n, acc_init_n, am_lane_rows,
+                                  chunk_sums, det_col_sums, interpret_arg,
+                                  prng_emulation, seed_prng, walk_pairwise,
+                                  walk_pairwise_multi)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials",
@@ -205,18 +206,9 @@ def _am_init_xs(par_at, a: int, shape, dtype=jnp.float32):
                  for i in range(a))
 
 
-def _am_lane_rows(vals, offset: int, a: int, n_rows: int):
-    """Pack ``n_rows`` groups of ``a`` scalars into lanes 0..a-1 of
-    ``(n_rows, LANES)`` (the per-block vector-partial layout; the engine
-    fold reads ``[:, :a]``)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    rows = []
-    for r in range(n_rows):
-        row = jnp.zeros((1, LANES), jnp.float32)
-        for i in range(a):
-            row = row + jnp.where(lane == i, vals[offset + r * a + i], 0.0)
-        rows.append(row)
-    return jnp.concatenate(rows, axis=0)
+# Per-block vector-partial packing for the asset-major Greek kernels:
+# shared by cva_multi.py, so it lives in kernels/common.py.
+_am_lane_rows = am_lane_rows
 
 
 # ---------------------------------------------------------------------------

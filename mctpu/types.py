@@ -808,7 +808,12 @@ class CvaMultiSpec:
 
     @property
     def n_underlyings(self) -> int:
-        return int(np.shape(self.s)[0])
+        # Robust under tracing: a plain-list ``s`` flattens into per-element
+        # tracer leaves, and np.shape on a list of tracers tries __array__.
+        s = self.s
+        if hasattr(s, "shape"):
+            return int(s.shape[0])
+        return len(s)
 
     def astype(self, dtype) -> "CvaMultiSpec":
         return CvaMultiSpec(

@@ -101,3 +101,58 @@ def test_validation():
         CvaMultiSpec(intensity=0.03, lgd=0.6, s=[100.0, 95.0], v=[0.2],
                      corr=CORR, r=0.05, t=1.0, strikes=[100.0, 90.0],
                      weights=[0.5, 0.5], n_grid=25).validate()
+
+
+def test_packed_regime_wide_set_matches_closed_form():
+    """m = 9 > ASSET_MAJOR_MAX keeps the packed MXU layout covered (the
+    asset-major regime now owns every small-m test in this module)."""
+    from mctpu.kernels.basket import ASSET_MAJOR_MAX, use_asset_major
+    m = ASSET_MAJOR_MAX + 1
+    assert not use_asset_major(m)
+    corr = np.full((m, m), 0.2) + 0.8 * np.eye(m)
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6, s=np.full(m, 100.0),
+                        v=np.linspace(0.15, 0.35, m), corr=corr, r=0.05,
+                        t=1.0, strikes=np.linspace(90.0, 110.0, m),
+                        weights=np.full(m, 1.0 / m), n_grid=10)
+    res = engine.price_cva_multi(spec, 1 << 14, KEY, CFG)
+    want = float(mcmath.cva_multi_closed_form(
+        spec.intensity, spec.lgd, spec.s, spec.v, spec.strikes,
+        spec.weights, spec.r, spec.t, spec.n_grid))
+    assert abs(float(res.cva) - want) < 4 * float(res.std_error)
+
+
+@pytest.mark.slow
+def test_packed_regime_wide_set_greeks():
+    """Packed-regime Greek kernel (m = 9): delta/vega vs closed-form FD."""
+    import dataclasses as dc
+
+    from mctpu.kernels.basket import ASSET_MAJOR_MAX
+    m = ASSET_MAJOR_MAX + 1
+    corr = np.full((m, m), 0.2) + 0.8 * np.eye(m)
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6, s=np.full(m, 100.0),
+                        v=np.linspace(0.15, 0.35, m), corr=corr, r=0.05,
+                        t=1.0, strikes=np.linspace(90.0, 110.0, m),
+                        weights=np.full(m, 1.0 / m), n_grid=10)
+
+    def cf(sp):
+        return float(mcmath.cva_multi_closed_form(
+            sp.intensity, sp.lgd, sp.s, sp.v, sp.strikes, sp.weights,
+            sp.r, sp.t, sp.n_grid))
+
+    g = engine.greeks_cva_multi(spec, 1 << 15, KEY, CFG)
+    zc = (float(g.cva.price) - cf(spec)) / float(g.cva.std_error)
+    assert abs(zc) < 4.0, zc
+    for i in (0, m - 1):
+        e = np.zeros(m)
+        e[i] = 0.05
+        fd = (cf(dc.replace(spec, s=spec.s + e))
+              - cf(dc.replace(spec, s=spec.s - e))) / 0.1
+        got = float(np.asarray(g.delta.price)[i])
+        se = float(np.asarray(g.delta.std_error)[i])
+        assert abs(got - fd) < 4 * se, ("delta", i, got, fd)
+        e[i] = 1e-3
+        fdv = (cf(dc.replace(spec, v=spec.v + e))
+               - cf(dc.replace(spec, v=spec.v - e))) / 2e-3
+        gotv = float(np.asarray(g.vega.price)[i])
+        sev = float(np.asarray(g.vega.std_error)[i])
+        assert abs(gotv - fdv) < 4 * sev, ("vega", i, gotv, fdv)
