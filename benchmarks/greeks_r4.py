@@ -133,11 +133,15 @@ def varswap_greeks_rate(dynamics, geom=(512, 256)):
     else:
         opt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04,
                            kappa=1.5, theta=0.04, xi=0.5, rho=-0.7)
-        # Tangent walk: CIR sqrt + rsqrt guard + 8 tangent updates (2 FMA
-        # each) + 4 dacc FMAs + walk ~8 vops.
-        ops = {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 32.0}
-        desc = ("1 normal-pair + sqrt + rsqrt + ~32 vec ops/step "
-                "(8 tangent pairs + 4 dacc)")
+        # Tangent walk, full source recount (heston._greek_step + the
+        # varswap body): vp-max 1, sq_v 1, dsq guard 3 (mul+cmp+select),
+        # m-cmp 1, z_s 2, x-update 3, c_a 1, c_b 2, extras 2, 4 tangent
+        # pairs x (select + al FMA + av 2-FMA) = 16, v-update 3  -> ~35;
+        # body: lr 1, two_lr 1, dacc 4 x (diff + FMA) = 8, acc2 1,
+        # acc1 1 -> ~12.  Total ~47 fma-class + sqrt + rsqrt.
+        ops = {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 47.0}
+        desc = ("1 normal-pair + sqrt + rsqrt + ~47 vec ops/step "
+                "(8 tangent pairs, guards/selects counted, + 4 dacc)")
     blocks, rows = (4, 8) if SMOKE else geom
 
     def mk(n):
@@ -220,6 +224,47 @@ def cva_multi_greeks_rate(geom=(256, 64)):
         per="step")
 
 
+def cva_multi_price_rate(geom=(256, 64)):
+    """Pricing twin of the asset-major netting-set kernel (no tangents)."""
+    from mctpu.kernels import cva_multi as kmulti
+    from mctpu.types import CvaMultiSpec
+
+    n_grid = 10 if SMOKE else 50
+    spec = CvaMultiSpec(intensity=0.03, lgd=0.6,
+                        s=np.array([100.0, 95.0]), v=np.array([0.2, 0.3]),
+                        corr=np.array([[1.0, 0.4], [0.4, 1.0]]), r=0.05,
+                        t=1.0, strikes=np.array([100.0, 90.0]),
+                        weights=np.array([1.0, 0.5]), n_grid=n_grid)
+    chol = _chol(spec.corr)
+    blocks, rows = (4, 8) if SMOKE else geom
+
+    def mk(n):
+        plan = kmulti.make_plan(n, blocks, rows, False, n_underlyings=2)
+
+        def build(seed):
+            out, ee = kmulti.pallas_partials(
+                spec, chol, seed, 0, plan, plan.num_blocks,
+                interpret=SMOKE)
+            return out
+
+        return build, plan.total_paths * n_grid
+
+    # Start near the sized geometry: the pricing kernel is ~7x faster than
+    # the Greek twin, and every auto-sizer resize is a 20-40 s tunnel
+    # compile.
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 27,
+                           _scalar_chain(85))
+    # Asset-major pricing: m/2 normal pairs, m spot exp (the phi/tangent
+    # factors are DCE'd), 2m Hastings cnd, chol FMAs + BS-node vops +
+    # netting fold + default-leg/profile accumulation ~36 fma-class.
+    return _budget_rate(
+        "cva_multi2_price50", rate, dt,
+        {"normal_pair": 1.0, "exp": 2.0, "cnd": 4.0, "fma": 36.0},
+        "1 normal-pair + 2 exp + 4 cnd + ~36 vec ops/path-node "
+        "(asset-major pricing: chol FMAs + per-leg BS node + netting)",
+        per="step")
+
+
 def basket_asian_greeks_rate(geom=(256, 64)):
     from mctpu.kernels import multi_walk as kmw
     from mctpu.types import BasketOption
@@ -296,6 +341,7 @@ def main():
                lambda: varswap_greeks_rate("gbm"),
                lambda: varswap_greeks_rate("heston", geom=(512, 32)),
                ladder_greeks_rate, cva_multi_greeks_rate,
+               cva_multi_price_rate,
                basket_asian_greeks_rate, basket_barrier_greeks_rate):
         r = fn()
         out[r["kernel"]] = r

@@ -1337,6 +1337,12 @@ def greeks_varswap(opt, n_paths: int, key: jax.Array,
     are s0-free) and is returned as an exact ``0 ± 0`` rather than burning
     an accumulator; all outputs are in variance units (undiscounted fair
     strike, not a PV).
+
+    Geometry note (measured, v5e): the Heston tangent walk's deep per-step
+    dependency chain makes it monotone FASTER at small tiles — 28.2
+    Gsteps/s at ``EngineConfig(rows=32)`` vs 16.8 at the 256-row default
+    (`benchmarks/greeks_r4.json`).  The default geometry is kept for
+    stream compatibility with the pricer; pass ``rows=32`` for throughput.
     """
     from mctpu.kernels import varswap as kvarswap
     from mctpu.types import GreeksResult, HestonGreeksResult
