@@ -342,7 +342,9 @@ def main():
                lambda: varswap_greeks_rate("heston", geom=(512, 32)),
                ladder_greeks_rate, cva_multi_greeks_rate,
                cva_multi_price_rate,
-               basket_asian_greeks_rate, basket_barrier_greeks_rate):
+               basket_asian_greeks_rate, basket_barrier_greeks_rate,
+               vanilla_greeks_rate, asian_greeks_rate,
+               heston_greeks_rate, cva_greeks_rate):
         r = fn()
         out[r["kernel"]] = r
         print(json.dumps(r), flush=True)
@@ -354,3 +356,117 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Grown single-asset Greek kernels (round-4 close-out re-measurement)
+# ---------------------------------------------------------------------------
+# The family-sweep close-out grew these kernels after their r3 rates were
+# recorded: vanilla 12 -> 16 sums (+vanna/volga), asian 8 -> 10 (+gamma),
+# heston 8 -> 14 (+dtheta/dkappa/dxi), cva 8 -> 14 (+spot/credit/cross
+# gamma).  Budgets recounted from source at the new widths.
+
+def vanilla_greeks_rate(geom=(512, 256)):
+    from mctpu.kernels import greeks as kgreeks
+    from mctpu.types import VanillaOption
+
+    opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
+    blocks, rows = (4, 8) if SMOKE else geom
+
+    def mk(n):
+        plan = kgreeks.make_plan(n, blocks, rows, False)
+        build = lambda seed: kgreeks.pallas_partials(
+            opt, seed, 0, plan, plan.num_blocks, interpret=SMOKE)
+        return build, plan.total_paths
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 32,
+                           _scalar_chain(110))
+    # 16 sums: the r3 12-sum count (28) + vanna (4 vops) + volga (6) +
+    # 2 squares + 2 tile reductions = ~42.
+    return _budget_rate(
+        "vanilla_greeks16", rate, dt,
+        {"normal_pair": 0.5, "exp": 1.0, "fma": 42.0},
+        "0.5 normal-pair + 1 exp + ~42 vec ops/path (16 sums incl. "
+        "vanna/volga)")
+
+
+def asian_greeks_rate(geom=(512, 256)):
+    from mctpu.kernels import asian as kasian
+    from mctpu.types import AsianOption
+
+    n_obs = 8 if SMOKE else 64
+    opt = AsianOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0, n_obs=n_obs,
+                      average="arithmetic")
+    blocks, rows = (4, 8) if SMOKE else geom
+
+    def mk(n):
+        plan = kasian.make_plan(n, blocks, rows, False)
+        build = lambda seed: kasian.greek_pallas_partials(
+            opt, seed, 0, plan, plan.num_blocks, interpret=SMOKE)
+        return build, plan.total_paths * n_obs
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 26,
+                           _scalar_chain(120))
+    # Arithmetic walk step: log_s 1, f 2, st 1, 4 accumulator FMAs,
+    # scalar cj/tj free -> ~8 incl. the per-path payoff quants (~25)
+    # amortized over 64 steps.
+    return _budget_rate(
+        f"asian_greeks10_{n_obs}", rate, dt,
+        {"normal_pair": 0.5, "exp": 1.0, "fma": 8.0},
+        "0.5 normal-pair + 1 exp + ~8 vec ops/step (10 sums incl. "
+        "Stein gamma; payoff amortized)", per="step")
+
+
+def heston_greeks_rate(geom=(512, 32)):
+    from mctpu.kernels import heston as kheston
+    from mctpu.types import HestonOption
+
+    opt = HestonOption(s=100.0, k=100.0, r=0.03, t=1.0, v0=0.04, kappa=1.5,
+                       theta=0.04, xi=0.5, rho=-0.7)
+    n_steps = 16 if SMOKE else 100
+    blocks, rows = (4, 8) if SMOKE else geom
+
+    def mk(n):
+        plan = kheston.make_plan(n, blocks, rows, False)
+        build = lambda seed: kheston.greek_pallas_partials(
+            opt, seed, 0, plan, plan.num_blocks, n_steps,
+            interpret=SMOKE)
+        return build, plan.total_paths * n_steps
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 24,
+                           _scalar_chain(130))
+    # Full-truncation Euler tangent step (the varswap recount without the
+    # dacc chain): ~35 fma-class + sqrt + rsqrt; payoff quants amortized.
+    return _budget_rate(
+        f"heston_greeks14_{n_steps}", rate, dt,
+        {"normal_pair": 1.0, "sqrt": 1.0, "rsqrt": 1.0, "fma": 35.0},
+        "1 normal-pair + sqrt + rsqrt + ~35 vec ops/step (4 tangent "
+        "pairs, guards counted)", per="step")
+
+
+def cva_greeks_rate(geom=(512, 32)):
+    from mctpu.kernels import cva as kcva
+    from mctpu.types import CvaPortfolioSpec
+
+    n_grid = 10 if SMOKE else 50
+    spec = CvaPortfolioSpec(intensity=0.03, lgd=0.6, s=100.0, r=0.05,
+                            v=0.2, t=1.0, strikes=np.array([100.0]),
+                            weights=np.array([1.0]), n_grid=n_grid)
+    blocks, rows = (4, 8) if SMOKE else geom
+
+    def mk(n):
+        plan = kcva.make_plan(n, blocks, rows, False)
+        build = lambda seed: kcva.greek_pallas_partials(
+            spec, seed, 0, plan, plan.num_blocks, interpret=SMOKE)
+        return build, plan.total_paths * n_grid
+
+    rate, dt = _rate_sized(mk, 1 << 12 if SMOKE else 1 << 23,
+                           _scalar_chain(140))
+    # Per node (non-WWR, 1 option): walk 2 + dxv 2 + exposure grads ~10
+    # + dee_ds0/dee_dv 5 + z_std 2 + 7 accumulators (~10 incl. the
+    # terminal-node select) = ~31; 2 Hastings cnd + spot/phi exp.
+    return _budget_rate(
+        f"cva_greeks14_{n_grid}", rate, dt,
+        {"normal_pair": 0.5, "exp": 2.0, "cnd": 2.0, "fma": 31.0},
+        "0.5 normal-pair + 2 exp + 2 cnd + ~31 vec ops/node (14 sums "
+        "incl. spot/credit/cross gamma)", per="step")
