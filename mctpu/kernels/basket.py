@@ -28,9 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
-                                  draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan,
+                                  block_out_shape, block_out_spec,
+                                  chunk_sums, draw_normal_pair,
+                                  interpret_arg, prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BasketOption
 
@@ -335,9 +336,8 @@ def _basket_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt: BasketOption, chol, seed, block_offset, plan: Plan,
@@ -375,9 +375,8 @@ def _basket_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref, out_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
@@ -393,8 +392,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -404,7 +403,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
                 transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr0, off_arr0, jnp.stack([o.k]), lt, params)
+        )(seed_arr0, off_arr0, jnp.stack([o.k]), lt, params).reshape(
+            n_blocks, 2)
     ops = pack_assets(o, chol, jnp.float32)
     width = ops["chol_bd"].shape[0]
     c = ops["wsel"].shape[1]
@@ -427,8 +427,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -440,4 +440,4 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, interpret):
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
-      ops["d"], ops["chol_bd"], ops["wsel"])
+      ops["d"], ops["chol_bd"], ops["wsel"]).reshape(n_blocks, 2)

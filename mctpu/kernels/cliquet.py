@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
@@ -201,8 +202,8 @@ def _cliquet_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
@@ -222,8 +223,8 @@ def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -234,7 +235,7 @@ def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, 2)
 
 
 def _cliquet_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
@@ -272,7 +273,7 @@ def _cliquet_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
                                          plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for j in range(N_GREEK_SUMS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
 
 
 def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
@@ -293,9 +294,8 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_GREEK_SUMS),
+            out_shape=block_out_shape(n_blocks, N_GREEK_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -306,4 +306,4 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, N_GREEK_SUMS)

@@ -13,12 +13,14 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 
 __all__ = ["Plan", "LANES", "GRID_SEMANTICS", "am_lane_rows",
            "det_col_sums", "seed_prng",
+           "block_out_spec", "block_out_shape",
            "draw_normal_pair", "chunk_sums",
            "walk_pairwise", "walk_pairwise_multi",
            "prng_emulation", "interpret_arg",
@@ -27,18 +29,40 @@ __all__ = ["Plan", "LANES", "GRID_SEMANTICS", "am_lane_rows",
 LANES = 128
 
 # Grid dimension semantics shared by every kernel.  Simulation blocks are
-# logically independent (each seeds its own counter stream and writes
-# disjoint output ROWS), but most kernels write those rows into one
-# full-array output block with no index_map — and Pallas's "parallel"
-# contract is BLOCK-level: every grid iteration revisiting the same
-# resident output block is exactly the case where a megacore part
-# (v4/v5p) may hold two private copies and garble the writeback.
-# Element-level row disjointness does not satisfy that contract, so the
-# grid is declared "arbitrary" (sequential) until the outputs are blocked
-# per-iteration AND bitwise shard-invariance is validated on a real
-# megacore part.  On single-core chips (v5e — the bench hardware) this is
-# performance-neutral: the grid runs serially either way.
-GRID_SEMANTICS = ("arbitrary",)
+# logically independent: each seeds its own counter stream, and — since the
+# blocked-out_spec refactor — each grid iteration owns a PRIVATE
+# ``(1, 1, n)`` output block selected by ``lambda b: (b, 0, 0)`` (see
+# :func:`block_out_spec`), so no output block is ever revisited.  That
+# satisfies Pallas's BLOCK-level "parallel" contract, and a megacore part
+# (v4/v5p, two TensorCores per chip) may split the grid across cores for
+# ~2x throughput.  On single-core chips (v5e — the bench hardware) the
+# grid runs serially either way; bitwise outputs are unchanged because
+# each block's sums are computed entirely within its own iteration and
+# the engine's cross-block combine has a fixed order.
+GRID_SEMANTICS = ("parallel",)
+
+
+def block_out_spec(n: int, memory_space=pltpu.SMEM):
+    """Out-spec giving each grid iteration a private ``(1, 1, n)`` block.
+
+    Scalar per-block partials used to be written as ``out_ref[b, j]`` into
+    one full-array output block, which violates the block-level "parallel"
+    contract (every iteration revisits the same resident block — unsafe on
+    megacore v4/v5p, ADVICE r3).  With this spec the output array is
+    ``(n_blocks, 1, n)``; the kernel writes ``out_ref[0, 0, j]`` and each
+    block is visited exactly once.  The middle singleton exists because
+    Mosaic requires the LAST TWO block dims to tile (8, 128) or equal the
+    array dims — ``(1, 1, n)`` against ``(n_blocks, 1, n)`` qualifies,
+    ``(1, n)`` against ``(n_blocks, n)`` does not.  Callers reshape the
+    result back to ``(n_blocks, n)`` (free in XLA).
+    """
+    return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                        memory_space=memory_space)
+
+
+def block_out_shape(n_blocks: int, n: int, dtype=jnp.float32):
+    """Out-shape paired with :func:`block_out_spec` (reshape to 2-D after)."""
+    return jax.ShapeDtypeStruct((n_blocks, 1, n), dtype)
 
 # ---------------------------------------------------------------------------
 # Interpret-mode PRNG emulation

@@ -27,9 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
-                                  interpret_arg, prng_emulation, seed_prng,
-                                  walk_pairwise)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan,
+                                  block_out_shape, block_out_spec,
+                                  chunk_sums, interpret_arg, prng_emulation,
+                                  seed_prng, walk_pairwise)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import CvaPortfolioSpec
 
@@ -494,10 +495,10 @@ def _cva_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref, dp_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
     # Fold the compensation back in before the lane reduction.
-    ee_ref[b, :] = jnp.sum(prof_scratch[:] + comp_scratch[:], axis=1)
+    ee_ref[0, 0, :] = jnp.sum(prof_scratch[:] + comp_scratch[:], axis=1)
 
 
 def pallas_partials(port: CvaPortfolioSpec, seed, block_offset, plan: Plan,
@@ -536,12 +537,12 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 13,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            block_out_spec(2),
+            block_out_spec(g_pad, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
+            block_out_shape(n_blocks, 2),
+            block_out_shape(n_blocks, g_pad),
         ),
         scratch_shapes=[pltpu.VMEM((g_pad, LANES), jnp.float32),
                         pltpu.VMEM((g_pad, LANES), jnp.float32)],
@@ -556,7 +557,7 @@ def _pallas_partials(port, seed, block_offset, plan, n_blocks, interpret,
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, sp.strikes, sp.weights, log_k, dp, c1,
       isig_bs, vsig, disc, mu, isig)
-    return out, ee[:, :g]
+    return out.reshape(n_blocks, 2), ee.reshape(n_blocks, g_pad)[:, :g]
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +786,7 @@ def _cva_greek_kernel(seed_ref, off_ref, scal_ref, k_ref, w_ref, logk_ref,
         acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for i, v in enumerate(vals):
-        out_ref[b, i] = v
+        out_ref[0, 0, i] = v
 
 
 def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
@@ -810,9 +811,8 @@ def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 18,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_GREEK_SUMS),
+            out_shape=block_out_shape(n_blocks, N_GREEK_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -826,4 +826,5 @@ def greek_pallas_partials(port: CvaPortfolioSpec, seed, block_offset,
           jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal,
           sp.strikes, sp.weights, tb["logk"], tb["dp"], tb["ddp"],
           tb["ddp2"], tb["c1"], tb["isigbs"], tb["vsig"], tb["disc"],
-          tb["mu"], tb["isig"], tb["dmu"], tb["disig"], tb["tz"])
+          tb["mu"], tb["isig"], tb["dmu"], tb["disig"],
+          tb["tz"]).reshape(n_blocks, N_GREEK_SUMS)

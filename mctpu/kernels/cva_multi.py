@@ -32,6 +32,7 @@ from mctpu.kernels.basket import (MATMUL_PRECISION, pack_factor,
                                   use_asset_major)
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, am_lane_rows,
+                                  block_out_shape, block_out_spec,
                                   chunk_sums, det_col_sums, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise,
                                   walk_pairwise_multi)
@@ -254,11 +255,11 @@ def _cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, trem_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
     def write_prof(j, _):
-        ee_ref[b, j] = prof_ref[j] + comp_ref[j]
+        ee_ref[0, 0, j] = prof_ref[j] + comp_ref[j]
         return 0
 
     jax.lax.fori_loop(0, g_pad, write_prof, 0)
@@ -299,12 +300,12 @@ def _pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block_out_spec(2),
+            block_out_spec(g_pad),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
+            block_out_shape(n_blocks, 2),
+            block_out_shape(n_blocks, g_pad),
         ),
         scratch_shapes=[pltpu.SMEM((g_pad,), jnp.float32),
                         pltpu.SMEM((g_pad,), jnp.float32)],
@@ -320,7 +321,7 @@ def _pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, dp, t_rem, ops["s0"], ops["k"], ops["w"],
       ops["v"], ops["drift"], ops["vol"], ops["chol_bd"], ops["isel"])
-    return out, ee[:, :g]
+    return out.reshape(n_blocks, 2), ee.reshape(n_blocks, g_pad)[:, :g]
 
 
 # ---------------------------------------------------------------------------
@@ -553,7 +554,7 @@ def _cva_multi_greeks_kernel(seed_ref, off_ref, scal_ref, dp_ref, ddp_ref,
          jnp.zeros((4, width), jnp.float32)))
     vals = acc_final_n(acc, plan.kahan)
     for j in range(N_MULTI_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = vecs
 
 
@@ -584,13 +585,12 @@ def greek_pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block_out_spec(N_MULTI_GREEK_SCALARS),
                 pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks, N_MULTI_GREEK_SCALARS),
-                                     jnp.float32),
+                block_out_shape(n_blocks, N_MULTI_GREEK_SCALARS),
                 jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -607,7 +607,7 @@ def greek_pallas_partials(spec: CvaMultiSpec, chol, seed, block_offset,
           ops["k"], ops["logk"], ops["w"], ops["v"], ops["v2half"],
           ops["vdt"], ops["drift"], ops["vol"], ops["chol_bd"],
           ops["isel"], ops["iselT"])
-    return out, vecs
+    return out.reshape(n_blocks, N_MULTI_GREEK_SCALARS), vecs
 
 
 # ---------------------------------------------------------------------------
@@ -824,11 +824,11 @@ def _am_cva_multi_kernel(seed_ref, off_ref, scal_ref, dp_ref, tau_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
     def write_prof(j, _):
-        ee_ref[b, j] = prof_ref[j] + comp_ref[j]
+        ee_ref[0, 0, j] = prof_ref[j] + comp_ref[j]
         return 0
 
     jax.lax.fori_loop(0, g_pad, write_prof, 0)
@@ -853,12 +853,12 @@ def _am_pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 9,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block_out_spec(2),
+            block_out_spec(g_pad),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, g_pad), jnp.float32),
+            block_out_shape(n_blocks, 2),
+            block_out_shape(n_blocks, g_pad),
         ),
         scratch_shapes=[pltpu.SMEM((g_pad,), jnp.float32),
                         pltpu.SMEM((g_pad,), jnp.float32)],
@@ -872,7 +872,7 @@ def _am_pallas_partials(spec, chol, seed, block_offset, plan, n_blocks,
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, dp, tau, sqtau, disc, lt, params)
-    return out, ee[:, :g]
+    return out.reshape(n_blocks, 2), ee.reshape(n_blocks, g_pad)[:, :g]
 
 
 # -- Greeks -----------------------------------------------------------------
@@ -1017,7 +1017,7 @@ def _am_cva_multi_greeks_kernel(seed_ref, off_ref, scal_ref, dp_ref,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for j in range(N_MULTI_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = am_lane_rows(vals, N_MULTI_GREEK_SCALARS, m, 4)
 
 
@@ -1040,13 +1040,12 @@ def _am_greek_pallas_partials(spec, chol, seed, block_offset, plan: Plan,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 10,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block_out_spec(N_MULTI_GREEK_SCALARS),
             pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, N_MULTI_GREEK_SCALARS),
-                                 jnp.float32),
+            block_out_shape(n_blocks, N_MULTI_GREEK_SCALARS),
             jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1059,4 +1058,4 @@ def _am_greek_pallas_partials(spec, chol, seed, block_offset, plan: Plan,
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, dp, ddp, tau, sqtau, disc, lt, params)
-    return out, vecs
+    return out.reshape(n_blocks, N_MULTI_GREEK_SCALARS), vecs

@@ -66,7 +66,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
 from mctpu.kernels import basket as kbasket
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, det_col_sums,
                                   draw_normal_pair,
                                   interpret_arg, prng_emulation, seed_prng)
@@ -202,9 +203,8 @@ def _greeks_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               acc_init_n(N_SUMS, jnp.float32, plan.kahan))
     sums = acc_final_n(carry, plan.kahan)
-    b = pl.program_id(0)
     for j, sj in enumerate(sums):
-        out_ref[b, j] = sj
+        out_ref[0, 0, j] = sj
 
 
 def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
@@ -237,8 +237,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, N_SUMS), jnp.float32),
+        out_specs=block_out_spec(N_SUMS),
+        out_shape=block_out_shape(n_blocks, N_SUMS),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -248,7 +248,7 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             transcendentals=5 * plan.iters * flops_iter,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, params)
+    )(seed_arr, off_arr, params).reshape(n_blocks, N_SUMS)
 
 
 # ===========================================================================
@@ -469,9 +469,8 @@ def _basket_greeks_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
-    b = pl.program_id(0)
     for j in range(n_sums):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
 
 
 def pallas_basket_am_partials(opt: BasketOption, chol, tilt, seed,
@@ -496,9 +495,8 @@ def pallas_basket_am_partials(opt: BasketOption, chol, tilt, seed,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 6 + 6 * a),
-                                           jnp.float32),
+            out_specs=block_out_spec(6 + 6 * a),
+            out_shape=block_out_shape(n_blocks, 6 + 6 * a),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -508,7 +506,7 @@ def pallas_basket_am_partials(opt: BasketOption, chol, tilt, seed,
                 transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr, off_arr, scal, lt, params, inv_s0, evec, gvec)
+        )(seed_arr, off_arr, scal, lt, params, inv_s0, evec, gvec).reshape(n_blocks, 6 + 6 * a)
 
 
 def _basket_greek_ops(opt: BasketOption, chol, tilt, dtype):
@@ -716,9 +714,8 @@ def _basket_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
         (acc_init_n(6, jnp.float32, plan.kahan),
          jnp.zeros((6, width), jnp.float32)))
     vals = acc_final_n(acc, plan.kahan)
-    b = pl.program_id(0)
     for j in range(6):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = vecs
 
 
@@ -750,12 +747,12 @@ def _pallas_basket_partials(opt, chol, tilt, seed, block_offset, plan,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            block_out_spec(6),
             pl.BlockSpec((1, 6, width), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, 6), jnp.float32),
+            block_out_shape(n_blocks, 6),
             jax.ShapeDtypeStruct((n_blocks, 6, width), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -773,4 +770,4 @@ def _pallas_basket_partials(opt, chol, tilt, seed, block_offset, plan,
       ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"], ops["eselT"],
       ops["inv_s0"], ops["w_row"], ops["zsel"], ops["vg_row"],
       ops["wv_row"], ops["wv2_row"])
-    return out, vecs
+    return out.reshape(n_blocks, 6), vecs

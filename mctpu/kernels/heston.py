@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import math as mcmath
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
@@ -181,8 +182,8 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, qe_ref, out_ref, *,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
@@ -373,7 +374,7 @@ def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
         acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
     sums = acc_final_n(carry, plan.kahan)
     for j, sj in enumerate(sums):
-        out_ref[b, j] = sj
+        out_ref[0, 0, j] = sj
 
 
 def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
@@ -398,9 +399,8 @@ def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_GREEK_SUMS),
+            out_shape=block_out_shape(n_blocks, N_GREEK_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -411,7 +411,7 @@ def greek_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, N_GREEK_SUMS)
 
 
 # ---------------------------------------------------------------------------
@@ -544,8 +544,8 @@ def _level_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def level_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
@@ -568,8 +568,8 @@ def level_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -580,7 +580,7 @@ def level_pallas_partials(opt: HestonOption, seed, block_offset, plan: Plan,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, 2)
 
 
 def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
@@ -616,8 +616,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -627,4 +627,4 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_steps,
             transcendentals=6 * plan.iters * paths_iter * n_steps,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, qe)
+    )(seed_arr, off_arr, scal, qe).reshape(n_blocks, 2)

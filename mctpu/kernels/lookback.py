@@ -21,7 +21,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   interpret_arg, prng_emulation,
                                   seed_prng, walk_pairwise)
@@ -159,8 +160,8 @@ def _lookback_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +354,7 @@ def _lookback_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
         acc_init_n(N_GREEK_SUMS, jnp.float32, plan.kahan))
     sums = acc_final_n(carry, plan.kahan)
     for j, sj in enumerate(sums):
-        out_ref[b, j] = sj
+        out_ref[0, 0, j] = sj
 
 
 def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
@@ -381,9 +382,8 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_GREEK_SUMS),
+            out_shape=block_out_shape(n_blocks, N_GREEK_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -394,7 +394,7 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, N_GREEK_SUMS)
 
 
 def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int,
@@ -428,8 +428,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -439,4 +439,4 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             transcendentals=3 * plan.iters * paths_iter * opt.n_obs,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal)
+    )(seed_arr, off_arr, scal).reshape(n_blocks, 2)

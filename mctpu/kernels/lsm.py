@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
@@ -191,8 +192,8 @@ def _lsm_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref, out_ref, *,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt, beta, seed, block_offset, plan: Plan,
@@ -242,8 +243,8 @@ def _pallas_partials(opt, beta, seed, block_offset, plan, n_blocks, n_steps,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -253,7 +254,7 @@ def _pallas_partials(opt, beta, seed, block_offset, plan, n_blocks, n_steps,
             transcendentals=4 * plan.iters * paths_iter * n_steps,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, beta, df)
+    )(seed_arr, off_arr, scal, beta, df).reshape(n_blocks, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +437,7 @@ def _lsm_greeks_kernel(seed_ref, off_ref, scal_ref, beta_ref, df_ref,
                                          plan.kahan))
     finals = acc_final_n(carry, plan.kahan)
     for idx in range(N_GREEK_SUMS):
-        out_ref[b, idx] = finals[idx]
+        out_ref[0, 0, idx] = finals[idx]
 
 
 def greek_pallas_partials(opt, beta, seed, block_offset, plan: Plan,
@@ -480,9 +481,8 @@ def _greek_pallas_partials(opt, beta, seed, block_offset, plan, n_blocks,
         kernel,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, N_GREEK_SUMS),
-                                       jnp.float32),
+        out_specs=block_out_spec(N_GREEK_SUMS),
+        out_shape=block_out_shape(n_blocks, N_GREEK_SUMS),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -492,4 +492,4 @@ def _greek_pallas_partials(opt, beta, seed, block_offset, plan, n_blocks,
             transcendentals=4 * plan.iters * paths_iter * n_steps,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal, beta, df, vc, rhoc)
+    )(seed_arr, off_arr, scal, beta, df, vc, rhoc).reshape(n_blocks, N_GREEK_SUMS)

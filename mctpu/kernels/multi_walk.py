@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import (MATMUL_PRECISION, pack_assets, pack_factor,
                                   use_asset_major)
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, am_lane_rows,
                                   chunk_sums, det_col_sums, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise,
@@ -350,9 +351,8 @@ def _mw_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt, chol, seed, block_offset, plan: Plan, n_blocks: int,
@@ -399,8 +399,8 @@ def _mw_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref, out_ref, *,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
@@ -421,8 +421,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -434,7 +434,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
                 * (a + a // 2 + 1),
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr, off_arr, scal, lt, params)
+        )(seed_arr, off_arr, scal, lt, params).reshape(n_blocks, 2)
     ops = _step_ops(o, chol, jnp.float32, n_obs)
     scal = jnp.stack([jnp.asarray(o.k, jnp.float32),
                       jnp.asarray(0.0 if barrier is None else barrier,
@@ -460,8 +460,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -474,7 +474,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks, product,
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["log_s0"], ops["drift"], ops["vol"],
-      ops["d"], ops["chol_bd"], ops["wsel"])
+      ops["d"], ops["chol_bd"], ops["wsel"]).reshape(n_blocks, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -675,7 +675,7 @@ def _mw_greeks_kernel(seed_ref, off_ref, scal_ref, tj_ref, s0_ref,
          jnp.zeros((4, width), jnp.float32)))
     vals = acc_final_n(acc, plan.kahan)
     for j in range(N_MW_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = vecs
 
 
@@ -708,13 +708,12 @@ def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block_out_spec(N_MW_GREEK_SCALARS),
                 pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
-                                     jnp.float32),
+                block_out_shape(n_blocks, N_MW_GREEK_SCALARS),
                 jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -730,7 +729,7 @@ def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
         )(seed_arr, off_arr, scal, ops["tj"], ops["log_s0"], ops["drift"],
           ops["vol"], ops["d"], ops["chol_bd"], ops["wsel"], ops["esel"],
           ops["w_row"], ops["inv_s0"], ops["vdt"])
-    return out, vecs
+    return out.reshape(n_blocks, N_MW_GREEK_SCALARS), vecs
 
 
 # ---------------------------------------------------------------------------
@@ -980,7 +979,7 @@ def _mw_bar_greeks_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref,
          jnp.zeros((4, width), jnp.float32)))
     vals = acc_final_n(acc, plan.kahan)
     for j in range(N_MW_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = vecs
 
 
@@ -1013,13 +1012,12 @@ def bar_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block_out_spec(N_MW_GREEK_SCALARS),
                 pl.BlockSpec((1, 4, width), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
-                                     jnp.float32),
+                block_out_shape(n_blocks, N_MW_GREEK_SCALARS),
                 jax.ShapeDtypeStruct((n_blocks, 4, width), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -1036,7 +1034,7 @@ def bar_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
           ops["vol"], ops["d"], ops["chol_bd"], ops["linvT_bd"],
           ops["wsel"], ops["esel"], ops["eselT"], ops["cd_row"],
           ops["sr_row"], ops["inv_v"])
-    return out, vecs
+    return out.reshape(n_blocks, N_MW_GREEK_SCALARS), vecs
 
 
 # ---------------------------------------------------------------------------
@@ -1189,7 +1187,7 @@ def _mw_am_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for j in range(N_MW_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
 
 
@@ -1215,13 +1213,12 @@ def _am_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block_out_spec(N_MW_GREEK_SCALARS),
                 pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
-                                     jnp.float32),
+                block_out_shape(n_blocks, N_MW_GREEK_SCALARS),
                 jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -1236,7 +1233,7 @@ def _am_greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
             ),
             interpret=interpret_arg(interpret),
         )(seed_arr, off_arr, scal, lt, params)
-    return out, vecs
+    return out.reshape(n_blocks, N_MW_GREEK_SCALARS), vecs
 
 
 def _am_bar_greek_ops(opt, chol, dtype, n_obs: int):
@@ -1384,7 +1381,7 @@ def _mw_am_bar_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, linv_ref,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for j in range(N_MW_GREEK_SCALARS):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
     vec_ref[0] = _am_lane_rows(vals, N_MW_GREEK_SCALARS, a, 4)
 
 
@@ -1411,13 +1408,12 @@ def _am_bar_greek_pallas_partials(opt, chol, seed, block_offset,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                block_out_spec(N_MW_GREEK_SCALARS),
                 pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((n_blocks, N_MW_GREEK_SCALARS),
-                                     jnp.float32),
+                block_out_shape(n_blocks, N_MW_GREEK_SCALARS),
                 jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
             ),
             compiler_params=pltpu.CompilerParams(
@@ -1432,4 +1428,4 @@ def _am_bar_greek_pallas_partials(opt, chol, seed, block_offset,
             ),
             interpret=interpret_arg(interpret),
         )(seed_arr, off_arr, scal, lt, linv, params)
-    return out, vecs
+    return out.reshape(n_blocks, N_MW_GREEK_SCALARS), vecs

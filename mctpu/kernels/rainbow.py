@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 from mctpu import rng as mcrng
 from mctpu.kernels.basket import (MATMUL_PRECISION, pack_factor,
                                   use_asset_major)
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng)
@@ -250,9 +251,8 @@ def _rainbow_kernel(seed_ref, off_ref, scal_ref, s0_ref, drift_ref, vol_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt, chol, seed, block_offset, plan: Plan,
@@ -287,9 +287,8 @@ def _rainbow_am_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
@@ -305,8 +304,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -318,7 +317,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
           jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)),
-          jnp.stack([jnp.asarray(o.k, jnp.float32)]), lt, params)
+          jnp.stack([jnp.asarray(o.k, jnp.float32)]), lt, params).reshape(n_blocks, 2)
     ops = pack_rainbow(o, chol, jnp.float32)
     width = ops["chol_bd"].shape[0]
     scal = jnp.stack([jnp.asarray(o.k, jnp.float32)])
@@ -333,8 +332,8 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -346,7 +345,7 @@ def _pallas_partials(opt, chol, seed, block_offset, plan, n_blocks,
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, ops["s0"], ops["drift"], ops["vol"],
-      ops["chol_bd"], ops["head"])
+      ops["chol_bd"], ops["head"]).reshape(n_blocks, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -514,9 +513,8 @@ def _rainbow_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
-    b = pl.program_id(0)
     for j in range(n_sums):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
 
 
 def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
@@ -544,9 +542,8 @@ def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, n_greek_sums(a)),
-                                           jnp.float32),
+            out_specs=block_out_spec(n_greek_sums(a)),
+            out_shape=block_out_shape(n_blocks, n_greek_sums(a)),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -556,4 +553,5 @@ def greek_pallas_partials(opt, chol, seed, block_offset, plan: Plan,
                 transcendentals=plan.iters * paths_iter * (3 * a // 2 + a),
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr, off_arr, scal, lt, params, inv_s0)
+        )(seed_arr, off_arr, scal, lt, params, inv_s0).reshape(
+            n_blocks, n_greek_sums(a))

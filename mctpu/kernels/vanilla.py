@@ -17,9 +17,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, chunk_sums,
-                                  draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng)
+from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan,
+                                  block_out_shape, block_out_spec,
+                                  chunk_sums, draw_normal_pair,
+                                  interpret_arg, prng_emulation, seed_prng)
 from mctpu.types import VanillaOption
 from mctpu.utils.accum import kahan_add
 
@@ -123,9 +124,8 @@ def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt: VanillaOption, seed, block_offset, plan: Plan,
@@ -159,8 +159,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -170,4 +170,4 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, interpret):
             transcendentals=5 * plan.iters * flops_iter,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, params)
+    )(seed_arr, off_arr, params).reshape(n_blocks, 2)

@@ -67,7 +67,8 @@ from mctpu import rng as mcrng
 from mctpu.kernels.basket import (_asset_major_payoff, _payoff_tile,
                                   asset_major_ops, pack_assets,
                                   use_asset_major)
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, draw_normal_pair,
                                   interpret_arg, prng_emulation, seed_prng,
                                   walk_pairwise)
@@ -114,7 +115,7 @@ def _moment_sums2(p1, c1, p2, c2, p0, cm):
 
 def _write_row(out_ref, b, vals):
     for i, v in enumerate(vals):
-        out_ref[b, i] = v
+        out_ref[0, 0, i] = v
 
 
 # ---------------------------------------------------------------------------
@@ -199,9 +200,8 @@ def vanilla_cv_pallas_partials(opt: VanillaOption, center, seed, block_offset,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_MOMENT_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_MOMENT_SUMS),
+            out_shape=block_out_shape(n_blocks, N_MOMENT_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -212,7 +212,7 @@ def vanilla_cv_pallas_partials(opt: VanillaOption, center, seed, block_offset,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), params)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), params).reshape(n_blocks, N_MOMENT_SUMS)
 
 
 # ---------------------------------------------------------------------------
@@ -325,9 +325,8 @@ def asian_cv_pallas_partials(opt: AsianOption, center, seed, block_offset,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_MOMENT_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_MOMENT_SUMS),
+            out_shape=block_out_shape(n_blocks, N_MOMENT_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -338,7 +337,7 @@ def asian_cv_pallas_partials(opt: AsianOption, center, seed, block_offset,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), scal).reshape(n_blocks, N_MOMENT_SUMS)
 
 
 # ---------------------------------------------------------------------------
@@ -478,9 +477,8 @@ def basket_cv_pallas_partials(opt: BasketOption, chol, center, seed,
                 kernel,
                 grid=(n_blocks,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
-                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-                out_shape=jax.ShapeDtypeStruct((n_blocks, N_MOMENT_SUMS),
-                                               jnp.float32),
+                out_specs=block_out_spec(N_MOMENT_SUMS),
+                out_shape=block_out_shape(n_blocks, N_MOMENT_SUMS),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=GRID_SEMANTICS,
                 ),
@@ -491,7 +489,7 @@ def basket_cv_pallas_partials(opt: BasketOption, chol, center, seed,
                         3 * a // 2 + a),
                 ),
                 interpret=interpret_arg(interpret),
-            )(seed_arr, off_arr, scal, lt, params)
+            )(seed_arr, off_arr, scal, lt, params).reshape(n_blocks, N_MOMENT_SUMS)
         ops = pack_assets(o, chol, jnp.float32)
         width = ops["chol_bd"].shape[0]
         c = ops["wsel"].shape[1]
@@ -501,9 +499,8 @@ def basket_cv_pallas_partials(opt: BasketOption, chol, center, seed,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, N_MOMENT_SUMS),
-                                           jnp.float32),
+            out_specs=block_out_spec(N_MOMENT_SUMS),
+            out_shape=block_out_shape(n_blocks, N_MOMENT_SUMS),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -516,7 +513,7 @@ def basket_cv_pallas_partials(opt: BasketOption, chol, center, seed,
             ),
             interpret=interpret_arg(interpret),
         )(seed_arr, off_arr, scal, ops["s0"], ops["drift"],
-          ops["vol"], ops["d"], ops["chol_bd"], ops["wsel"])
+          ops["vol"], ops["d"], ops["chol_bd"], ops["wsel"]).reshape(n_blocks, N_MOMENT_SUMS)
 
 
 # ---------------------------------------------------------------------------
@@ -585,9 +582,8 @@ def _is_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan):
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    b = pl.program_id(0)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def is_pallas_partials(opt: VanillaOption, theta, seed, block_offset,
@@ -606,8 +602,8 @@ def is_pallas_partials(opt: VanillaOption, theta, seed, block_offset,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+            out_specs=block_out_spec(2),
+            out_shape=block_out_shape(n_blocks, 2),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -618,4 +614,4 @@ def is_pallas_partials(opt: VanillaOption, theta, seed, block_offset,
             ),
             interpret=interpret_arg(interpret),
         )(jnp.atleast_1d(jnp.asarray(seed, jnp.int32)),
-          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), params)
+          jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32)), params).reshape(n_blocks, 2)

@@ -26,7 +26,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mctpu import rng as mcrng
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
                                   prng_emulation, seed_prng, walk_pairwise)
@@ -170,8 +171,8 @@ def _varswap_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
     carry = jax.lax.fori_loop(0, plan.iters, body,
                               _accum_init(jnp.float32, plan.kahan))
     s, s2 = _accum_final(carry, plan.kahan)
-    out_ref[b, 0] = s
-    out_ref[b, 1] = s2
+    out_ref[0, 0, 0] = s
+    out_ref[0, 0, 1] = s2
 
 
 def pallas_partials(opt, seed, block_offset, plan: Plan, n_blocks: int, *,
@@ -211,8 +212,8 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_obs,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 2), jnp.float32),
+        out_specs=block_out_spec(2),
+        out_shape=block_out_shape(n_blocks, 2),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=GRID_SEMANTICS,
         ),
@@ -222,7 +223,7 @@ def _pallas_partials(opt, seed, block_offset, plan, n_blocks, n_obs,
             transcendentals=5 * plan.iters * paths_iter * n_obs,
         ),
         interpret=interpret_arg(interpret),
-    )(seed_arr, off_arr, scal)
+    )(seed_arr, off_arr, scal).reshape(n_blocks, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +434,7 @@ def _varswap_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
                               acc_init_n(n_sums, jnp.float32, plan.kahan))
     vals = acc_final_n(carry, plan.kahan)
     for j in range(n_sums):
-        out_ref[b, j] = vals[j]
+        out_ref[0, 0, j] = vals[j]
 
 
 def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
@@ -466,9 +467,8 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, n_sums),
-                                           jnp.float32),
+            out_specs=block_out_spec(n_sums),
+            out_shape=block_out_shape(n_blocks, n_sums),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -478,4 +478,4 @@ def greek_pallas_partials(opt, seed, block_offset, plan: Plan,
                 transcendentals=5 * plan.iters * paths_iter * n_obs,
             ),
             interpret=interpret_arg(interpret),
-        )(seed_arr, off_arr, scal)
+        )(seed_arr, off_arr, scal).reshape(n_blocks, n_sums)

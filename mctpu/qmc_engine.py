@@ -44,7 +44,8 @@ from mctpu import math as mcmath
 from mctpu import sobol as msobol
 from mctpu.engine import EngineConfig, _shard_blocks
 from mctpu.kernels import basket as kbasket
-from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan, acc_add_n,
+from mctpu.kernels.common import (block_out_shape, block_out_spec,
+                                  GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_init_n, interpret_arg)
 from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
@@ -285,7 +286,7 @@ def _vanilla_rqmc_kernel(shift_ref, par_ref, v_ref, out_ref, *, plan: Plan,
     v_scalars = [v_ref[j] for j in range(_BITS)]
     out = _vanilla_rep_sums(shift, params, plan, v_scalars, jnp.float32, put)
     for j in range(4):
-        out_ref[b, j] = out[j]
+        out_ref[0, 0, j] = out[j]
 
 
 def vanilla_pallas_partials(opt: VanillaOption, key, block_offset,
@@ -309,8 +310,8 @@ def vanilla_pallas_partials(opt: VanillaOption, key, block_offset,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            out_specs=block_out_spec(4),
+            out_shape=block_out_shape(n_blocks, 4),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -319,7 +320,7 @@ def vanilla_pallas_partials(opt: VanillaOption, key, block_offset,
                 transcendentals=3 * pts,
             ),
             interpret=interpret_arg(interpret),
-        )(shifts, params, v0)
+        )(shifts, params, v0).reshape(n_blocks, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -393,7 +394,7 @@ def _vanilla_greek_rqmc_kernel(shift_ref, par_ref, v_ref, out_ref, *,
     out = _vanilla_greek_rep_sums(shift, params, plan, v_scalars,
                                   jnp.float32, put)
     for j in range(32):
-        out_ref[b, j] = out[j]
+        out_ref[0, 0, j] = out[j]
 
 
 def vanilla_greek_pallas_partials(opt: VanillaOption, key, block_offset,
@@ -415,8 +416,8 @@ def vanilla_greek_pallas_partials(opt: VanillaOption, key, block_offset,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 32), jnp.float32),
+            out_specs=block_out_spec(32),
+            out_shape=block_out_shape(n_blocks, 32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -425,7 +426,7 @@ def vanilla_greek_pallas_partials(opt: VanillaOption, key, block_offset,
                 transcendentals=4 * pts,
             ),
             interpret=interpret_arg(interpret),
-        )(shifts, params, v0)
+        )(shifts, params, v0).reshape(n_blocks, 32)
 
 
 # ---------------------------------------------------------------------------
@@ -522,7 +523,7 @@ def _basket_rqmc_kernel(scal_ref, shift_ref, v_ref, s0_ref, drift_ref,
     out = _basket_rep_sums(shift_row, ops, k, plan, v_rows, jnp.float32,
                            mxu=True)
     for j in range(4):
-        out_ref[b, j] = out[j]
+        out_ref[0, 0, j] = out[j]
 
 
 def basket_pallas_partials(opt: BasketOption, chol, key, block_offset,
@@ -549,8 +550,8 @@ def basket_pallas_partials(opt: BasketOption, chol, key, block_offset,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            out_specs=block_out_spec(4),
+            out_shape=block_out_shape(n_blocks, 4),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
             ),
@@ -561,7 +562,7 @@ def basket_pallas_partials(opt: BasketOption, chol, key, block_offset,
             ),
             interpret=interpret_arg(interpret),
         )(scal, srows, v_rows, ops["s0"], ops["drift"], ops["vol"],
-          ops["d"], ops["chol_bd"], ops["wsel"])
+          ops["d"], ops["chol_bd"], ops["wsel"]).reshape(n_blocks, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -769,7 +770,7 @@ def _asian_rqmc_kernel(shift_ref, v_ref, drift_ref, scal_ref, out_ref,
                           acc_scratch=(acc_scratch[0] if acc_scratch
                                        else None))
     for j in range(4):
-        out_ref[b, j] = out[j]
+        out_ref[0, 0, j] = out[j]
 
 
 def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
@@ -799,8 +800,8 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
             kernel,
             grid=(n_blocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 4), jnp.float32),
+            out_specs=block_out_spec(4),
+            out_shape=block_out_shape(n_blocks, 4),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=GRID_SEMANTICS,
@@ -811,7 +812,7 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
                 transcendentals=pts * (2 * m + 1),
             ),
             interpret=interpret_arg(interpret),
-        )(shifts, v_flat, drift, scal)
+        )(shifts, v_flat, drift, scal).reshape(n_blocks, 4)
 
 
 # ---------------------------------------------------------------------------
