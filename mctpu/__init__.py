@@ -25,6 +25,7 @@ from mctpu.engine import (EngineConfig, fair_variance_strike,
                           price_cva, price_cva_multi,
                           price_cva_portfolio, price_heston, price_lookback,
                           price_rainbow, price_vanilla,
+                          price_book,
                           price_vanilla_ladder)
 from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketAsianOption, BasketBarrierOption,
@@ -32,7 +33,7 @@ from mctpu.types import (AmericanOption, AsianOption, BarrierOption,
                          BasketOption, HestonOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult,
                          CvaSpec, GreeksResult, McResult,
-                         Precision, VanillaOption)
+                         Precision, VanillaBook, VanillaOption)
 from mctpu import math  # noqa: F401
 from mctpu import greeks, lsm, qmc, qmc_engine, sobol, variance  # noqa: F401
 from mctpu.qmc_engine import (price_asian_rqmc, price_basket_rqmc,
@@ -54,6 +55,8 @@ __all__ = [
     "GreeksResult",
     "price_vanilla",
     "price_vanilla_ladder",
+    "price_book",
+    "VanillaBook",
     "price_basket",
     "price_basket_asian",
     "price_basket_barrier",

@@ -21,8 +21,8 @@ def main(argv=None):
     p.add_argument("--product",
                    choices=["asian", "barrier", "american", "heston",
                             "lookback", "rainbow", "basket-asian",
-                            "basket-barrier", "varswap", "ladder", "rqmc",
-                            "mlmc", "mlmc-asian", "mlmc-barrier",
+                            "basket-barrier", "varswap", "ladder", "book",
+                            "rqmc", "mlmc", "mlmc-asian", "mlmc-barrier",
                             "cliquet", "cva-multi", "is"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
@@ -187,6 +187,36 @@ def main(argv=None):
             print(f"  K={kk:7.2f}  mc {prices[j]:9.6f} ± {cis[j]:.6f}   "
                   f"bs {bs:9.6f}   |z| "
                   f"{abs(prices[j] - bs) / max(cis[j] / 1.96, 1e-12):.2f}")
+        return 0
+
+    if args.product == "book":
+        import numpy as np
+
+        from mctpu.types import VanillaBook, VanillaOption
+        # A synthetic serving book around the flag market data: strikes
+        # 80%..120%, staggered maturities/vols, alternating calls/puts.
+        opts = []
+        for j in range(args.assets if args.assets > 3 else 8):
+            kk = args.strike * (0.8 + 0.4 * (j % 5) / 4)
+            opts.append(VanillaOption(
+                s=args.spot, k=kk, r=args.rate,
+                v=args.vol * (0.8 + 0.1 * (j % 4)),
+                t=args.maturity * (0.5 + 0.25 * (j % 3)),
+                kind="call" if j % 2 == 0 else "put"))
+        book = VanillaBook.from_options(opts)
+        engine.price_book(book, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_book, book, n, key, cfg)
+        rate = res.n_paths / max(dt, 1e-12)
+        print(f"vanilla book ({book.n_instruments} instruments, ONE path "
+              f"sweep; {rate:.3e} paths/s):")
+        prices = np.asarray(res.price)
+        cis = np.asarray(res.ci)
+        for j, o in enumerate(opts):
+            fn = mcmath.bs_call if o.kind == "call" else mcmath.bs_put
+            bs = float(fn(o.s, o.k, o.r, o.v, o.t))
+            print(f"  {o.kind:4s} K={o.k:7.2f} T={o.t:4.2f} v={o.v:4.2f}  "
+                  f"mc {prices[j]:9.6f} ± {cis[j]:.6f}   bs {bs:9.6f}   "
+                  f"|z| {abs(prices[j] - bs) / max(cis[j] / 1.96, 1e-12):.2f}")
         return 0
 
     if args.product == "rqmc":

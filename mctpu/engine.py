@@ -61,7 +61,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
            "price_cliquet", "greeks_cliquet",
            "fair_variance_strike",
-           "price_vanilla_ladder",
+           "price_vanilla_ladder", "price_book",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
@@ -377,6 +377,68 @@ def price_vanilla_ladder(opt: VanillaOption, strikes, n_paths: int,
         runner = jax.jit(run)
         _RUNNERS[cache_key] = runner
     sum_p, sum_p2, disc = runner(opt, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
+
+
+def price_book(book, n_paths: int, key: jax.Array,
+               config: EngineConfig = EngineConfig()) -> McResult:
+    """Price a whole book of heterogeneous vanillas from ONE path sweep.
+
+    The serving entry point: ``book`` is a :class:`mctpu.types.VanillaBook`
+    (M instruments with independent spot/strike/rate/vol/maturity and a
+    call/put mix); returns a vector-valued :class:`McResult` with shape
+    ``(M,)`` ``price``/``ci``/``std_error``.  All instruments share the
+    same standard-normal draws (terminal sampling maps one ``z`` to each
+    instrument's own GBM), so marks are comonotone across the book.
+    Every per-instrument parameter is runtime data — repricing the same
+    book shape on a market tick reuses the compiled program.
+
+    Per-instrument estimator semantics (discounting by each instrument's
+    own ``exp(-r_i t_i)``) follow ``MonteCarloKernel.cu:413-423``.
+    """
+    from mctpu.kernels import book as kbook
+
+    book.validate()
+    m = book.n_instruments
+    if m > kbook.MAX_BOOK:
+        raise ValueError(f"book holds {m} instruments; max {kbook.MAX_BOOK}"
+                         " per fused sweep (split larger books)")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kbook.LANES * anti)
+    plan = kbook.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                           cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("book", m, book.kinds, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(bk, k, sgn):
+            wide = mcest.wide_dtype()
+            d = jnp.float32 if backend == "pallas" else plan.jdtype
+            o = bk.astype(d)
+            mu = (o.r - 0.5 * o.v * o.v) * o.t
+            sig = o.v * jnp.sqrt(o.t)
+            params = (o.s, mu, sig, o.k, jnp.asarray(sgn, d))
+            if backend == "pallas":
+                fn = lambda a, off, nb: kbook.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kbook.xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (params, k),
+                                     P(PATH_AXIS, None, None))
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(bk.r, wide)
+                           * jnp.asarray(bk.t, wide))
+            return total[:, 0], total[:, 1], disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sgn = jnp.asarray([1.0 if kd == "call" else -1.0 for kd in book.kinds],
+                      jnp.float32)
+    sum_p, sum_p2, disc = runner(book, key, sgn)
     return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
                           n_paths=plan.total_paths)
 

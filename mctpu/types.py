@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "Precision",
     "VanillaOption",
+    "VanillaBook",
     "BasketOption",
     "AsianOption",
     "LookbackOption",
@@ -141,6 +142,92 @@ class VanillaOption:
             raise ValueError("volatility must be non-negative")
         if float(self.t) <= 0:
             raise ValueError("time to maturity must be positive")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class VanillaBook:
+    """A portfolio ("book") of M independent European options.
+
+    The serving-side batch record: per-instrument spot / strike / rate /
+    vol / maturity vectors plus a static call/put mix.  No analogue exists
+    in the reference (one option per driver binary,
+    ``vanillaOpt.cu:22-26``); this is the batch generalization the engine
+    prices in ONE fused sweep (``engine.price_book``), with all market
+    data passed as runtime arrays so repricing on a tick never recompiles.
+
+    Shapes: ``s, k, r, v, t`` are ``(M,)``; ``kinds`` is a length-M tuple
+    of ``"call"``/``"put"`` (static: it sets instrument payoff signs, and
+    books with the same size and mix share one compiled program — the
+    signs themselves are traced data, so even the mix only affects the
+    cache key, not the compilation).
+    """
+
+    s: Any  # spots, (M,)
+    k: Any  # strikes, (M,)
+    r: Any  # risk-free rates, (M,)
+    v: Any  # volatilities, (M,)
+    t: Any  # maturities, (M,)
+    kinds: tuple = _static(default=())
+
+    @property
+    def n_instruments(self) -> int:
+        return int(np.shape(self.s)[0])
+
+    @staticmethod
+    def from_options(options) -> "VanillaBook":
+        """Build a book from a sequence of :class:`VanillaOption`.
+
+        Values keep their natural precision (f64 under x64, f32 otherwise
+        — same as scalar option fields); engines downcast where they
+        compute, so a one-instrument book prices bitwise-identically to
+        :func:`mctpu.engine.price_vanilla` on shared streams.
+        """
+        opts = list(options)
+        return VanillaBook(
+            s=jnp.asarray([o.s for o in opts]),
+            k=jnp.asarray([o.k for o in opts]),
+            r=jnp.asarray([o.r for o in opts]),
+            v=jnp.asarray([o.v for o in opts]),
+            t=jnp.asarray([o.t for o in opts]),
+            kinds=tuple(o.kind for o in opts))
+
+    def option(self, i: int) -> "VanillaOption":
+        """Instrument ``i`` as a standalone :class:`VanillaOption`."""
+        return VanillaOption(s=self.s[i], k=self.k[i], r=self.r[i],
+                             v=self.v[i], t=self.t[i], kind=self.kinds[i])
+
+    def astype(self, dtype) -> "VanillaBook":
+        return VanillaBook(
+            *(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r,
+                                              self.v, self.t)),
+            kinds=self.kinds)
+
+    def validate(self) -> None:
+        """Eager sanity checks (no-op under tracing)."""
+        m = self.n_instruments
+        if m < 1:
+            raise ValueError("book must hold at least one instrument")
+        for name, x in (("s", self.s), ("k", self.k), ("r", self.r),
+                        ("v", self.v), ("t", self.t)):
+            if np.shape(x) != (m,):
+                raise ValueError(f"{name} must have shape ({m},), "
+                                 f"got {np.shape(x)}")
+        if len(self.kinds) != m:
+            raise ValueError(f"kinds must have {m} entries, "
+                             f"got {len(self.kinds)}")
+        if any(kd not in ("call", "put") for kd in self.kinds):
+            raise ValueError("kinds entries must be 'call' or 'put'")
+        if not _concrete(self.s, self.k, self.v, self.t):
+            return
+        s, k, v, t = (np.asarray(x) for x in (self.s, self.k, self.v,
+                                              self.t))
+        if not (np.all(s > 0) and np.all(k > 0)):
+            raise ValueError("spots and strikes must be positive")
+        if np.any(v < 0):
+            raise ValueError("volatilities must be non-negative")
+        if np.any(t <= 0):
+            raise ValueError("maturities must be positive")
 
 
 @_register_pytree

@@ -150,6 +150,15 @@ def test_exotic_cli_ladder(capsys):
     assert "strike ladder" in out and out.count("K=") == 9
 
 
+def test_exotic_cli_book(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "book"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "vanilla book" in out and out.count("K=") == 8
+    assert "put" in out and "call" in out
+
+
 def test_exotic_cli_rqmc(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "rqmc", "--obs", "8",

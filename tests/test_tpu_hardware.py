@@ -202,6 +202,34 @@ def test_lookback_on_chip():
     assert float(res.price) < cf  # discrete monitoring is below continuous
 
 
+def test_book_on_chip():
+    from mctpu.types import VanillaBook, VanillaOption
+    book = VanillaBook.from_options([
+        VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0),
+        VanillaOption(100.0, 120.0, 0.05, 0.3, 0.5),
+        VanillaOption(95.0, 90.0, 0.03, 0.15, 2.0, kind="put"),
+        VanillaOption(120.0, 100.0, 0.01, 0.25, 0.25, kind="put"),
+    ])
+    res = engine.price_book(book, 1 << 21, KEY, _cfg(num_blocks=16,
+                                                     rows=32))
+    bs = []
+    for i in range(book.n_instruments):
+        o = book.option(i)
+        fn = mcmath.bs_call if o.kind == "call" else mcmath.bs_put
+        bs.append(float(fn(o.s, o.k, o.r, o.v, o.t)))
+    z = np.abs(np.asarray(res.price) - np.asarray(bs)) / np.asarray(
+        res.std_error)
+    assert (z < 4).all()
+    # A one-instrument book ties to the vanilla kernel bitwise on chip.
+    one = VanillaBook.from_options([
+        VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0)])
+    rb = engine.price_book(one, 1 << 18, KEY, _cfg(num_blocks=16, rows=32))
+    rv = engine.price_vanilla(
+        VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0), 1 << 18, KEY,
+        _cfg(num_blocks=16, rows=32))
+    assert float(rb.price[0]) == float(rv.price)
+
+
 def test_strike_ladder_on_chip():
     ks = np.array([70.0, 85.0, 100.0, 115.0, 130.0])
     res = engine.price_vanilla_ladder(OPT, ks, 1 << 21, KEY,
