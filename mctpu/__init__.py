@@ -17,7 +17,7 @@ and how each component maps here.
 """
 from mctpu.engine import (EngineConfig, fair_variance_strike,
                           greeks as compute_greeks,
-                          greeks_asian, greeks_lookback,
+                          greeks_asian, greeks_book, greeks_lookback,
                           greeks_basket, greeks_vanilla,
                           price_asian, price_barrier,
                           price_basket, price_basket_asian,
@@ -56,6 +56,7 @@ __all__ = [
     "price_vanilla",
     "price_vanilla_ladder",
     "price_book",
+    "greeks_book",
     "VanillaBook",
     "price_basket",
     "price_basket_asian",

@@ -28,8 +28,9 @@ def main(argv=None):
     p.add_argument("--product",
                    choices=["vanilla", "basket", "asian", "basket-asian",
                             "basket-barrier", "lookback", "rainbow",
-                            "varswap", "cliquet", "ladder", "barrier",
-                            "heston", "cva", "cva-multi", "american"],
+                            "varswap", "cliquet", "ladder", "book",
+                            "barrier", "heston", "cva", "cva-multi",
+                            "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -272,6 +273,36 @@ def main(argv=None):
                   f"{float(np.asarray(res.vega.price)[i]):8.4f} | "
                   f"{float(np.asarray(res.gamma.price)[i]):8.5f} | "
                   f"{float(cf['delta']):8.4f} | {float(cf['gamma']):8.5f}")
+        return 0
+
+    if args.product == "book":
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import VanillaBook
+        opts = []
+        for j in range(8):
+            opts.append(VanillaOption(
+                s=args.spot, k=args.strike * (0.8 + 0.4 * (j % 5) / 4),
+                r=args.rate, v=args.vol * (0.8 + 0.1 * (j % 4)),
+                t=args.maturity * (0.5 + 0.25 * (j % 3)),
+                kind="call" if j % 2 == 0 else "put"))
+        book = VanillaBook.from_options(opts)
+        res, dt = common.timed(engine.greeks_book, book, args.paths, key)
+        print(f"\nbook risk run ({book.n_instruments} instruments, one "
+              f"path sweep), paths={args.paths}  time={dt * 1e3:.2f} ms")
+        print(f"{'instrument':>22} | {'price':>9} | {'delta':>8} | "
+              f"{'vega':>8} | {'gamma':>8} | {'BS delta':>8}")
+        for i, o in enumerate(opts):
+            cf = mcmath.bs_greeks(o.s, o.k, o.r, o.v, o.t)
+            bsd = float(cf["delta"]) - (1.0 if o.kind == "put" else 0.0)
+            tag = f"{o.kind} K={o.k:.1f} T={o.t:.2f}"
+            print(f"{tag:>22} | "
+                  f"{float(np.asarray(res.price.price)[i]):9.4f} | "
+                  f"{float(np.asarray(res.delta.price)[i]):8.4f} | "
+                  f"{float(np.asarray(res.vega.price)[i]):8.4f} | "
+                  f"{float(np.asarray(res.gamma.price)[i]):8.5f} | "
+                  f"{bsd:8.4f}")
         return 0
 
     if args.product == "varswap":

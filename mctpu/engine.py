@@ -61,7 +61,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
            "price_cliquet", "greeks_cliquet",
            "fair_variance_strike",
-           "price_vanilla_ladder", "price_book",
+           "price_vanilla_ladder", "price_book", "greeks_book",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
@@ -441,6 +441,68 @@ def price_book(book, n_paths: int, key: jax.Array,
     sum_p, sum_p2, disc = runner(book, key, sgn)
     return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
                           n_paths=plan.total_paths)
+
+
+def greeks_book(book, n_paths: int, key: jax.Array,
+                config: EngineConfig = EngineConfig()) -> "GreeksResult":
+    """The whole book's risk run from ONE path sweep: vector-valued
+    price/delta/vega/rho/theta/gamma across all M instruments.
+
+    Same integrands as the fused vanilla Greeks kernel, evaluated per
+    instrument on shared draws (``kernels/book.py``, Greeks section);
+    like :func:`price_book`, every market parameter is runtime data, so
+    repricing risk on a tick reuses the compiled program.  Delta/vega
+    are with respect to each instrument's OWN spot/vol (the book
+    Jacobian's diagonal — instruments are independent products, so
+    cross-terms are zero by construction).
+    """
+    from mctpu.kernels import book as kbook
+    from mctpu.types import GreeksResult
+
+    book.validate()
+    m = book.n_instruments
+    if m > kbook.MAX_BOOK:
+        raise ValueError(f"book holds {m} instruments; max {kbook.MAX_BOOK}"
+                         " per fused sweep (split larger books)")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, 2 * kbook.LANES * anti)
+    plan = kbook.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                           cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_book", m, book.kinds, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(bk, k, sgn):
+            params = (bk.s, bk.k, bk.r, bk.v, bk.t, sgn)
+            if backend == "pallas":
+                fn = lambda a, off, nb: kbook.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kbook.greek_xla_partials(
+                    a[0], a[1], off, plan, nb)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (params, k),
+                                     P(PATH_AXIS, None, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(bk.r, wide)
+                           * jnp.asarray(bk.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sgn = jnp.asarray([1.0 if kd == "call" else -1.0 for kd in book.kinds],
+                      jnp.float32)
+    total, disc = runner(book, key, sgn)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[:, 2 * i], total[:, 2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3), theta=est(4), gamma=est(5))
 
 
 def fair_variance_strike(opt, n_paths: int, key: jax.Array,

@@ -37,7 +37,9 @@ from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan,
                                   prng_emulation, seed_prng)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
-__all__ = ["make_plan", "xla_partials", "pallas_partials", "MAX_BOOK"]
+__all__ = ["make_plan", "xla_partials", "pallas_partials", "MAX_BOOK",
+           "greek_xla_partials", "greek_pallas_partials",
+           "N_BOOK_GREEK_SUMS"]
 
 MAX_BOOK = 64  # per-instrument reductions are unrolled; keep compiles sane
 
@@ -181,3 +183,160 @@ def _pallas_partials(params, seed, block_offset, plan, n_blocks, interpret):
         ),
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, s0, mu, sig, ks, sgn)
+
+
+# ---------------------------------------------------------------------------
+# Greeks: the per-instrument risk run (portfolio Jacobian) from one sweep
+# ---------------------------------------------------------------------------
+#
+# Per instrument the kernel accumulates the SAME six integrands as the
+# fused vanilla Greeks kernel (kernels/greeks.py module docstring —
+# pathwise delta/vega/rho/theta, mixed pathwise-LR gamma) and the strike
+# ladder's risk sweep (kernels/ladder.py), with every constant a
+# per-instrument SMEM value so the whole book's risk reprices without a
+# recompile.  The call/put mix rides in as the +-1 sign: the indicator
+# becomes ``where(sgn*(st-k) > 0, sgn, 0)``, which reproduces both static
+# branches of _greek_ladder_quants exactly.
+
+N_BOOK_GREEK_SUMS = 12  # (sum, sum^2) of: p, delta, vega, rho, theta,
+#                         gamma — per instrument
+
+_N_CONST_ROWS = 13  # s0, mu, sig, sqt, vt, a, b, r, inv_s0, cg, tk, k, sgn
+
+
+def greek_const_rows(params, dtype):
+    """(13, M) per-instrument constants consumed by the Greek integrands.
+
+    ``params = (s, k, r, v, t, sgn)`` raw market vectors; precomputes the
+    divide-bearing scales host-side (``b = v/(2 sqt)``, ``cg
+    = k/(s0^2 v sqt)``) so the kernel hot loop is divide-free.
+    """
+    s0, k, r, v, t, sgn = (jnp.asarray(p, dtype) for p in params)
+    sqt = jnp.sqrt(t)
+    return jnp.stack([
+        s0, (r - 0.5 * v * v) * t, v * sqt, sqt, v * t,
+        r - 0.5 * v * v, 0.5 * v / sqt, r, 1.0 / s0,
+        k / (s0 * s0 * v * sqt), t * k, k, sgn])
+
+
+def _book_greek_quants(c, j, z, zz):
+    """Six integrand tiles of instrument ``j`` on normal tile ``z``.
+
+    ``zz`` is the signed normal consumed by the gamma LR weight (the
+    antithetic mirror passes ``-z`` for both); ``c(row, j)`` reads the
+    constant table built by :func:`greek_const_rows`.
+    """
+    st = c(0, j) * jnp.exp(c(1, j) + c(2, j) * z)
+    wv = c(3, j) * z - c(4, j)
+    q = c(5, j) + c(6, j) * z
+    sgn = c(12, j)
+    edge = sgn * (st - c(11, j))
+    ind = jnp.where(edge > 0, sgn, 0.0).astype(st.dtype)
+    p = jnp.maximum(edge, 0.0)
+    w = ind * st
+    return (p, w * c(8, j), w * wv, c(10, j) * ind,
+            w * q - c(7, j) * p, c(9, j) * (ind * zz))
+
+
+def _book_greek_iter(zs, c, m: int, antithetic: bool):
+    """One iteration's flat sums: ``m`` instruments x 12."""
+    sums = None
+    for z in zs:
+        zsides = [z, -z] if antithetic else [z]
+        row = []
+        for j in range(m):
+            quants = None
+            for zz in zsides:
+                one = _book_greek_quants(c, j, zz, zz)
+                quants = one if quants is None else tuple(
+                    a + b for a, b in zip(quants, one))
+            if antithetic:
+                quants = tuple(0.5 * x for x in quants)
+            for x in quants:
+                row.append(jnp.sum(x))
+                row.append(jnp.sum(x * x))
+        sums = row if sums is None else [a + b for a, b in zip(sums, row)]
+    return tuple(sums)
+
+
+def greek_xla_partials(params, key: jax.Array, block_offset, plan: Plan,
+                       n_blocks: int):
+    """Per-block Greek partials, shape ``(n_blocks, M, 12)``.
+
+    ``params = (s, k, r, v, t, sgn)`` raw market vectors.
+    """
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+
+    dtype = plan.jdtype
+    cvec = greek_const_rows(params, dtype)
+    m = cvec.shape[1]
+    n_sums = m * N_BOOK_GREEK_SUMS
+
+    def block_fn(bkey):
+        def body(i, carry):
+            zk = jax.random.fold_in(bkey, i)
+            z = jax.random.normal(zk, (2, plan.rows, LANES), dtype)
+            sums = _book_greek_iter((z[0], z[1]), lambda r, j: cvec[r, j],
+                                    m, plan.antithetic)
+            return acc_add_n(carry, sums, plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        flat = jnp.stack(acc_final_n(carry, plan.kahan))
+        return flat.reshape(m, N_BOOK_GREEK_SUMS)
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _book_greeks_kernel(seed_ref, off_ref, cvec_ref, out_ref, *,
+                        plan: Plan, m: int):
+    from mctpu.kernels.common import acc_add_n, acc_final_n, acc_init_n
+
+    seed_prng(seed_ref[0], off_ref[0] + pl.program_id(0))
+    n_sums = m * N_BOOK_GREEK_SUMS
+
+    def body(i, carry):
+        z1, z2 = draw_normal_pair((plan.rows, LANES), i)
+        sums = _book_greek_iter((z1, z2), lambda r, j: cvec_ref[r, j],
+                                m, plan.antithetic)
+        return acc_add_n(carry, sums, plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(m):
+        for i in range(N_BOOK_GREEK_SUMS):
+            out_ref[0, j, i] = vals[j * N_BOOK_GREEK_SUMS + i]
+
+
+def greek_pallas_partials(params, seed, block_offset, plan: Plan,
+                          n_blocks: int, interpret: bool = False):
+    """Per-block Greek partials, shape ``(n_blocks, M, 12)``, fused on TPU."""
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        cvec = greek_const_rows(params, jnp.float32)
+        m = cvec.shape[1]
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_book_greeks_kernel, plan=plan, m=m)
+        flops_iter = plan.rows * LANES * 2 * (2 if plan.antithetic else 1)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+            out_specs=pl.BlockSpec((1, m, N_BOOK_GREEK_SUMS),
+                                   lambda b: (b, 0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, m, N_BOOK_GREEK_SUMS),
+                                           jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(10 + 30 * m) * plan.iters * flops_iter,
+                bytes_accessed=n_blocks * m * N_BOOK_GREEK_SUMS * 4,
+                transcendentals=(4 + m) * plan.iters * flops_iter,
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, cvec)

@@ -118,3 +118,70 @@ def test_validation():
         [VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0)] * 65)
     with pytest.raises(ValueError, match="instruments"):
         engine.price_book(big, 1 << 12, KEY, CFG)
+
+
+class TestGreeksBook:
+    def test_each_instrument_greeks_within_3_sigma(self):
+        g = engine.greeks_book(BOOK, 1 << 19, KEY, CFG)
+        for i in range(BOOK.n_instruments):
+            o = BOOK.option(i)
+            ex = mcmath.bs_greeks(o.s, o.k, o.r, o.v, o.t)
+            if o.kind == "put":  # put-call parity on the closed form
+                import math as _m
+                disc = _m.exp(-float(o.r) * float(o.t))
+                ex = dict(ex)
+                ex["price"] = float(mcmath.bs_put(o.s, o.k, o.r, o.v, o.t))
+                ex["delta"] = float(ex["delta"]) - 1.0
+                ex["rho"] = float(ex["rho"]) - float(o.k) * float(o.t) * disc
+                ex["theta"] = (float(ex["theta"])
+                               - float(o.r) * float(o.k) * disc)
+            for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+                mc = getattr(g, name)
+                z = abs(float(np.asarray(mc.price)[i]) - float(ex[name])) \
+                    / float(np.asarray(mc.std_error)[i])
+                assert z < 3.5, (i, name, z)
+
+    def test_one_call_ties_to_ladder_greeks_bitwise(self):
+        opt = VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0)
+        one = VanillaBook.from_options([opt])
+        gb = engine.greeks_book(one, 1 << 15, KEY, CFG)
+        gl = engine.greeks_vanilla_ladder(opt, np.array([100.0]), 1 << 15,
+                                          KEY, CFG)
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            assert float(np.asarray(getattr(gb, name).price)[0]) \
+                == float(np.asarray(getattr(gl, name).price)[0]), name
+
+    def test_pallas_interpret_twin(self):
+        icfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                   interpret=True)
+        g = engine.greeks_book(BOOK, 1 << 14, KEY, icfg)
+        o = BOOK.option(0)
+        ex = mcmath.bs_greeks(o.s, o.k, o.r, o.v, o.t)
+        for name in ("delta", "vega", "gamma"):
+            mc = getattr(g, name)
+            z = abs(float(np.asarray(mc.price)[0]) - float(ex[name])) \
+                / float(np.asarray(mc.std_error)[0])
+            assert z < 4, (name, z)
+
+    @pytest.mark.slow
+    def test_shard_invariant(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mctpu.parallel import path_mesh
+        base = engine.greeks_book(BOOK, 1 << 14, KEY, CFG)
+        cfg8 = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                   mesh=path_mesh(devs[:8]))
+        shard = engine.greeks_book(BOOK, 1 << 14, KEY, cfg8)
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base, name).price),
+                np.asarray(getattr(shard, name).price))
+
+    def test_tick_reuses_compiled_program(self):
+        engine.greeks_book(BOOK, 1 << 13, KEY, CFG)
+        n_runners = len(engine._RUNNERS)
+        ticked = VanillaBook(s=BOOK.s * 0.99, k=BOOK.k, r=BOOK.r,
+                             v=BOOK.v * 1.02, t=BOOK.t, kinds=BOOK.kinds)
+        engine.greeks_book(ticked, 1 << 13, KEY, CFG)
+        assert len(engine._RUNNERS) == n_runners

@@ -150,6 +150,15 @@ def test_exotic_cli_ladder(capsys):
     assert "strike ladder" in out and out.count("K=") == 9
 
 
+def test_greeks_cli_book(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "book", "--paths", "16384"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "book risk run" in out and "BS delta" in out
+    assert out.count("K=") == 8
+
+
 def test_exotic_cli_book(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "book"])

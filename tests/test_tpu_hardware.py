@@ -230,6 +230,32 @@ def test_book_on_chip():
     assert float(rb.price[0]) == float(rv.price)
 
 
+def test_greeks_book_on_chip():
+    from mctpu.types import VanillaBook, VanillaOption
+    book = VanillaBook.from_options([
+        VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0),
+        VanillaOption(95.0, 90.0, 0.03, 0.15, 2.0, kind="put"),
+    ])
+    g = engine.greeks_book(book, 1 << 21, KEY, _cfg(num_blocks=16,
+                                                    rows=32))
+    for i in range(2):
+        o = book.option(i)
+        ex = mcmath.bs_greeks(o.s, o.k, o.r, o.v, o.t)
+        if o.kind == "put":  # put-call parity on the closed form
+            import math as _m
+            disc = _m.exp(-float(o.r) * float(o.t))
+            ex = dict(ex)
+            ex["price"] = float(mcmath.bs_put(o.s, o.k, o.r, o.v, o.t))
+            ex["delta"] = float(ex["delta"]) - 1.0
+            ex["rho"] = float(ex["rho"]) - float(o.k) * float(o.t) * disc
+            ex["theta"] = float(ex["theta"]) - float(o.r) * float(o.k) * disc
+        for name in ("price", "delta", "vega", "rho", "theta", "gamma"):
+            mc = getattr(g, name)
+            z = abs(float(np.asarray(mc.price)[i]) - float(ex[name])) \
+                / float(np.asarray(mc.std_error)[i])
+            assert z < 4, (i, name, z)
+
+
 def test_strike_ladder_on_chip():
     ks = np.array([70.0, 85.0, 100.0, 115.0, 130.0])
     res = engine.price_vanilla_ladder(OPT, ks, 1 << 21, KEY,
