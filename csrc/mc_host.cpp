@@ -210,6 +210,73 @@ static void run_parallel_vec(int64_t n, uint64_t seed,
         }
 }
 
+// Runtime-width variant of run_parallel_vec for the portfolio ("book")
+// engine, where the instrument count m is a runtime value.  Same
+// per-chunk Neumaier compensation and chunk-keyed streams
+// (thread-count invariant).
+template <typename PathFn>
+static void run_parallel_dyn(int64_t n, uint64_t seed, int m,
+                             const PathFn& path_fn, double* s_out,
+                             double* s2_out) {
+    const int64_t kChunk = 1 << 16;
+    const int64_t n_chunks = (n + kChunk - 1) / kChunk;
+    unsigned hw = std::thread::hardware_concurrency();
+    const unsigned n_threads = hw ? std::min<int64_t>(hw, n_chunks) : 1;
+
+    std::vector<std::vector<double>> per_thread(
+        n_threads, std::vector<double>(2 * m, 0.0));
+    std::atomic<int64_t> next_chunk{0};
+    auto worker = [&](unsigned tid) {
+        std::vector<double> local(2 * m, 0.0);
+        std::vector<double> vals(m), s(m), cs(m), s2(m), cs2(m);
+        for (;;) {
+            const int64_t c = next_chunk.fetch_add(1);
+            if (c >= n_chunks) break;
+            uint64_t mix = seed;
+            splitmix64(mix);
+            NormalGen gen(mix ^ (0xA5A5A5A5DEADBEEFULL + 0x9E3779B9ULL * c));
+            const int64_t lo = c * kChunk;
+            const int64_t hi = std::min(lo + kChunk, n);
+            std::fill(s.begin(), s.end(), 0.0);
+            std::fill(cs.begin(), cs.end(), 0.0);
+            std::fill(s2.begin(), s2.end(), 0.0);
+            std::fill(cs2.begin(), cs2.end(), 0.0);
+            for (int64_t i = lo; i < hi; ++i) {
+                path_fn(gen, vals.data());
+                for (int j = 0; j < m; ++j) {
+                    const double p = vals[j];
+                    double t1 = s[j] + p;
+                    cs[j] += std::abs(s[j]) >= std::abs(p)
+                        ? (s[j] - t1) + p : (p - t1) + s[j];
+                    s[j] = t1;
+                    const double q = p * p;
+                    double t2 = s2[j] + q;
+                    cs2[j] += std::abs(s2[j]) >= std::abs(q)
+                        ? (s2[j] - t2) + q : (q - t2) + s2[j];
+                    s2[j] = t2;
+                }
+            }
+            for (int j = 0; j < m; ++j) {
+                local[j] += s[j] + cs[j];
+                local[m + j] += s2[j] + cs2[j];
+            }
+        }
+        per_thread[tid] = local;
+    };
+
+    std::vector<std::thread> threads;
+    threads.reserve(n_threads);
+    for (unsigned t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+
+    for (int j = 0; j < m; ++j) { s_out[j] = 0; s2_out[j] = 0; }
+    for (const auto& p : per_thread)
+        for (int j = 0; j < m; ++j) {
+            s_out[j] += p[j];
+            s2_out[j] += p[m + j];
+        }
+}
+
 static void finish(const Sums& sums, int64_t n, double discount, double* out) {
     const double nd = static_cast<double>(n);
     const double price = discount * sums.s / nd;
@@ -446,6 +513,51 @@ void mc_cva(double s0, double k, double r, double v, double t,
 
 // Golub-Van Loan Cholesky with the PSD pivot guard (Chol,
 // MonteCarloHost.c:91-106) so singular correlation matrices factorize.
+// Portfolio ("book") of m European options priced on SHARED normals —
+// the f64 native twin of the TPU book kernel (mctpu/kernels/book.py):
+// every instrument sees the same z per path, so marks are comonotone
+// across the book.  sgn[i] = +1 call / -1 put.  out[3*m] holds
+// (price, ci, se) per instrument, each discounted by its own
+// exp(-r_i t_i) (estimator semantics per MonteCarloKernel.cu:413-423).
+void mc_book(const double* s0, const double* k, const double* r,
+             const double* v, const double* t, const double* sgn,
+             int32_t m, int64_t n_paths, uint64_t seed, int antithetic,
+             double* out) {
+    if (m < 1 || m > 4096) {
+        for (int i = 0; i < 3 * std::max<int32_t>(m, 0); ++i) out[i] = -1.0;
+        return;
+    }
+    std::vector<double> mu(m), sig(m);
+    for (int i = 0; i < m; ++i) {
+        mu[i] = (r[i] - 0.5 * v[i] * v[i]) * t[i];
+        sig[i] = v[i] * std::sqrt(t[i]);
+    }
+    auto pay = [&](int i, double z) {
+        return std::max(
+            sgn[i] * (s0[i] * std::exp(mu[i] + sig[i] * z) - k[i]), 0.0);
+    };
+    const int64_t n_units = antithetic ? n_paths / 2 : n_paths;
+    std::vector<double> s(m), s2(m);
+    if (antithetic) {
+        run_parallel_dyn(n_units, seed, m,
+                         [&](NormalGen& g, double* vals) {
+                             const double z = g.next();
+                             for (int i = 0; i < m; ++i)
+                                 vals[i] = 0.5 * (pay(i, z) + pay(i, -z));
+                         }, s.data(), s2.data());
+    } else {
+        run_parallel_dyn(n_units, seed, m,
+                         [&](NormalGen& g, double* vals) {
+                             const double z = g.next();
+                             for (int i = 0; i < m; ++i) vals[i] = pay(i, z);
+                         }, s.data(), s2.data());
+    }
+    for (int i = 0; i < m; ++i) {
+        Sums sums; sums.s = s[i]; sums.s2 = s2[i];
+        finish(sums, n_units, std::exp(-r[i] * t[i]), out + 3 * i);
+    }
+}
+
 void mc_cholesky(const double* c, int32_t n, double* a) {
     std::memset(a, 0, sizeof(double) * n * n);
     std::vector<double> vcol(n);
@@ -473,6 +585,6 @@ double mc_bs_call(double s, double k, double r, double v, double t) {
     return bs_call(s, k, r, v, t);
 }
 
-int32_t mc_abi_version(void) { return 4; }
+int32_t mc_abi_version(void) { return 5; }
 
 }  // extern "C"

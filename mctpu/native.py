@@ -82,12 +82,14 @@ def _load():
                             ctypes.c_uint64)
         dp = ctypes.POINTER(ctypes.c_double)
         lib.mc_abi_version.restype = i32
-        if lib.mc_abi_version() != 4:
+        if lib.mc_abi_version() != 5:
             raise RuntimeError("native engine ABI mismatch")
         lib.mc_vanilla.argtypes = [d, d, d, d, d, i64, u64, i32, i32, dp]
         lib.mc_vanilla_greeks.argtypes = [d, d, d, d, d, i64, u64, i32, i32,
                                           dp]
         lib.mc_basket.argtypes = [dp, dp, dp, dp, dp, i32, d, d, d, i64, u64, dp]
+        lib.mc_book.argtypes = [dp, dp, dp, dp, dp, dp, i32, i64, u64, i32,
+                                dp]
         lib.mc_cva.argtypes = [d, d, d, d, d, d, d, i32, i64, u64, dp, dp]
         lib.mc_asian.argtypes = [d, d, d, d, d, i32, i32, i64, u64, i32, dp]
         lib.mc_barrier.argtypes = [d, d, d, d, d, d, i32, i32, i64, u64, dp]
@@ -161,6 +163,26 @@ def price_basket(opt: BasketOption, n_paths: int, seed: int = 0) -> NativeResult
     if out[0] == -1.0 and out[1] == -1.0:
         raise ValueError("native basket engine supports at most 1024 assets")
     return NativeResult(out[0], out[1], out[2], n_paths)
+
+
+def price_book(book, n_paths: int, seed: int = 0,
+               antithetic: bool = False) -> list:
+    """Native f64 twin of :func:`mctpu.engine.price_book` (shared normals,
+    per-instrument discounting).  Returns a list of :class:`NativeResult`
+    in book order — an independent cross-check of the serving path."""
+    lib = _load()
+    m = book.n_instruments
+    arrs = [np.ascontiguousarray(np.asarray(x, np.float64))
+            for x in (book.s, book.k, book.r, book.v, book.t)]
+    sgn = np.ascontiguousarray(
+        np.asarray([1.0 if kd == "call" else -1.0 for kd in book.kinds],
+                   np.float64))
+    out = np.zeros(3 * m)
+    lib.mc_book(*(_ptr(a) for a in arrs), _ptr(sgn), m, n_paths, seed,
+                int(antithetic), _ptr(out))
+    n = n_paths // 2 if antithetic else n_paths
+    return [NativeResult(out[3 * i], out[3 * i + 1], out[3 * i + 2], n)
+            for i in range(m)]
 
 
 def price_asian(opt, n_paths: int, seed: int = 0,

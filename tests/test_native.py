@@ -203,3 +203,25 @@ def test_native_greeks_antithetic_and_thread_invariance():
         assert g1[name] == g2[name], name  # deterministic
     ga = native.vanilla_greeks(OPT, 1 << 18, seed=5, antithetic=True)
     assert ga["delta"][1] < g1["delta"][1]  # antithetic tightens delta
+
+
+def test_native_book_vs_closed_form_and_engine():
+    from mctpu import math as mcmath
+    from mctpu.types import VanillaBook
+
+    book = VanillaBook.from_options([
+        VanillaOption(100.0, 100.0, 0.05, 0.2, 1.0),
+        VanillaOption(100.0, 120.0, 0.05, 0.3, 0.5),
+        VanillaOption(95.0, 90.0, 0.03, 0.15, 2.0, kind="put"),
+    ])
+    res = native.price_book(book, 1 << 19, seed=3)
+    for i, r in enumerate(res):
+        o = book.option(i)
+        fn = mcmath.bs_call if o.kind == "call" else mcmath.bs_put
+        ex = float(fn(o.s, o.k, o.r, o.v, o.t))
+        assert abs(r.price - ex) < 4 * r.std_error, (i, r.price, ex)
+    # deterministic + comonotone with the single pricer's estimator family
+    res2 = native.price_book(book, 1 << 19, seed=3)
+    assert all(a.price == b.price for a, b in zip(res, res2))
+    anti = native.price_book(book, 1 << 19, seed=3, antithetic=True)
+    assert all(a.std_error < b.std_error for a, b in zip(anti, res))
