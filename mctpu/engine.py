@@ -55,7 +55,8 @@ from mctpu.parallel.mesh import PATH_AXIS
 from mctpu.parallel.reduce import pairwise_tree_sum
 from mctpu.types import (AsianOption, BarrierOption, BasketOption,
                          CvaMultiSpec, CvaPortfolioSpec, CvaResult, CvaSpec,
-                         HestonOption, McResult, Precision, VanillaOption)
+                         HestonOption, McResult, Precision, VanillaOption,
+                         XvaResult, XvaSpec)
 
 __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_barrier", "price_lookback", "price_rainbow",
@@ -64,7 +65,8 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_vanilla_ladder", "price_book", "greeks_book",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
-           "price_cva_multi", "greeks", "greeks_vanilla", "greeks_basket",
+           "price_cva_multi", "price_xva",
+           "greeks", "greeks_vanilla", "greeks_basket",
            "greeks_asian", "greeks_lookback", "greeks_rainbow",
            "greeks_varswap", "greeks_vanilla_ladder",
            "greeks_basket_asian", "greeks_basket_barrier",
@@ -1824,6 +1826,71 @@ def price_cva_multi(spec, n_paths: int, key: jax.Array,
     return CvaResult(cva=res.price, ci=res.ci, std_error=res.std_error,
                      expected_exposure=ee_profile / plan.total_units,
                      default_leg=dp, n=n, n_paths=plan.total_paths)
+
+
+def price_xva(spec: XvaSpec, n_paths: int, key: jax.Array,
+              config: EngineConfig = EngineConfig()) -> XvaResult:
+    """Bilateral xVA of a netting set: CVA, DVA, FCA and FBA from ONE
+    fused exposure sweep, plus both exposure profiles (EPE and ENE).
+
+    Beyond the reference (unilateral CVA only, ``cvaOpt.cu``): the netted
+    value the CVA walk already computes carries both exposure sides, so
+    the bank-side legs cost four extra accumulators, not a second
+    simulation — and leg differences (``bcva``, ``fva``) carry
+    common-random-number noise only.  At ``own_intensity = 0``,
+    ``funding_spread = 0`` the CVA leg ties :func:`price_cva_multi`
+    bitwise on shared streams (same walk, same node math, same tables).
+    All legs follow the CVA estimator's undiscounted-mean semantics
+    (``MonteCarloKernel.cu:467``).
+    """
+    from mctpu.kernels import cva_multi as kmulti
+
+    spec.validate()
+    net = spec.netting
+    cfg = config
+    backend = cfg.resolve_backend()
+    # Asset-major in both backends (every lane a path); netting sets wider
+    # than the asset-major regime route to the XLA twin, which runs the
+    # same structure at any m.
+    if backend == "pallas" and not kbasket.use_asset_major(
+            net.n_underlyings):
+        backend = "xla"
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
+    plan = kmulti.Plan.plan(n_paths, blocks, rows,
+                            rows * kbasket.LANES * anti,
+                            rows * kbasket.LANES, cfg.antithetic,
+                            cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("xva", net.n_grid, net.n_underlyings, plan, backend,
+                 cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(sp, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(sp.netting.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda a, off, nb: kmulti.xva_pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kmulti.xva_xla_partials(
+                    a[0], a[1], a[2], off, plan, nb)
+            partials, profs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (sp, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            sums = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            prof = pairwise_tree_sum(jnp.asarray(profs, wide), axis=0)
+            return sums, prof
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sums, prof = runner(spec, key)
+    n = plan.total_units
+    legs = [mcest.estimate(sums[2 * i], sums[2 * i + 1], n, discount=1.0,
+                           n_paths=plan.total_paths) for i in range(4)]
+    return XvaResult(cva=legs[0], dva=legs[1], fca=legs[2], fba=legs[3],
+                     epe_profile=prof[0] / n, ene_profile=prof[1] / n)
 
 
 def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,

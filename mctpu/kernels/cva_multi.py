@@ -41,7 +41,9 @@ from mctpu.types import CvaMultiSpec
 
 __all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec",
            "greek_xla_partials", "greek_pallas_partials",
-           "greek_tables", "N_MULTI_GREEK_SCALARS"]
+           "greek_tables", "N_MULTI_GREEK_SCALARS",
+           "xva_xla_partials", "xva_pallas_partials", "xva_tables",
+           "N_XVA_SUMS"]
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -1059,3 +1061,243 @@ def _am_greek_pallas_partials(spec, chol, seed, block_offset, plan: Plan,
         interpret=interpret_arg(interpret),
     )(seed_arr, off_arr, scal, dp, ddp, tau, sqtau, disc, lt, params)
     return out.reshape(n_blocks, N_MULTI_GREEK_SCALARS), vecs
+
+
+# ---------------------------------------------------------------------------
+# Bilateral xVA: CVA / DVA / FCA / FBA legs from one fused sweep
+# ---------------------------------------------------------------------------
+# Beyond the reference (unilateral CVA only, cvaOpt.cu): the netted value
+# V_j the pricing kernels already compute (pre-clamp) carries BOTH exposure
+# sides — EPE_j = max(V_j, 0) feeds the CVA and funding-cost legs, ENE_j =
+# max(-V_j, 0) the DVA and funding-benefit legs.  All four legs are
+# deterministic node tables (math.xva_leg_weights / funding_leg_weights)
+# times additive per-path accumulators, so they ride the engine contract
+# unchanged: per-block (sum, sum^2) partials per leg (8 scalars), fixed-
+# order combine, bitwise shard invariance.  The walk and node math are
+# _am_quants / _am_net — the SAME code as the pricer — so at
+# own_intensity = 0, funding_spread = 0 the CVA leg ties price_cva_multi
+# bitwise on shared streams.  Asset-major only (every netting set the
+# Pallas path serves is m <= ASSET_MAJOR_MAX; the XLA twin runs the same
+# asset-major structure at any m).
+
+N_XVA_SUMS = 8  # (sum, sum^2) of: cva, dva, fca, fba path legs
+
+
+def xva_tables(xspec, dtype):
+    """Per-node tables ``(w_cva, w_dva, w_fnd, tau, sqtau, disc)``."""
+    sp = xspec.netting
+    g = sp.n_grid
+    w_cva, w_dva = mcmath.xva_leg_weights(sp.intensity, xspec.own_intensity,
+                                          sp.t, g, dtype=dtype)
+    w_fnd = mcmath.funding_leg_weights(sp.intensity, xspec.own_intensity,
+                                       xspec.funding_spread, sp.t, g,
+                                       dtype=dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    tau = jnp.asarray(sp.t, dtype) * (g - j) / g
+    sqtau = jnp.sqrt(tau)
+    disc = jnp.exp(-jnp.asarray(sp.r, dtype) * tau)
+    return w_cva, w_dva, w_fnd, tau, sqtau, disc
+
+
+def _am_xva_step(j, zs, carry, lt_at, par_at, r, tables_at, m: int,
+                 node_hook=None):
+    """One xVA grid step: ``carry = (xs, ac, ad, af, ab)`` — the walk state
+    plus the four running leg sums.  ``node_hook(j, epe, ene)`` feeds the
+    two exposure-profile accumulators."""
+    wc_at, wd_at, wf_at, tau_at, sqtau_at, disc_at = tables_at
+    xs, ac, ad, af, ab = carry
+    xs, _, _, vals, _, _ = _am_quants(zs, xs, lt_at, par_at, r, tau_at(j),
+                                      sqtau_at(j), disc_at(j), m)
+    epe, net = _am_net(vals)
+    ene = epe - net  # max(-net, 0) without a second clamp
+    if node_hook is not None:
+        node_hook(j, epe, ene)
+    wf_j = wf_at(j)
+    return (xs, ac + wc_at(j) * epe, ad + wd_at(j) * ene,
+            af + wf_j * epe, ab + wf_j * ene)
+
+
+def _xva_leg_sums(tiles):
+    """Per-iteration ``(sum, sum^2)`` pairs over the four leg tiles, in
+    N_XVA_SUMS order."""
+    vals = []
+    for t in tiles:
+        vals.append(jnp.sum(t))
+        vals.append(jnp.sum(t * t))
+    return tuple(vals)
+
+
+def xva_xla_partials(xspec, chol, key: jax.Array, block_offset, plan: Plan,
+                     n_blocks: int):
+    """XLA twin: ``((n_blocks, N_XVA_SUMS), (n_blocks, 2, n_grid))`` —
+    asset-major at any underlying count."""
+    dtype = plan.jdtype
+    sp = xspec.netting.astype(dtype)
+    m, g = sp.n_underlyings, sp.n_grid
+    lt, params, _ = _am_ops(sp, chol, dtype)
+    tabs = xva_tables(xspec, dtype)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r_, i: params[r_, i]
+    tables_at = tuple((lambda j, a=a: a[j]) for a in tabs)
+    shape = (plan.rows, LANES)
+    r = jnp.asarray(sp.r, dtype)
+    lgd = jnp.asarray(sp.lgd, dtype)
+    olgd = jnp.asarray(xspec.own_lgd, dtype)
+    sgn_half = jnp.asarray(0.5 if plan.antithetic else 1.0, dtype)
+
+    def walk(z_seq, sgn, prof):
+        def body(j, carry):
+            *state, pr = carry
+            zs = [sgn * z_seq[j, i] for i in range(m)]
+            seen = []
+            state = _am_xva_step(
+                j, zs, tuple(state), lt_at, par_at, r, tables_at, m,
+                node_hook=lambda _, epe, ene: seen.extend([epe, ene]))
+            pr = pr.at[0, j].add(sgn_half * jnp.sum(seen[0]))
+            pr = pr.at[1, j].add(sgn_half * jnp.sum(seen[1]))
+            return (*state, pr)
+
+        zero = jnp.zeros(shape, dtype)
+        init = (_am_init_xs(par_at, m, shape, dtype), zero, zero, zero,
+                zero, prof)
+        _, ac, ad, af, ab, prof = jax.lax.fori_loop(0, g, body, init)
+        return (lgd * ac, olgd * ad, af, ab), prof
+
+    def block_fn(bkey):
+        def body(i, carry):
+            acc, prof = carry
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g, m) + shape, dtype)
+            tiles, prof = walk(z_seq, jnp.asarray(1.0, dtype), prof)
+            if plan.antithetic:
+                mt, prof = walk(z_seq, jnp.asarray(-1.0, dtype), prof)
+                tiles = tuple(0.5 * (a + b) for a, b in zip(tiles, mt))
+            return acc_add_n(acc, _xva_leg_sums(tiles), plan.kahan), prof
+
+        acc, prof = jax.lax.fori_loop(
+            0, plan.iters, body,
+            (acc_init_n(N_XVA_SUMS, dtype, plan.kahan),
+             jnp.zeros((2, g), dtype)))
+        return jnp.stack(acc_final_n(acc, plan.kahan)), prof
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _am_xva_kernel(seed_ref, off_ref, scal_ref, wc_ref, wd_ref, wf_ref,
+                   tau_ref, sqtau_ref, disc_ref, lt_ref, par_ref, out_ref,
+                   prof_out_ref, prof_ref, comp_ref, *, plan: Plan,
+                   n_grid: int, m: int):
+    r, lgd, olgd = scal_ref[0], scal_ref[1], scal_ref[2]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    tables_at = (lambda j: wc_ref[j], lambda j: wd_ref[j],
+                 lambda j: wf_ref[j], lambda j: tau_ref[j],
+                 lambda j: sqtau_ref[j], lambda j: disc_ref[j])
+    shape = (plan.rows, LANES)
+    b = pl.program_id(0)
+    two_g_pad = prof_ref.shape[0]
+    g_pad = two_g_pad // 2
+    sgn_half = 0.5 if plan.antithetic else 1.0
+
+    def _prof_add(slot, total):
+        # Kahan-compensated scalar profile accumulation in SMEM.
+        y = total - comp_ref[slot]
+        t_new = prof_ref[slot] + y
+        comp_ref[slot] = (t_new - prof_ref[slot]) - y
+        prof_ref[slot] = t_new
+
+    def hook(j, epe, ene):
+        _prof_add(j, sgn_half * jnp.sum(epe))
+        _prof_add(g_pad + j, sgn_half * jnp.sum(ene))
+
+    def walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_xva_step(j, [sgn * z for z in zs], carry, lt_at,
+                                par_at, r, tables_at, m, node_hook=hook)
+
+        zero = jnp.zeros(shape, jnp.float32)
+        init = (_am_init_xs(par_at, m, shape), zero, zero, zero, zero)
+        _, ac, ad, af, ab = walk_pairwise_multi(shape, m, n_grid, step, init)
+        return (lgd * ac, olgd * ad, af, ab)
+
+    def body(i, carry):
+        tiles = walk(i, 1.0)
+        if plan.antithetic:
+            mt = walk(i, -1.0)
+            tiles = tuple(0.5 * (a + b2) for a, b2 in zip(tiles, mt))
+        return acc_add_n(carry, _xva_leg_sums(tiles), plan.kahan)
+
+    def zero_prof(j, _):
+        prof_ref[j] = 0.0
+        comp_ref[j] = 0.0
+        return 0
+
+    jax.lax.fori_loop(0, two_g_pad, zero_prof, 0)
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(N_XVA_SUMS, jnp.float32,
+                                         plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(N_XVA_SUMS):
+        out_ref[0, 0, j] = vals[j]
+
+    def write_prof(j, _):
+        prof_out_ref[0, 0, j] = prof_ref[j] + comp_ref[j]
+        return 0
+
+    jax.lax.fori_loop(0, two_g_pad, write_prof, 0)
+
+
+def xva_pallas_partials(xspec, chol, seed, block_offset, plan: Plan,
+                        n_blocks: int, interpret: bool = False):
+    """Fused bilateral xVA partials on TPU (asset-major; the engine routes
+    wider sets to the XLA twin)."""
+    if not use_asset_major(xspec.netting.n_underlyings):
+        raise NotImplementedError(
+            "xva Pallas kernel is asset-major (m <= ASSET_MAJOR_MAX); the "
+            "engine routes wider netting sets to the XLA twin")
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        sp = xspec.netting.astype(jnp.float32)
+        m, g = sp.n_underlyings, sp.n_grid
+        lt, params, _ = _am_ops(sp, chol, jnp.float32)
+        wc, wd, wf, tau, sqtau, disc = xva_tables(xspec, jnp.float32)
+        scal = jnp.stack([sp.r, sp.lgd,
+                          jnp.asarray(xspec.own_lgd, jnp.float32)])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        g_pad = _round_up(g, 8)
+        kernel = functools.partial(_am_xva_kernel, plan=plan, n_grid=g, m=m)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        out, prof = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11,
+            out_specs=(
+                block_out_spec(N_XVA_SUMS),
+                block_out_spec(2 * g_pad),
+            ),
+            out_shape=(
+                block_out_shape(n_blocks, N_XVA_SUMS),
+                block_out_shape(n_blocks, 2 * g_pad),
+            ),
+            scratch_shapes=[pltpu.SMEM((2 * g_pad,), jnp.float32),
+                            pltpu.SMEM((2 * g_pad,), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * g * (m * (m + 1)
+                                                     + 12 * m + 12),
+                bytes_accessed=n_blocks * (N_XVA_SUMS + 2 * g) * 4,
+                transcendentals=plan.iters * paths_iter * g
+                * (3 * m + m // 2),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, wc, wd, wf, tau, sqtau, disc, lt, params)
+    prof = prof.reshape(n_blocks, 2 * g_pad)
+    return (out.reshape(n_blocks, N_XVA_SUMS),
+            jnp.stack([prof[:, :g], prof[:, g_pad:g_pad + g]], axis=1))

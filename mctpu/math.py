@@ -358,6 +358,84 @@ def cva_multi_closed_form(intensity, lgd, s, v, strikes, weights, r, t,
     return jnp.asarray(lgd, dtype) * c0 * growth
 
 
+def xva_leg_weights(intensity, own_intensity, t, n_grid: int,
+                    dtype=jnp.float32):
+    """Bilateral default-leg node tables ``(w_cva, w_dva)``, shape
+    ``(n_grid,)`` each.
+
+    First-to-default weighting on the reference's uniform grid
+    (``MonteCarloKernel.cu:249`` semantics, extended bilaterally): the
+    counterparty-default mass at node ``j`` counts only while the bank
+    itself survives, and vice versa:
+
+        w_cva_j = S_B(t_{j-1}) * [S_C(t_{j-1}) - S_C(t_j)]
+        w_dva_j = S_C(t_{j-1}) * [S_B(t_{j-1}) - S_B(t_j)]
+
+    with ``S_X(u) = exp(-lambda_X u)``.  At ``own_intensity = 0`` the CVA
+    table reduces EXACTLY to :func:`default_leg_weights` (same factored
+    ``exp * (-expm1)`` form, so the unilateral engine's numerics are
+    reproduced bit-for-bit) and ``w_dva`` is identically zero.
+    """
+    dt = jnp.asarray(t, dtype) / n_grid
+    j = jnp.arange(1, n_grid + 1, dtype=dtype)
+    lam_c = jnp.asarray(intensity, dtype)
+    lam_b = jnp.asarray(own_intensity, dtype)
+    surv_prev = jnp.exp(-(lam_c + lam_b) * dt * (j - 1))
+    w_cva = surv_prev * (-jnp.expm1(-lam_c * dt))
+    w_dva = surv_prev * (-jnp.expm1(-lam_b * dt))
+    return w_cva, w_dva
+
+
+def funding_leg_weights(intensity, own_intensity, funding_spread, t,
+                        n_grid: int, dtype=jnp.float32):
+    """Funding accrual node table ``w_fnd_j = sf * dt * S_B * S_C`` at
+    ``t_{j-1}`` (funding accrues over interval ``j`` while both parties
+    survive at its start), shape ``(n_grid,)``."""
+    dt = jnp.asarray(t, dtype) / n_grid
+    j = jnp.arange(1, n_grid + 1, dtype=dtype)
+    lam = jnp.asarray(intensity, dtype) + jnp.asarray(own_intensity, dtype)
+    return jnp.asarray(funding_spread, dtype) * dt * jnp.exp(
+        -lam * dt * (j - 1))
+
+
+def xva_multi_closed_form(intensity, lgd, own_intensity, own_lgd,
+                          funding_spread, s, v, strikes, weights, r, t,
+                          n_grid: int, dtype=None):
+    """Exact xVA legs ``(cva, dva, fca, fba)`` for a SINGLE-SIGNED netting
+    set over M correlated underlyings.
+
+    All-long weights never trip the netting clamp, so ``EPE_j`` is linear
+    and the per-underlying martingale argument of
+    :func:`cva_multi_closed_form` gives ``E[EPE_j] = sum_m w_m C_0m
+    e^{r t_j}`` with ``ENE_j = 0`` (hence DVA = FBA = 0 exactly); all-short
+    sets mirror onto the ENE side.  Mixed-sign weights have no closed form
+    (the clamp binds path-by-path) — raises; use the MC engine.
+    """
+    import numpy as _np
+    w_np = _np.asarray(weights)
+    if (w_np < 0).any() and (w_np > 0).any():
+        raise ValueError("closed form requires single-signed weights "
+                         "(netting binds otherwise); use the MC engine")
+    if dtype is None:
+        dtype = wide_dtype()
+    s = jnp.asarray(s, dtype)
+    v = jnp.asarray(v, dtype)
+    strikes = jnp.asarray(strikes, dtype)
+    weights = jnp.asarray(weights, dtype)
+    c0 = jnp.sum(weights * bs_call(s, strikes, r, v, t))
+    t_j = jnp.asarray(t, dtype) * jnp.arange(1, n_grid + 1, dtype=dtype) / n_grid
+    growth = jnp.exp(jnp.asarray(r, dtype) * t_j)
+    epe = jnp.maximum(c0, 0.0) * growth
+    ene = jnp.maximum(-c0, 0.0) * growth
+    w_cva, w_dva = xva_leg_weights(intensity, own_intensity, t, n_grid,
+                                   dtype=dtype)
+    w_fnd = funding_leg_weights(intensity, own_intensity, funding_spread,
+                                t, n_grid, dtype=dtype)
+    return (jnp.asarray(lgd, dtype) * jnp.sum(w_cva * epe),
+            jnp.asarray(own_lgd, dtype) * jnp.sum(w_dva * ene),
+            jnp.sum(w_fnd * epe), jnp.sum(w_fnd * ene))
+
+
 def lookback_floating_call(s, r, v, t, m=None, dtype=None):
     """Continuously-monitored floating-strike lookback call
     (Goldman-Sosin-Gatto 1979): pays ``S_T - min_{u<=T} S_u``.

@@ -310,6 +310,70 @@ def price_cva_multi(spec, n_paths: int, seed: int = 0) -> OracleResult:
     return _estimate(lgd * acc, discount=1.0)
 
 
+def price_xva_multi(xspec, n_paths: int, seed: int = 0) -> dict:
+    """NumPy twin of :func:`mctpu.engine.price_xva` (XvaSpec): bilateral
+    CVA/DVA/FCA/FBA legs of a netting set from one shared path sweep.
+
+    Returns ``{"cva"|"dva"|"fca"|"fba": OracleResult, "epe"|"ene":
+    (n_grid,) profile}``.  Leg weights follow
+    :func:`mctpu.math.xva_leg_weights` (first-to-default) and
+    :func:`mctpu.math.funding_leg_weights` (survival-weighted accrual).
+    """
+    spec = xspec.netting
+    rng = np.random.default_rng(seed)
+    m = spec.n_underlyings
+    s0 = np.asarray(spec.s, np.float64)
+    v = np.asarray(spec.v, np.float64)
+    strikes = np.asarray(spec.strikes, np.float64)
+    weights = np.asarray(spec.weights, np.float64)
+    r, t = float(spec.r), float(spec.t)
+    lam = float(spec.intensity)
+    lam_b = float(xspec.own_intensity)
+    lgd, olgd = float(spec.lgd), float(xspec.own_lgd)
+    sf = float(xspec.funding_spread)
+    g = int(spec.n_grid)
+    chol = cholesky_psd(np.asarray(spec.corr, np.float64))
+    dt = t / g
+    j = np.arange(1, g + 1)
+    surv_prev = np.exp(-(lam + lam_b) * dt * (j - 1))
+    w_cva = surv_prev * -np.expm1(-lam * dt)
+    w_dva = surv_prev * -np.expm1(-lam_b * dt)
+    w_fnd = sf * dt * surv_prev
+    drift = (r - 0.5 * v * v) * dt
+    vol = v * np.sqrt(dt)
+    s = np.tile(s0, (n_paths, 1))
+    ac = np.zeros(n_paths)
+    ad = np.zeros(n_paths)
+    af = np.zeros(n_paths)
+    ab = np.zeros(n_paths)
+    epe_prof = np.empty(g)
+    ene_prof = np.empty(g)
+    for jj in range(1, g + 1):
+        z = rng.standard_normal((n_paths, m))
+        s = s * np.exp(drift + vol * (z @ chol.T))
+        t_rem = t * (g - jj) / g
+        value = np.zeros(n_paths)
+        for i in range(m):
+            value += weights[i] * bs_call(s[:, i], strikes[i], r, v[i],
+                                          t_rem)
+        epe = np.maximum(value, 0.0)
+        ene = np.maximum(-value, 0.0)
+        ac += w_cva[jj - 1] * epe
+        ad += w_dva[jj - 1] * ene
+        af += w_fnd[jj - 1] * epe
+        ab += w_fnd[jj - 1] * ene
+        epe_prof[jj - 1] = epe.mean()
+        ene_prof[jj - 1] = ene.mean()
+    return {
+        "cva": _estimate(lgd * ac, discount=1.0),
+        "dva": _estimate(olgd * ad, discount=1.0),
+        "fca": _estimate(af, discount=1.0),
+        "fba": _estimate(ab, discount=1.0),
+        "epe": epe_prof,
+        "ene": ene_prof,
+    }
+
+
 def price_cva(spec: CvaSpec, n_paths: int, seed: int = 0) -> OracleResult:
     """Twin of ``cvaMonteCarlo`` (``MonteCarloHost.c:233-278``).
 

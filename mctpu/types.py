@@ -36,8 +36,10 @@ __all__ = [
     "CvaSpec",
     "CvaPortfolioSpec",
     "CvaMultiSpec",
+    "XvaSpec",
     "McResult",
     "CvaResult",
+    "XvaResult",
     "GreeksResult",
 ]
 
@@ -941,6 +943,41 @@ class CvaMultiSpec:
 
 @_register_pytree
 @dataclasses.dataclass(frozen=True)
+class XvaSpec:
+    """Bilateral xVA spec: a netting set plus the bank's own credit and
+    funding data.
+
+    Wraps a :class:`CvaMultiSpec` (the netting set and the counterparty
+    hazard ``netting.intensity`` / ``netting.lgd``) with the bank-side
+    fields a bilateral valuation adjustment needs: ``own_intensity`` /
+    ``own_lgd`` drive the DVA leg on the NEGATIVE exposure side, and
+    ``funding_spread`` (continuously-accrued, per year) drives the
+    FCA/FBA funding legs.  Beyond the reference (unilateral CVA only,
+    ``cvaOpt.cu``); at ``own_intensity = 0`` and ``funding_spread = 0``
+    the CVA leg reproduces :func:`mctpu.engine.price_cva_multi` on the
+    same streams.
+    """
+
+    netting: CvaMultiSpec
+    own_intensity: Any = 0.0
+    own_lgd: Any = 0.6
+    funding_spread: Any = 0.0
+
+    def validate(self) -> None:
+        self.netting.validate()
+        if not _concrete(self.own_intensity, self.own_lgd,
+                         self.funding_spread):
+            return
+        if float(self.own_intensity) < 0:
+            raise ValueError("own default intensity must be non-negative")
+        if not 0.0 <= float(self.own_lgd) <= 1.0:
+            raise ValueError("own_lgd must lie in [0, 1]")
+        if float(self.funding_spread) < 0:
+            raise ValueError("funding_spread must be non-negative")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
 class McResult:
     """Monte Carlo estimate: price plus 95% confidence half-width.
 
@@ -1034,6 +1071,57 @@ class CvaResult:
             "n": int(self.n),
             "n_paths": int(self.n_paths),
         }
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class XvaResult:
+    """Bilateral xVA legs, each a full :class:`McResult`, plus both
+    exposure profiles.
+
+    ``cva``/``dva``/``fca``/``fba`` are the four per-path legs estimated
+    from ONE fused sweep (shared paths, so leg differences like BCVA carry
+    common-random-number noise only); ``epe_profile``/``ene_profile`` are
+    ``E[max(±V_j, 0)]`` per grid node.  All legs follow the CVA estimator's
+    undiscounted-mean semantics (``MonteCarloKernel.cu:467``).
+    """
+
+    cva: McResult
+    dva: McResult
+    fca: McResult
+    fba: McResult
+    epe_profile: Any  # (n_grid,) E[max(V_j, 0)] per node
+    ene_profile: Any  # (n_grid,) E[max(-V_j, 0)] per node
+
+    @property
+    def bcva(self):
+        """Bilateral CVA = CVA - DVA (first-to-default weighted legs)."""
+        return self.cva.price - self.dva.price
+
+    @property
+    def fva(self):
+        """Funding value adjustment = FCA - FBA."""
+        return self.fca.price - self.fba.price
+
+    def __repr__(self):
+        return (
+            f"XvaResult(cva={float(self.cva.price):.6f}±{float(self.cva.ci):.6f}, "
+            f"dva={float(self.dva.price):.6f}±{float(self.dva.ci):.6f}, "
+            f"fca={float(self.fca.price):.6f}±{float(self.fca.ci):.6f}, "
+            f"fba={float(self.fba.price):.6f}±{float(self.fba.ci):.6f}, "
+            f"bcva={float(self.bcva):.6f}, fva={float(self.fva):.6f})"
+        )
+
+    def to_dict(self) -> dict:
+        """Plain-Python record (JSON-ready) for logging/automation."""
+        import numpy as _np
+        d = {leg: getattr(self, leg).to_dict()
+             for leg in ("cva", "dva", "fca", "fba")}
+        d["bcva"] = float(self.bcva)
+        d["fva"] = float(self.fva)
+        d["epe_profile"] = _np.asarray(self.epe_profile).tolist()
+        d["ene_profile"] = _np.asarray(self.ene_profile).tolist()
+        return d
 
 
 @_register_pytree
