@@ -23,7 +23,8 @@ def main(argv=None):
                             "lookback", "rainbow", "basket-asian",
                             "basket-barrier", "varswap", "ladder", "book",
                             "rqmc", "mlmc", "mlmc-asian", "mlmc-barrier",
-                            "cliquet", "cva-multi", "is"],
+                            "cliquet", "cva-multi", "xva", "is", "cv",
+                            "american-heston"],
                    default="asian")
     p.add_argument("--assets", type=int, default=3,
                    help="basket size for the basket-* products")
@@ -247,6 +248,64 @@ def main(argv=None):
                 args.spot, args.strike, args.rate, args.vol, args.maturity,
                 args.obs))
             print(f"geometric closed form: {geo:.6f}")
+        from mctpu.types import BasketOption
+        bk = BasketOption.equicorrelated(args.assets, rho=0.3)
+        rbq, dtb = common.timed(qmc_engine.price_basket_rqmc, bk, n, key,
+                                cfg, replicates=reps)
+        common.print_result(f"rqmc basket ({args.assets} assets)",
+                            rbq.price, rbq.ci, dtb,
+                            rbq.n_paths * args.assets,
+                            extra="  (asset-draws/s)")
+        return 0
+
+    if args.product == "cv":
+        from mctpu.types import BasketOption, VanillaOption
+        opt = VanillaOption(**base)
+        variance.price_vanilla_cv(opt, n, key, cfg)  # compile
+        res, dt = common.timed(variance.price_vanilla_cv, opt, n, key, cfg)
+        common.print_result("vanilla + terminal-spot CV", res.price,
+                            res.ci, dt, res.n_paths, extra="  (paths/s)")
+        mc = engine.price_vanilla(opt, n, key, cfg)
+        bs = float(mcmath.bs_call(args.spot, args.strike, args.rate,
+                                  args.vol, args.maturity))
+        print(f"bs closed form: {bs:.6f}   plain-MC CI: ±{float(mc.ci):.6f}"
+              f"  (CV tightens {float(mc.ci) / max(float(res.ci), 1e-12):.1f}x)")
+        bk = BasketOption.equicorrelated(args.assets, rho=0.3)
+        rb, dtb = common.timed(variance.price_basket_cv, bk, n, key, cfg)
+        mcb = engine.price_basket(bk, n, key, cfg)
+        common.print_result(f"basket-{args.assets} + basket-value CV",
+                            rb.price, rb.ci, dtb, rb.n_paths,
+                            extra="  (paths/s)")
+        print(f"plain-MC CI: ±{float(mcb.ci):.6f}  (CV tightens "
+              f"{float(mcb.ci) / max(float(rb.ci), 1e-12):.1f}x)")
+        aop = AsianOption(n_obs=args.obs, average="arithmetic", **base)
+        ra, dta = common.timed(variance.price_asian_cv, aop,
+                               max(n // 4, 1 << 12), key, cfg)
+        common.print_result("asian + geometric CV", ra.price, ra.ci, dta,
+                            ra.n_paths * args.obs, extra="  (path-steps/s)")
+        return 0
+
+    if args.product == "american-heston":
+        from mctpu.types import HestonOption
+        hopt = HestonOption(s=args.spot, k=args.strike, r=args.rate,
+                            t=args.maturity, v0=args.vol**2, kappa=2.0,
+                            theta=args.vol**2, xi=0.3, rho=-0.7)
+        n_am = min(n, 1 << 17)
+        lsm.price_american_heston(hopt, n_am, key, n_steps=args.obs,
+                                  scheme=args.scheme,
+                                  payoff=args.payoff)  # compile
+        res, dt = common.timed(lsm.price_american_heston, hopt, n_am, key,
+                               n_steps=args.obs, scheme=args.scheme,
+                               payoff=args.payoff)
+        common.print_result(f"american-heston {args.payoff}/{args.scheme}",
+                            res.price, res.ci, dt, res.n_paths * args.obs,
+                            extra="  (path-steps/s)")
+        from mctpu.models import heston as mheston
+        if args.payoff == "call":
+            # No dividends: American call = European (CF oracle).
+            print(f"characteristic-function european call: "
+                  f"{float(mheston.cf_call_price(hopt)):.6f} "
+                  f"(American call must match: no early-exercise premium)")
         return 0
 
     if args.product == "mlmc":
@@ -354,6 +413,40 @@ def main(argv=None):
             args.rate, args.maturity, args.obs))
         print(f"closed form (all-long): {cf:.6f}   "
               f"z = {(float(res.cva) - cf) / float(res.std_error):+.2f}")
+        return 0
+
+    if args.product == "xva":
+        import numpy as np
+
+        from mctpu.types import CvaMultiSpec, XvaSpec
+        m = max(2, args.assets)
+        corr = np.full((m, m), 0.5)
+        np.fill_diagonal(corr, 1.0)
+        spec = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6, s=np.full(m, args.spot),
+                v=np.full(m, args.vol), corr=corr, r=args.rate,
+                t=args.maturity, strikes=np.full(m, args.strike),
+                weights=np.full(m, 1.0 / m), n_grid=args.obs),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        engine.price_xva(spec, n, key, cfg)  # compile
+        res, dt = common.timed(engine.price_xva, spec, n, key, cfg)
+        common.print_result(f"xva ({m} underlyings, grid {args.obs})",
+                            res.cva.price, res.cva.ci, dt,
+                            res.cva.n_paths * args.obs * m,
+                            extra="  (asset-steps/s)")
+        print(f"dva: {float(res.dva.price):.6f} ± {float(res.dva.ci):.6f}  "
+              f"fca: {float(res.fca.price):.6f} ± {float(res.fca.ci):.6f}  "
+              f"fba: {float(res.fba.price):.6f} ± {float(res.fba.ci):.6f}")
+        print(f"bcva: {float(res.bcva):.6f}   fva: {float(res.fva):.6f}  "
+              f"(undiscounted legs, MonteCarloKernel.cu:467 semantics)")
+        legs = mcmath.xva_multi_closed_form(
+            0.03, 0.6, 0.02, 0.5, 0.01, spec.netting.s, spec.netting.v,
+            spec.netting.strikes, spec.netting.weights, args.rate,
+            args.maturity, args.obs)
+        cf = float(legs[0])
+        print(f"closed form CVA (all-long): {cf:.6f}   "
+              f"z = {(float(res.cva.price) - cf) / float(res.cva.std_error):+.2f}")
         return 0
 
     if args.product == "is":

@@ -30,7 +30,7 @@ def main(argv=None):
                             "basket-barrier", "lookback", "rainbow",
                             "varswap", "cliquet", "ladder", "book",
                             "barrier", "heston", "cva", "cva-multi",
-                            "american"],
+                            "xva", "american"],
                    default="vanilla")
     p.add_argument("--barrier", type=float, default=130.0,
                    help="knock-out level for --product barrier")
@@ -220,6 +220,56 @@ def main(argv=None):
               f"{cf(spec):12.6f}")
         print(f"{'credit_delta':>12} | "
               f"{float(res.credit_delta.price):24.6f} | {cd_fd:12.6f}")
+        for name in ("delta", "vega"):
+            r = getattr(res, name)
+            pv = np.asarray(r.price, dtype=np.float64)
+            print(f"{name:>12} | {np.array2string(pv, precision=5):>24} | "
+                  f"{'(per-underlying)':>12}")
+        return 0
+
+    if args.product == "xva":
+        import numpy as np
+
+        from mctpu import engine
+        from mctpu.types import CvaMultiSpec, XvaSpec
+        m = args.assets
+        corr = np.full((m, m), 0.3) + 0.7 * np.eye(m)
+        spec = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6,
+                s=args.spot * (1.0 - 0.05 * np.arange(m)),
+                v=args.vol * (1.0 + 0.25 * np.arange(m)), corr=corr,
+                r=args.rate, t=args.maturity,
+                strikes=args.strike * np.ones(m), weights=np.ones(m),
+                n_grid=args.obs),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        res, dt = common.timed(engine.greeks_xva, spec, args.paths, key)
+
+        def cf_legs(lam_c=0.03, lam_b=0.02, sf=0.01):
+            net = spec.netting
+            legs = mcmath.xva_multi_closed_form(
+                lam_c, net.lgd, lam_b, spec.own_lgd, sf, net.s, net.v,
+                net.strikes, net.weights, net.r, net.t, net.n_grid)
+            return np.array([float(x) for x in legs])
+
+        h = 1e-5
+        fd_cpty = (cf_legs(lam_c=0.03 + h)
+                   - cf_legs(lam_c=0.03 - h))[0] / (2 * h)
+        fd_f = (cf_legs(sf=0.01 + h) - cf_legs(sf=0.01 - h)) / (2 * h)
+        legs = cf_legs()
+        print(f"\nbilateral xVA Greeks over {m} correlated underlyings "
+              f"(grid {args.obs}, all-long netting), paths={args.paths}  "
+              f"time={dt * 1e3:.2f} ms  (undiscounted legs, "
+              f"MonteCarloKernel.cu:467 semantics)")
+        print(f"{'output':>12} | {'pathwise MC':>24} | {'closed form':>12}")
+        print(f"{'cva':>12} | {float(res.cva.price):24.6f} | "
+              f"{legs[0]:12.6f}")
+        print(f"{'fca':>12} | {float(res.fca.price):24.6f} | "
+              f"{legs[2]:12.6f}")
+        print(f"{'credit_cpty':>12} | {float(res.credit_cpty.price):24.6f}"
+              f" | {fd_cpty:12.6f}")
+        print(f"{'funding':>12} | {float(res.funding.price):24.6f} | "
+              f"{fd_f[2] - fd_f[3]:12.6f}")
         for name in ("delta", "vega"):
             r = getattr(res, name)
             pv = np.asarray(r.price, dtype=np.float64)

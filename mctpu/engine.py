@@ -35,6 +35,7 @@ fixed-order combine provide the invariance, tested in
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Optional
 
 import jax
@@ -72,7 +73,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "greeks_basket_asian", "greeks_basket_barrier",
            "greeks_barrier",
            "greeks_heston", "greeks_cva", "greeks_cva_multi",
-           "greeks_american"]
+           "greeks_xva", "greeks_american"]
 
 
 def _default_backend() -> str:
@@ -181,6 +182,8 @@ class EngineConfig:
 
 # Cache of jitted runner functions keyed by (product, plan, config key).
 _RUNNERS: dict[Any, Any] = {}
+
+_log = logging.getLogger(__name__)
 
 
 def _concrete_zero(x) -> bool:
@@ -1840,8 +1843,25 @@ def price_xva(spec: XvaSpec, n_paths: int, key: jax.Array,
     common-random-number noise only.  At ``own_intensity = 0``,
     ``funding_spread = 0`` the CVA leg ties :func:`price_cva_multi`
     bitwise on shared streams (same walk, same node math, same tables).
-    All legs follow the CVA estimator's undiscounted-mean semantics
-    (``MonteCarloKernel.cu:467``).
+
+    Two conventions to know (both engine-wide, inherited from the
+    reference):
+
+    - **All legs are undiscounted means** (``MonteCarloKernel.cu:467``)
+      — including FCA/FBA, so the FVA here is the forward-valued
+      accrual, NOT the conventional discounted FVA integral.  To convert
+      to a discounted convention, weight node contributions by
+      ``exp(-r t_j)`` (the deterministic node tables make this a table
+      swap; see :func:`mctpu.math.funding_leg_weights`).
+    - **First-to-default weighting uses the start-of-interval survival
+      discretization** (see :func:`mctpu.math.xva_leg_weights` for the
+      O(dt)-per-node bias statement), mirrored exactly in the closed
+      form and the NumPy oracle.
+
+    The Pallas kernel is asset-major: netting sets wider than
+    ``m = 8`` underlyings run the XLA twin even under
+    ``backend='pallas'`` (same structure at any m; a debug log signals
+    the reroute).
     """
     from mctpu.kernels import cva_multi as kmulti
 
@@ -1854,6 +1874,9 @@ def price_xva(spec: XvaSpec, n_paths: int, key: jax.Array,
     # same structure at any m.
     if backend == "pallas" and not kbasket.use_asset_major(
             net.n_underlyings):
+        _log.debug("price_xva: netting set of %d underlyings exceeds the "
+                   "asset-major Pallas regime (m <= %d); running the XLA "
+                   "twin", net.n_underlyings, kbasket.ASSET_MAJOR_MAX)
         backend = "xla"
     anti = 2 if cfg.antithetic else 1
     blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
@@ -1891,6 +1914,94 @@ def price_xva(spec: XvaSpec, n_paths: int, key: jax.Array,
                            n_paths=plan.total_paths) for i in range(4)]
     return XvaResult(cva=legs[0], dva=legs[1], fca=legs[2], fba=legs[3],
                      epe_profile=prof[0] / n, ene_profile=prof[1] / n)
+
+
+def greeks_xva(spec: XvaSpec, n_paths: int, key: jax.Array,
+               config: EngineConfig = EngineConfig()) -> "XvaGreeksResult":
+    """Bilateral xVA legs plus hedge sensitivities from ONE fused sweep.
+
+    The Greeks completion of :func:`price_xva` (the contract every family
+    carries): the four legs, the per-leg credit/funding ratios
+    (``credit_cpty`` = dCVA/dlambda_cpty, ``credit_own`` = dDVA/dlambda_own,
+    ``funding`` = dFVA/dspread — deterministic derivative tables,
+    :func:`mctpu.math.xva_leg_weight_derivs`, over the same per-path
+    exposure integrands) and per-underlying pathwise ``delta``/``vega``
+    vectors of the total adjustment XVA = CVA - DVA + FCA - FBA (the
+    exposure side each path sits on selects the node weight — one select,
+    shared by every underlying's tangent).  Single-signed netting sets
+    gate against f64 finite differences of
+    :func:`mctpu.math.xva_multi_closed_form`; mixed-sign sets against CRN
+    bumps of :func:`price_xva`.  CVA estimator semantics throughout:
+    undiscounted mean (``MonteCarloKernel.cu:467``).  Beyond the
+    reference (unilateral CVA pricer only, ``cvaOpt.cu``).
+
+    Like :func:`price_xva`, netting sets wider than the asset-major
+    regime (m > 8) run the XLA twin even under ``backend='pallas'`` (same
+    structure at any m; the Pallas kernel is asset-major only).
+    """
+    from mctpu.kernels import cva_multi as kmulti
+    from mctpu.types import XvaGreeksResult
+
+    spec.validate()
+    net = spec.netting
+    cfg = config
+    backend = cfg.resolve_backend()
+    if backend == "pallas" and not kbasket.use_asset_major(
+            net.n_underlyings):
+        _log.debug("greeks_xva: netting set of %d underlyings exceeds the "
+                   "asset-major Pallas regime (m <= %d); running the XLA "
+                   "twin", net.n_underlyings, kbasket.ASSET_MAJOR_MAX)
+        backend = "xla"
+    m = net.n_underlyings
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kbasket.LANES * anti)
+    plan = kmulti.Plan.plan(n_paths, blocks, rows,
+                            rows * kbasket.LANES * anti,
+                            rows * kbasket.LANES, cfg.antithetic,
+                            cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_xva", net.n_grid, m, plan, backend, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(sp, k):
+            chol = mcmath.cholesky_lower(
+                jnp.asarray(sp.netting.corr, mcest.wide_dtype()))
+            if backend == "pallas":
+                fn = lambda a, off, nb: kmulti.xva_greek_pallas_partials(
+                    a[0], a[1], mcrng.key_to_seed(a[2]), off, plan, nb,
+                    interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kmulti.xva_greek_xla_partials(
+                    a[0], a[1], a[2], off, plan, nb)
+            partials, vecs = _shard_blocks(
+                cfg, plan.num_blocks, fn, (sp, chol, k),
+                (P(PATH_AXIS, None), P(PATH_AXIS, None, None)))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            vtot = pairwise_tree_sum(jnp.asarray(vecs, wide),
+                                     axis=0)[:, :m]
+            # Homogeneity: the kernel accumulates w_m S_m N(d1) factors;
+            # dV/ds0_m needs the 1/s0_m scale (same convention as
+            # greeks_cva_multi's spot_scale).
+            s0 = jnp.broadcast_to(jnp.asarray(sp.netting.s, wide), (m,))
+            vtot = vtot.at[0].divide(s0).at[1].divide(s0 * s0)
+            return total, vtot
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, vtot = runner(spec, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[2 * i], total[2 * i + 1], n,
+                              discount=1.0, n_paths=plan.total_paths)
+
+    delta = mcest.estimate(vtot[0], vtot[1], n, discount=1.0,
+                           n_paths=plan.total_paths)
+    vega = mcest.estimate(vtot[2], vtot[3], n, discount=1.0,
+                          n_paths=plan.total_paths)
+    return XvaGreeksResult(cva=est(0), dva=est(1), fca=est(2), fba=est(3),
+                           credit_cpty=est(4), credit_own=est(5),
+                           funding=est(6), delta=delta, vega=vega)
 
 
 def price_cva_portfolio(port: CvaPortfolioSpec, n_paths: int, key: jax.Array,

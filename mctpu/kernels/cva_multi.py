@@ -43,7 +43,9 @@ __all__ = ["make_plan", "xla_partials", "pallas_partials", "pack_spec",
            "greek_xla_partials", "greek_pallas_partials",
            "greek_tables", "N_MULTI_GREEK_SCALARS",
            "xva_xla_partials", "xva_pallas_partials", "xva_tables",
-           "N_XVA_SUMS"]
+           "N_XVA_SUMS",
+           "xva_greek_xla_partials", "xva_greek_pallas_partials",
+           "xva_greek_tables", "N_XVA_GREEK_SCALARS"]
 
 
 def make_plan(n_paths: int, num_blocks: int, rows: int, antithetic: bool,
@@ -1301,3 +1303,257 @@ def xva_pallas_partials(xspec, chol, seed, block_offset, plan: Plan,
     prof = prof.reshape(n_blocks, 2 * g_pad)
     return (out.reshape(n_blocks, N_XVA_SUMS),
             jnp.stack([prof[:, :g], prof[:, g_pad:g_pad + g]], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Bilateral xVA Greeks: leg values + credit/funding/spot/vol sensitivities
+# ---------------------------------------------------------------------------
+# One fused sweep carries the four leg accumulators of the xVA pricer PLUS
+# the three hedge-facing scalar sensitivities (per-leg derivatives wrt their
+# own driver: dCVA/dlam_c, dDVA/dlam_b, dFVA/dspread — deterministic
+# derivative tables, math.xva_leg_weight_derivs, on the SAME epe/ene
+# integrands) and per-underlying pathwise delta/vega of the TOTAL adjustment
+# XVA = CVA - DVA + FCA - FBA.  The exposure side the path sits on selects
+# the node weight: d epe_j/dtheta = 1{V_j>0} dV_j/dtheta and
+# d ene_j/dtheta = -1{V_j<0} dV_j/dtheta, so the total-xVA tangent weight
+# collapses to (wc'+wf) on the positive side and (wd'+wf) on the negative
+# (wc' = lgd_c w_cva, wd' = lgd_b w_dva) — one select per node, shared by
+# every underlying's delta and vega integrand.  dV_j/ds0_i and dV_j/dv_i
+# reuse the _am_quants node factors exactly as _am_greek_step does.
+# Beyond the reference (unilateral CVA pricer only, cvaOpt.cu).
+
+# (sum, sum^2) of: cva, dva, fca, fba legs, dCVA/dlam_c, dDVA/dlam_b,
+# dFVA/dspread path values
+N_XVA_GREEK_SCALARS = 14
+
+
+def xva_greek_tables(xspec, dtype):
+    """Per-node tables for the xVA Greek sweep: ``(wc', wd', wf, dwc',
+    dwd', dwf, tau, sqtau, disc)`` with the LGD factors folded into the
+    CVA/DVA tables (``wc' = lgd w_cva`` etc.) so the kernel needs no
+    end-of-walk scaling."""
+    sp = xspec.netting
+    g = sp.n_grid
+    lgd = jnp.asarray(sp.lgd, dtype)
+    olgd = jnp.asarray(xspec.own_lgd, dtype)
+    w_cva, w_dva = mcmath.xva_leg_weights(sp.intensity, xspec.own_intensity,
+                                          sp.t, g, dtype=dtype)
+    w_fnd = mcmath.funding_leg_weights(sp.intensity, xspec.own_intensity,
+                                       xspec.funding_spread, sp.t, g,
+                                       dtype=dtype)
+    dwc, dwd, dwf = mcmath.xva_leg_weight_derivs(
+        sp.intensity, xspec.own_intensity, sp.t, g, dtype=dtype)
+    j = jnp.arange(1, g + 1, dtype=dtype)
+    tau = jnp.asarray(sp.t, dtype) * (g - j) / g
+    sqtau = jnp.sqrt(tau)
+    disc = jnp.exp(-jnp.asarray(sp.r, dtype) * tau)
+    return (lgd * w_cva, olgd * w_dva, w_fnd, lgd * dwc, olgd * dwd, dwf,
+            tau, sqtau, disc)
+
+
+def _am_xva_greek_step(j, zs, carry, lt_at, par_at, r, sqdt, tables_at,
+                       m: int):
+    """One xVA Greek grid step.  ``carry = (xs, dxvs, legs(4), sens(3),
+    acc_d(m), acc_v(m))``; leg updates match :func:`_am_xva_step` (with
+    the LGD scaling pre-folded into the tables), tangent updates match
+    :func:`_am_greek_step` with the side-selected total-xVA weight."""
+    (wc_at, wd_at, wf_at, dwc_at, dwd_at, dwf_at, tau_at, sqtau_at,
+     disc_at) = tables_at
+    xs, dxvs, legs, sens, acc_d, acc_v = carry
+    ac, ad, af, ab = legs
+    scr, sdr, sfr = sens
+    sqtau_j = sqtau_at(j)
+    xs, bts, ss, vals, nd1_effs, phis = _am_quants(
+        zs, xs, lt_at, par_at, r, tau_at(j), sqtau_j, disc_at(j), m)
+    dxvs = tuple(dxvs[i] + sqdt * bts[i] - par_at(3, i) for i in range(m))
+    epe, net = _am_net(vals)
+    ene = epe - net
+    ind = jnp.where(net > 0.0, 1.0, 0.0)
+    wc_j, wd_j, wf_j = wc_at(j), wd_at(j), wf_at(j)
+    # Total-xVA node weight on dV_j/dtheta (side-selected; see section
+    # comment): XVA = CVA - DVA + FCA - FBA.
+    tw = (wc_j + wf_j) * ind + (wd_j + wf_j) * (1.0 - ind)
+    new_d, new_v = [], []
+    for i in range(m):
+        ws = par_at(4, i) * ss[i]
+        dval = ws * nd1_effs[i]
+        vval = dval * dxvs[i] + ws * phis[i] * sqtau_j
+        new_d.append(acc_d[i] + tw * dval)
+        new_v.append(acc_v[i] + tw * vval)
+    return (xs, dxvs,
+            (ac + wc_j * epe, ad + wd_j * ene, af + wf_j * epe,
+             ab + wf_j * ene),
+            (scr + dwc_at(j) * epe, sdr + dwd_at(j) * ene,
+             sfr + dwf_at(j) * (epe - ene)),
+            tuple(new_d), tuple(new_v))
+
+
+def _am_xva_greek_init(par_at, m: int, shape, dtype=jnp.float32):
+    zero = lambda: jnp.zeros(shape, dtype)
+    zeros_m = lambda: tuple(zero() for _ in range(m))
+    return (_am_init_xs(par_at, m, shape, dtype), zeros_m(),
+            (zero(), zero(), zero(), zero()), (zero(), zero(), zero()),
+            zeros_m(), zeros_m())
+
+
+def _xva_greek_sums(tiles, m: int):
+    """Per-iteration scalar sums: 14 leg/sens pairs then the lane-row
+    groups ``[d_0.., d^2_0.., v_0.., v^2_0..]``."""
+    legs, sens, dvals, vvals = tiles
+    vals = []
+    for t in (*legs, *sens):
+        vals.append(jnp.sum(t))
+        vals.append(jnp.sum(t * t))
+    for grp in (dvals, [d * d for d in dvals],
+                vvals, [v * v for v in vvals]):
+        vals.extend(jnp.sum(g) for g in grp)
+    return tuple(vals)
+
+
+def _xva_avg_tiles(ta, tb):
+    out = []
+    for x, y in zip(ta, tb):
+        if isinstance(x, tuple) and not hasattr(x, "shape"):
+            out.append(tuple(0.5 * (xi + yi) for xi, yi in zip(x, y)))
+        else:
+            out.append(0.5 * (x + y))
+    return tuple(out)
+
+
+def xva_greek_xla_partials(xspec, chol, key, block_offset, plan: Plan,
+                           n_blocks: int):
+    """XLA twin: ``((n_blocks, 14), (n_blocks, 4, LANES))`` — asset-major
+    at any underlying count."""
+    dtype = plan.jdtype
+    sp = xspec.netting.astype(dtype)
+    m, g = sp.n_underlyings, sp.n_grid
+    lt, params, sqdt = _am_ops(sp, chol, dtype)
+    tabs = xva_greek_tables(xspec, dtype)
+    lt_at = lambda i, j: lt[i, j]
+    par_at = lambda r_, i: params[r_, i]
+    tables_at = tuple((lambda j, a=a: a[j]) for a in tabs)
+    shape = (plan.rows, LANES)
+    r = jnp.asarray(sp.r, dtype)
+    n_sums = N_XVA_GREEK_SCALARS + 4 * m
+
+    def one_walk(z_seq, sgn):
+        def body(j, carry):
+            zs = [sgn * z_seq[j, i] for i in range(m)]
+            return _am_xva_greek_step(j, zs, carry, lt_at, par_at, r,
+                                      sqdt, tables_at, m)
+
+        carry = jax.lax.fori_loop(
+            0, g, body, _am_xva_greek_init(par_at, m, shape, dtype))
+        _, _, legs, sens, acc_d, acc_v = carry
+        return (legs, sens, list(acc_d), list(acc_v))
+
+    def block_fn(bkey):
+        def body(i, carry):
+            ikey = jax.random.fold_in(bkey, i)
+            z_seq = jax.random.normal(ikey, (g, m) + shape, dtype)
+            tiles = one_walk(z_seq, jnp.asarray(1.0, dtype))
+            if plan.antithetic:
+                tiles = _xva_avg_tiles(
+                    tiles, one_walk(z_seq, jnp.asarray(-1.0, dtype)))
+            return acc_add_n(carry, _xva_greek_sums(tiles, m), plan.kahan)
+
+        carry = jax.lax.fori_loop(0, plan.iters, body,
+                                  acc_init_n(n_sums, dtype, plan.kahan))
+        vals = acc_final_n(carry, plan.kahan)
+        return (jnp.stack(vals[:N_XVA_GREEK_SCALARS]),
+                am_lane_rows(vals, N_XVA_GREEK_SCALARS, m, 4)
+                .astype(dtype))
+
+    keys = mcrng.block_keys(key, block_offset, n_blocks)
+    return jax.vmap(block_fn)(keys)
+
+
+def _am_xva_greeks_kernel(seed_ref, off_ref, scal_ref, wc_ref, wd_ref,
+                          wf_ref, dwc_ref, dwd_ref, dwf_ref, tau_ref,
+                          sqtau_ref, disc_ref, lt_ref, par_ref, out_ref,
+                          vec_ref, *, plan: Plan, n_grid: int, m: int):
+    r, sqdt = scal_ref[0], scal_ref[1]
+    lt_at = lambda ii, jj: lt_ref[ii, jj]
+    par_at = lambda rr, ii: par_ref[rr, ii]
+    tables_at = (lambda j: wc_ref[j], lambda j: wd_ref[j],
+                 lambda j: wf_ref[j], lambda j: dwc_ref[j],
+                 lambda j: dwd_ref[j], lambda j: dwf_ref[j],
+                 lambda j: tau_ref[j], lambda j: sqtau_ref[j],
+                 lambda j: disc_ref[j])
+    shape = (plan.rows, LANES)
+    n_sums = N_XVA_GREEK_SCALARS + 4 * m
+    b = pl.program_id(0)
+
+    def one_walk(i, sgn):
+        seed_prng(seed_ref[0],
+                  (off_ref[0] + b) * jnp.int32(plan.iters) + i)
+
+        def step(j, zs, carry):
+            return _am_xva_greek_step(j, [sgn * z for z in zs], carry,
+                                      lt_at, par_at, r, sqdt, tables_at, m)
+
+        carry = walk_pairwise_multi(shape, m, n_grid, step,
+                                    _am_xva_greek_init(par_at, m, shape))
+        _, _, legs, sens, acc_d, acc_v = carry
+        return (legs, sens, list(acc_d), list(acc_v))
+
+    def body(i, carry):
+        tiles = one_walk(i, 1.0)
+        if plan.antithetic:
+            tiles = _xva_avg_tiles(tiles, one_walk(i, -1.0))
+        return acc_add_n(carry, _xva_greek_sums(tiles, m), plan.kahan)
+
+    carry = jax.lax.fori_loop(0, plan.iters, body,
+                              acc_init_n(n_sums, jnp.float32, plan.kahan))
+    vals = acc_final_n(carry, plan.kahan)
+    for j in range(N_XVA_GREEK_SCALARS):
+        out_ref[0, 0, j] = vals[j]
+    vec_ref[0] = am_lane_rows(vals, N_XVA_GREEK_SCALARS, m, 4)
+
+
+def xva_greek_pallas_partials(xspec, chol, seed, block_offset, plan: Plan,
+                              n_blocks: int, interpret: bool = False):
+    """Fused asset-major bilateral xVA Greek partials on TPU."""
+    if not use_asset_major(xspec.netting.n_underlyings):
+        raise NotImplementedError(
+            "xva Greek Pallas kernel is asset-major (m <= ASSET_MAJOR_MAX);"
+            " the engine routes wider netting sets to the XLA twin")
+    ctx = prng_emulation() if interpret else contextlib.nullcontext()
+    with jax.enable_x64(False), ctx:
+        sp = xspec.netting.astype(jnp.float32)
+        m, g = sp.n_underlyings, sp.n_grid
+        lt, params, sqdt = _am_ops(sp, chol, jnp.float32)
+        tabs = xva_greek_tables(xspec, jnp.float32)
+        scal = jnp.stack([sp.r, sqdt])
+        seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+        off_arr = jnp.atleast_1d(jnp.asarray(block_offset, jnp.int32))
+        kernel = functools.partial(_am_xva_greeks_kernel, plan=plan,
+                                   n_grid=g, m=m)
+        paths_iter = plan.rows * LANES * (2 if plan.antithetic else 1)
+        out, vecs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 14,
+            out_specs=(
+                block_out_spec(N_XVA_GREEK_SCALARS),
+                pl.BlockSpec((1, 4, LANES), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                block_out_shape(n_blocks, N_XVA_GREEK_SCALARS),
+                jax.ShapeDtypeStruct((n_blocks, 4, LANES), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=GRID_SEMANTICS,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=plan.iters * paths_iter * g * (m * (m + 1)
+                                                     + 24 * m + 22),
+                bytes_accessed=n_blocks * (N_XVA_GREEK_SCALARS
+                                           + 4 * LANES) * 4,
+                transcendentals=plan.iters * paths_iter * g
+                * (3 * m + m // 2),
+            ),
+            interpret=interpret_arg(interpret),
+        )(seed_arr, off_arr, scal, *tabs, lt, params)
+    return out.reshape(n_blocks, N_XVA_GREEK_SCALARS), vecs

@@ -375,6 +375,16 @@ def xva_leg_weights(intensity, own_intensity, t, n_grid: int,
     table reduces EXACTLY to :func:`default_leg_weights` (same factored
     ``exp * (-expm1)`` form, so the unilateral engine's numerics are
     reproduced bit-for-bit) and ``w_dva`` is identically zero.
+
+    Discretization note: this start-of-interval weighting double-counts
+    the (joint) event that BOTH parties default inside the same interval
+    — the exact first-to-default weight is ``lam_c/(lam_c+lam_b) *
+    S(t_{j-1}) * (1 - e^{-(lam_c+lam_b) dt})``.  The bias is
+    O(lam_c*lam_b*dt^2) per node (vanishes as ``n_grid`` grows; ~1e-7
+    relative at the default grid-50 configs) and is mirrored exactly in
+    :func:`xva_multi_closed_form` and the NumPy oracle, so every gate is
+    self-consistent.  Use a finer grid for coarse-grid bilateral runs
+    where both intensities are large.
     """
     dt = jnp.asarray(t, dtype) / n_grid
     j = jnp.arange(1, n_grid + 1, dtype=dtype)
@@ -390,12 +400,56 @@ def funding_leg_weights(intensity, own_intensity, funding_spread, t,
                         n_grid: int, dtype=jnp.float32):
     """Funding accrual node table ``w_fnd_j = sf * dt * S_B * S_C`` at
     ``t_{j-1}`` (funding accrues over interval ``j`` while both parties
-    survive at its start), shape ``(n_grid,)``."""
+    survive at its start), shape ``(n_grid,)``.
+
+    NOTE: no numeraire discount factor is applied — the funding legs are
+    forward-valued, consistent with the engine-wide undiscounted CVA
+    semantics inherited from the reference (``MonteCarloKernel.cu:467``).
+    The conventional discounted FVA integral is this table times
+    ``exp(-r t_{j-1})``; multiply in before passing to a custom kernel,
+    or re-weight the returned EPE/ENE profiles externally.
+    """
     dt = jnp.asarray(t, dtype) / n_grid
     j = jnp.arange(1, n_grid + 1, dtype=dtype)
     lam = jnp.asarray(intensity, dtype) + jnp.asarray(own_intensity, dtype)
     return jnp.asarray(funding_spread, dtype) * dt * jnp.exp(
         -lam * dt * (j - 1))
+
+
+def xva_leg_weight_derivs(intensity, own_intensity, t, n_grid: int,
+                          dtype=jnp.float32):
+    """Per-leg derivative node tables ``(dw_cva/dlam_c, dw_dva/dlam_b,
+    dw_fnd/dspread)``, shape ``(n_grid,)`` each.
+
+    Exact derivatives of :func:`xva_leg_weights` /
+    :func:`funding_leg_weights` with respect to each leg's OWN driver
+    (the hedge-facing sensitivities: the counterparty CDS ratio
+    dCVA/dlam_c, the own-credit ratio dDVA/dlam_b, and the funding
+    basis dFVA/dspread).  With ``S(u) = exp(-(lam_c + lam_b) u)`` and
+    ``w_cva_j = S(t_{j-1})(1 - e^{-lam_c dt})``:
+
+        dw_cva_j/dlam_c = -t_{j-1} w_cva_j + S(t_{j-1}) dt e^{-lam_c dt}
+        dw_dva_j/dlam_b = -t_{j-1} w_dva_j + S(t_{j-1}) dt e^{-lam_b dt}
+        dw_fnd_j/dsf    = dt S(t_{j-1})
+
+    The cross sensitivities (lam_c moving the DVA/funding legs through
+    the joint survival factor, and vice versa) are deliberately NOT
+    folded in — each output is the per-leg ratio a desk hedges with;
+    total-bilateral credit deltas come from CRN bumps of
+    :func:`mctpu.engine.price_xva`.
+    """
+    dt = jnp.asarray(t, dtype) / n_grid
+    j = jnp.arange(1, n_grid + 1, dtype=dtype)
+    lam_c = jnp.asarray(intensity, dtype)
+    lam_b = jnp.asarray(own_intensity, dtype)
+    t_prev = dt * (j - 1)
+    surv_prev = jnp.exp(-(lam_c + lam_b) * t_prev)
+    dwc = surv_prev * (t_prev * jnp.expm1(-lam_c * dt)
+                       + dt * jnp.exp(-lam_c * dt))
+    dwd = surv_prev * (t_prev * jnp.expm1(-lam_b * dt)
+                       + dt * jnp.exp(-lam_b * dt))
+    dwf = dt * surv_prev
+    return dwc, dwd, dwf
 
 
 def xva_multi_closed_form(intensity, lgd, own_intensity, own_lgd,

@@ -40,6 +40,7 @@ __all__ = [
     "McResult",
     "CvaResult",
     "XvaResult",
+    "XvaGreeksResult",
     "GreeksResult",
 ]
 
@@ -1122,6 +1123,64 @@ class XvaResult:
         d["epe_profile"] = _np.asarray(self.epe_profile).tolist()
         d["ene_profile"] = _np.asarray(self.ene_profile).tolist()
         return d
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class XvaGreeksResult:
+    """Bilateral xVA legs plus their hedge-facing sensitivities, each a
+    full :class:`McResult`.
+
+    One fused sweep (``kernels/cva_multi.py``, xVA Greeks section)
+    produces the four leg values, the per-leg credit/funding ratios
+    (``credit_cpty`` = dCVA/dlambda_cpty — the counterparty CDS hedge,
+    ``credit_own`` = dDVA/dlambda_own, ``funding`` = dFVA/dspread with
+    FVA = FCA - FBA) and per-underlying ``delta``/``vega`` vectors of the
+    TOTAL adjustment XVA = CVA - DVA + FCA - FBA.  The credit ratios are
+    per-leg derivatives with respect to each leg's own driver (see
+    :func:`mctpu.math.xva_leg_weight_derivs` for what is deliberately not
+    folded in).  All follow the CVA estimator's undiscounted-mean
+    semantics (``MonteCarloKernel.cu:467``).
+    """
+
+    cva: McResult
+    dva: McResult
+    fca: McResult
+    fba: McResult
+    credit_cpty: McResult
+    credit_own: McResult
+    funding: McResult
+    delta: McResult  # per-underlying vector, d(XVA)/ds0_m
+    vega: McResult   # per-underlying vector, d(XVA)/dv_m
+
+    def __repr__(self):
+        def fmt(r):
+            p = np.asarray(r.price)
+            if p.ndim:
+                ci = np.asarray(r.ci)
+                return (f"{np.array2string(p, precision=4)}"
+                        f"±{np.array2string(ci, precision=4)}")
+            return f"{float(r.price):.6f}±{float(r.ci):.6f}"
+
+        return (f"XvaGreeksResult(cva={fmt(self.cva)}, dva={fmt(self.dva)}, "
+                f"fca={fmt(self.fca)}, fba={fmt(self.fba)}, "
+                f"credit_cpty={fmt(self.credit_cpty)}, "
+                f"credit_own={fmt(self.credit_own)}, "
+                f"funding={fmt(self.funding)}, delta={fmt(self.delta)}, "
+                f"vega={fmt(self.vega)})")
+
+    def to_dict(self) -> dict:
+        """Plain-Python record (JSON-ready) for logging/automation."""
+        out = {}
+        for f in dataclasses.fields(self):
+            r = getattr(self, f.name)
+            if np.asarray(r.price).ndim:  # per-underlying vectors
+                out[f.name] = {"price": np.asarray(r.price).tolist(),
+                               "ci": np.asarray(r.ci).tolist(),
+                               "n": int(r.n), "n_paths": int(r.n_paths)}
+            else:
+                out[f.name] = r.to_dict()
+        return out
 
 
 @_register_pytree

@@ -334,3 +334,40 @@ def test_greeks_cli_cliquet(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "cliquet" in out and "theta" in out
+
+
+def test_exotic_cli_xva(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "xva", "--obs", "5",
+                             "--assets", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "closed form CVA (all-long)" in out
+    assert "bcva" in out and "fva" in out
+
+
+def test_greeks_cli_xva(capsys):
+    from mctpu.cli import greeks as gcli
+    rc = gcli.main(["--product", "xva", "--paths", "16384", "--obs", "5",
+                    "--assets", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "credit_cpty" in out and "funding" in out
+
+
+def test_exotic_cli_cv(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "cv", "--obs", "4",
+                             "--assets", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CV tightens" in out and "basket-value CV" in out
+
+
+def test_exotic_cli_american_heston(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(FAST + ["--product", "american-heston", "--obs", "4",
+                             "--payoff", "call", "--paths", "16384"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "characteristic-function european call" in out

