@@ -15,6 +15,8 @@ import jax.numpy as jnp
 __all__ = [
     "norm_cdf",
     "norm_cdf_hastings",
+    "erf_inv_f32",
+    "norm_ppf_f32",
     "bs_call",
     "bs_put",
     "bs_call_hastings",
@@ -69,6 +71,64 @@ def norm_cdf(d):
     """Standard normal CDF via erf (exact to dtype precision)."""
     d = jnp.asarray(d)
     return (0.5 * (1.0 + jax.lax.erf(d * (2.0 ** -0.5)))).astype(d.dtype)
+
+
+# Giles (2010), "Approximating the erfinv function" — the f32 polynomial
+# pair (central w < 5, tail otherwise).  Same coefficients XLA's own f32
+# erf_inv lowering uses, but hand-rolled in plain VPU ops: on this chip
+# Mosaic's native erf_inv primitive runs at 69 Gop/s while this form runs
+# at 93 Gop/s (measured, benchmarks/roofline.py methodology) — log, sqrt
+# and FMAs schedule better than the opaque primitive.
+_GILES_CENTRAL = (3.43273939e-07, -3.5233877e-06, -4.39150654e-06,
+                  0.00021858087, -0.00125372503, -0.00417768164,
+                  0.246640727, 1.50140941)
+_GILES_TAIL = (0.000100950558, 0.00134934322, -0.00367342844,
+               0.00573950773, -0.0076224613, 0.00943887047,
+               1.00167406, 2.83297682)
+
+
+def _giles_from_w(w, x):
+    """Shared tail of the Giles erfinv evaluation: polynomials in
+    ``w = -log(1 - x^2)`` (however the caller computed ``w``), times x."""
+    wc = w - 2.5
+    p = jnp.float32(2.81022636e-08)
+    for c in _GILES_CENTRAL:
+        p = jnp.float32(c) + p * wc
+    wt = jnp.sqrt(w) - 3.0
+    q = jnp.float32(-0.000200214257)
+    for c in _GILES_TAIL:
+        q = jnp.float32(c) + q * wt
+    return jnp.where(w < 5.0, p, q) * x
+
+
+def erf_inv_f32(x):
+    """f32 inverse error function (Giles polynomial pair).
+
+    Max abs error vs the f64 reference is ~5e-5 in the normal-quantile
+    map — the same accuracy class as ``jax.lax.erf_inv`` in f32 (they
+    share coefficients; measured max |difference| 2.1e-5) at 1.34x the
+    measured throughput inside Pallas kernels.
+    """
+    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
+    return _giles_from_w(w, x)
+
+
+def norm_ppf_f32(u):
+    """f32 inverse standard-normal CDF from uniforms in (0, 1).
+
+    ``sqrt(2) * erfinv(2u - 1)`` with the Giles polynomials, entered
+    through ``w = -log(4 u (1-u))`` — algebraically ``-log(1 - x^2)``
+    for ``x = 2u - 1``, but computed WITHOUT the cancellation ``1 - x^2``
+    suffers near the tails (``4u(1-u)`` is exact-to-ulp for small u).
+    Uniforms are clipped to ``[1e-7, 1 - 1e-7]`` like the erf_inv path
+    (a digital shift makes u = 0 measure-zero but the unshifted first
+    Sobol point is exactly 0).
+    """
+    eps = jnp.float32(1e-7)
+    u = jnp.clip(u, eps, 1.0 - eps)
+    x = 2.0 * u - 1.0
+    w = -jnp.log(4.0 * u * (1.0 - u))
+    return _giles_from_w(w, x) * jnp.float32(1.4142135623730951)
 
 
 def _bs_call(s, k, r, v, t, cdf):

@@ -80,11 +80,18 @@ def rqmc_plan(n_points: int, replicates: int, rows: int,
 def _norm_ppf(u, dtype):
     """Inverse standard-normal CDF from uniforms in (0, 1).
 
-    ``sqrt(2) * erf_inv(2u - 1)`` — ``erf_inv`` lowers both in XLA and in
-    Mosaic (measured 5e-5 max abs error vs f64 ``ndtri`` in f32).  Clipping
-    keeps the tails finite (a digital shift makes u = 0 measure-zero but
-    the unshifted first point is exactly 0).
+    f32 (the Pallas kernels and the f32 XLA twin): the hand-rolled Giles
+    polynomial pair (:func:`mctpu.math.norm_ppf_f32`) — same accuracy
+    class as ``erf_inv`` (~5e-5 max abs error vs f64 ``ndtri``; they
+    share coefficients) at 1.34x the measured in-kernel throughput
+    (93 vs 69 Gop/s — Mosaic's native erf_inv primitive schedules worse
+    than the explicit log/sqrt/FMA form; ``benchmarks/roofline.py``).
+    f64 (the x64 XLA twin): ``sqrt(2) * erf_inv(2u - 1)``, exact to
+    ~1e-9.  Clipping keeps the tails finite (a digital shift makes u = 0
+    measure-zero but the unshifted first point is exactly 0).
     """
+    if jnp.dtype(dtype) == jnp.float32:
+        return mcmath.norm_ppf_f32(u)
     eps = jnp.asarray(1e-7, dtype)
     u = jnp.clip(u, eps, 1.0 - eps)
     return jax.lax.erf_inv(2.0 * u - 1.0) * jnp.asarray(_SQRT2, dtype)
@@ -822,24 +829,18 @@ def asian_pallas_partials(opt: AsianOption, key, block_offset, plan: Plan,
 _RUNNERS: dict = {}
 
 
-@functools.cache
-def _eager_pallas_workaround() -> bool:
-    """True when the RQMC Pallas path should skip the enclosing ``jax.jit``.
-
-    The axon tunnel's remote compile helper wedges (multi-minute queue, or
-    SIGABRT) on the RQMC Mosaic kernels *when they are nested in a jit
-    program*, while the identical ``pallas_call`` compiles eagerly in
-    ~15-30 s (round-4 regression, RESULTS_r4.md — round-3 code fails the
-    same way, so it is an environment fault).  Eager dispatch costs a few
-    host-side op launches around the one big kernel; the kernel itself is
-    unchanged.  Only engaged on the axon platform with no mesh (eager
-    ``shard_map`` would re-enter the jit compile path)."""
-    try:
-        from jax._src import xla_bridge as xb
-        ver = getattr(xb.get_backend(), "platform_version", "") or ""
-    except Exception:
-        return False
-    return ver.startswith("axon")
+# Round-4 carried an `_eager_pallas_workaround` here: the axon tunnel's
+# remote compile helper wedged (multi-minute queue, or SIGABRT) on the
+# RQMC Mosaic kernels when nested in a jit program, so the no-mesh Pallas
+# path skipped the enclosing jax.jit and mesh-sharded runs silently fell
+# back to the XLA twin.  Round 5 removed it: with the in-kernel
+# `lax.erf_inv` replaced by the hand-rolled Giles inverse-CDF polynomials
+# (math.norm_ppf_f32 — also 1.34x faster), the jit-nested kernels compile
+# reliably on the tunnel (measured: 395 s first-ever compile of a program,
+# 18-30 s on later processes via the remote compile cache;
+# benchmarks/rqmc_jit_r5.json).  The `JaxRuntimeError -> XLA twin`
+# runtime fallback below stays as a belt-and-braces guard for toolchain
+# regressions.
 
 
 # Relative accuracy floor of an f32 net evaluation: erf_inv + exp + payoff
@@ -925,8 +926,6 @@ def _run_rqmc(tag, opt, key, cfg: EngineConfig, plan: Plan, partial_pallas,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
-        if bk == "pallas" and cfg.mesh is None and _eager_pallas_workaround():
-            return run
         return jax.jit(run)
 
     runner = _RUNNERS.get(cache_key)
@@ -1043,9 +1042,6 @@ def price_basket_rqmc(opt: BasketOption, n_points: int, key: jax.Array,
             disc = jnp.exp(-jnp.asarray(o.r, wide) * jnp.asarray(o.t, wide))
             return partials, disc
 
-        if (bk == "pallas" and config.mesh is None
-                and _eager_pallas_workaround()):
-            return run
         return jax.jit(run)
 
     runner = _RUNNERS.get(cache_key)

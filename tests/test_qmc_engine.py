@@ -316,3 +316,69 @@ class TestVanillaGreeksRqmc:
             tol = 3 * max(float(xa.std_error), 1e-12) + 1e-5 * abs(
                 float(xa.price))
             assert abs(float(xa.price) - float(pa.price)) < tol, nm
+
+
+class TestGilesPpf:
+    """Accuracy gates for the hand-rolled f32 inverse CDF
+    (mctpu.math.norm_ppf_f32 / erf_inv_f32) that replaced lax.erf_inv in
+    the f32 RQMC paths (round-5: 1.34x measured in-kernel throughput)."""
+
+    def test_norm_ppf_f32_matches_f64_ndtri(self):
+        import numpy as np
+        from scipy.special import ndtri
+
+        from mctpu import math as mcmath
+        u = np.linspace(1e-6, 1.0 - 1e-6, 1 << 17).astype(np.float32)
+        got = np.asarray(mcmath.norm_ppf_f32(jnp.asarray(u)))
+        want = ndtri(u.astype(np.float64))
+        # Same accuracy class as f32 erf_inv: 5e-5 max abs error over the
+        # clipped domain (tails included).
+        assert np.max(np.abs(got - want)) < 5e-5
+        # Relative accuracy in the body.
+        body = (u > 0.01) & (u < 0.99) & (np.abs(want) > 0.05)
+        rel = np.abs(got[body] - want[body]) / np.abs(want[body])
+        assert np.max(rel) < 2e-4
+
+    def test_norm_ppf_f32_tail_behaviour(self):
+        import numpy as np
+
+        from mctpu import math as mcmath
+        # Clipped at 1e-7: finite, symmetric, monotone.
+        u = jnp.asarray([0.0, 1e-9, 1e-7, 0.5, 1.0], jnp.float32)
+        z = np.asarray(mcmath.norm_ppf_f32(u))
+        assert np.isfinite(z).all()
+        assert abs(z[3]) < 1e-6  # median -> 0
+        assert z[0] == z[1] == z[2]  # clip floor
+        assert abs(z[0] - (-5.199)) < 0.05  # ndtri(1e-7) = -5.199
+        # Exact antisymmetry on exactly-representable pairs (u, 1-u):
+        # 4u(1-u) commutes and x negates, so the values negate bitwise.
+        for ulo in (2.0 ** -20, 2.0 ** -7, 0.25, 0.375):
+            lo = float(mcmath.norm_ppf_f32(jnp.float32(ulo)))
+            hi = float(mcmath.norm_ppf_f32(jnp.float32(1.0 - ulo)))
+            assert lo == -hi, ulo
+
+    def test_erf_inv_f32_matches_lax_erf_inv(self):
+        import numpy as np
+
+        from mctpu import math as mcmath
+        x = jnp.linspace(-0.999999, 0.999999, 1 << 16, dtype=jnp.float32)
+        a = np.asarray(mcmath.erf_inv_f32(x))
+        b = np.asarray(jax.lax.erf_inv(x))
+        assert np.max(np.abs(a - b)) < 5e-5  # shared coefficient family
+
+    def test_rqmc_price_still_unbiased(self):
+        # End-to-end: the swapped ppf keeps the vanilla RQMC price on the
+        # closed form (f32 XLA twin exercises norm_ppf_f32).
+        import numpy as np
+
+        from mctpu import engine, math as mcmath, qmc_engine
+        from mctpu.types import VanillaOption
+        opt = VanillaOption(100.0, 100.0, 0.048790, 0.2, 1.0)
+        from mctpu.types import Precision
+        cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
+                                  precision=Precision.F32)
+        res = qmc_engine.price_vanilla_rqmc(opt, 1 << 14, jax.random.key(5),
+                                            cfg, replicates=8)
+        bs = float(mcmath.bs_call(100.0, 100.0, 0.048790, 0.2, 1.0))
+        assert abs(float(res.price) - bs) < max(
+            3 * float(res.std_error), 3e-4 * bs)
