@@ -64,6 +64,7 @@ __all__ = ["EngineConfig", "price_vanilla", "price_basket", "price_asian",
            "price_cliquet", "greeks_cliquet",
            "fair_variance_strike",
            "price_vanilla_ladder", "price_book", "greeks_book",
+           "price_barrier_book", "greeks_barrier_book",
            "price_basket_asian", "price_basket_barrier",
            "price_heston", "price_cva", "price_cva_portfolio",
            "price_cva_multi", "price_xva",
@@ -553,6 +554,128 @@ def fair_variance_strike(opt, n_paths: int, key: jax.Array,
     sum_p, sum_p2 = runner(opt, key)
     return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=1.0,
                           n_paths=plan.total_paths)
+
+
+def price_barrier_book(book, n_paths: int, key: jax.Array,
+                       config: EngineConfig = EngineConfig()) -> McResult:
+    """Price a book of M heterogeneous knock-out barriers from ONE walk.
+
+    The path-dependent serving entry point (:class:`mctpu.types.BarrierBook`):
+    per-instrument spot/strike/rate/vol/maturity/barrier with call/put and
+    up/down-and-out mixes, all advanced on one shared increment stream —
+    the draw cost is paid once per step for the whole book, each extra
+    instrument costs one FMA + compare + select per step
+    (``kernels/barrier_book.py``).  Returns a vector ``McResult`` of shape
+    ``(M,)``; marks are comonotone across the book.  All market data is
+    runtime arrays, so a tick reprices without recompiling; a
+    one-instrument book ties :func:`price_barrier` bitwise on shared
+    streams.  Per-instrument discounting by ``exp(-r_i t_i)``
+    (``MonteCarloKernel.cu:413-423`` semantics).
+    """
+    from mctpu.kernels import barrier_book as kbb
+
+    book.validate()
+    m = book.n_instruments
+    if m > kbb.MAX_BARRIER_BOOK:
+        raise ValueError(f"barrier book holds {m} instruments; max "
+                         f"{kbb.MAX_BARRIER_BOOK} per fused walk "
+                         "(split larger books)")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kbb.LANES * anti)
+    plan = kbb.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                         cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("barrier_book", m, book.n_obs, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(bk, k):
+            d = jnp.float32 if backend == "pallas" else plan.jdtype
+            par = kbb.book_params(bk, bk.n_obs, d)
+            if backend == "pallas":
+                fn = lambda a, off, nb: kbb.pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    book.n_obs, interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kbb.xla_partials(
+                    a[0], a[1], off, plan, nb, book.n_obs)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (par, k),
+                                     P(PATH_AXIS, None, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(bk.r, wide)
+                           * jnp.asarray(bk.t, wide))
+            return total[:, 0], total[:, 1], disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    sum_p, sum_p2, disc = runner(book, key)
+    return mcest.estimate(sum_p, sum_p2, plan.total_units, discount=disc,
+                          n_paths=plan.total_paths)
+
+
+def greeks_barrier_book(book, n_paths: int, key: jax.Array,
+                        config: EngineConfig = EngineConfig()) \
+        -> "GreeksResult":
+    """The barrier book's risk run from ONE walk: vector price/delta/vega/
+    rho across all M instruments.
+
+    Likelihood-ratio scores (pathwise is biased under the knock-out —
+    same estimator as :func:`greeks_barrier`), built from THREE shared
+    carried tiles: the standardized increments are common to every
+    instrument, so per-instrument scores are deterministic rescalings
+    applied at payoff time (``kernels/barrier_book.py``, Greeks section).
+    Delta/vega are with respect to each instrument's own spot/vol.
+    Theta/gamma documented-absent like the single-barrier family (use CRN
+    bumps).
+    """
+    from mctpu.kernels import barrier_book as kbb
+    from mctpu.types import GreeksResult
+
+    book.validate()
+    m = book.n_instruments
+    if m > kbb.MAX_BARRIER_BOOK:
+        raise ValueError(f"barrier book holds {m} instruments; max "
+                         f"{kbb.MAX_BARRIER_BOOK} per fused walk "
+                         "(split larger books)")
+    cfg = config
+    backend = cfg.resolve_backend()
+    anti = 2 if cfg.antithetic else 1
+    blocks, rows = cfg.layout_for(n_paths, kbb.LANES * anti)
+    plan = kbb.make_plan(n_paths, blocks, rows, cfg.antithetic,
+                         cfg.dtype_str, cfg.precision.kahan)
+    cache_key = ("greeks_barrier_book", m, book.n_obs, plan, cfg._key())
+    runner = _RUNNERS.get(cache_key)
+    if runner is None:
+        def run(bk, k):
+            d = jnp.float32 if backend == "pallas" else plan.jdtype
+            par = kbb.greek_rows(bk, bk.n_obs, d)
+            if backend == "pallas":
+                fn = lambda a, off, nb: kbb.greek_pallas_partials(
+                    a[0], mcrng.key_to_seed(a[1]), off, plan, nb,
+                    book.n_obs, interpret=cfg.interpret)
+            else:
+                fn = lambda a, off, nb: kbb.greek_xla_partials(
+                    a[0], a[1], off, plan, nb, book.n_obs)
+            partials = _shard_blocks(cfg, plan.num_blocks, fn, (par, k),
+                                     P(PATH_AXIS, None, None))
+            wide = mcest.wide_dtype()
+            total = pairwise_tree_sum(jnp.asarray(partials, wide), axis=0)
+            disc = jnp.exp(-jnp.asarray(bk.r, wide)
+                           * jnp.asarray(bk.t, wide))
+            return total, disc
+
+        runner = jax.jit(run)
+        _RUNNERS[cache_key] = runner
+    total, disc = runner(book, key)
+    n = plan.total_units
+
+    def est(i):
+        return mcest.estimate(total[:, 2 * i], total[:, 2 * i + 1], n,
+                              discount=disc, n_paths=plan.total_paths)
+
+    return GreeksResult(price=est(0), delta=est(1), vega=est(2),
+                        rho=est(3))
 
 
 def price_rainbow(opt, n_paths: int, key: jax.Array,

@@ -27,6 +27,7 @@ __all__ = [
     "Precision",
     "VanillaOption",
     "VanillaBook",
+    "BarrierBook",
     "BasketOption",
     "AsianOption",
     "LookbackOption",
@@ -231,6 +232,113 @@ class VanillaBook:
             raise ValueError("volatilities must be non-negative")
         if np.any(t <= 0):
             raise ValueError("maturities must be positive")
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class BarrierBook:
+    """A book of M heterogeneous knock-out BARRIER options sharing one
+    walk sweep.
+
+    The path-dependent extension of :class:`VanillaBook` (real books are
+    mostly path-dependent): per-instrument spot / strike / rate / vol /
+    maturity / barrier vectors, a static call/put mix and a static
+    up-and-out / down-and-out direction mix, and a shared observation
+    grid ``n_obs``.  All M instruments advance on ONE shared
+    standard-normal increment stream (each with its own per-step drift
+    and vol scaling), so marks and Greeks are comonotone across the book
+    and the draw cost is paid once (``kernels/barrier_book.py``).  All
+    market data is runtime arrays — repricing a same-shape book on a
+    tick never recompiles.  No analogue in the reference.
+    """
+
+    s: Any  # spots, (M,)
+    k: Any  # strikes, (M,)
+    r: Any  # risk-free rates, (M,)
+    v: Any  # volatilities, (M,)
+    t: Any  # maturities, (M,)
+    barrier: Any  # knock-out levels, (M,)
+    n_obs: int = _static(default=50)
+    kinds: tuple = _static(default=())
+    directions: tuple = _static(default=())  # "up-and-out"/"down-and-out"
+
+    @property
+    def n_instruments(self) -> int:
+        return int(np.shape(self.s)[0])
+
+    @staticmethod
+    def from_options(options) -> "BarrierBook":
+        """Build a book from a sequence of :class:`BarrierOption` (which
+        must share ``n_obs``; they are calls by construction)."""
+        opts = list(options)
+        n_obs = {o.n_obs for o in opts}
+        if len(n_obs) != 1:
+            raise ValueError("BarrierBook instruments must share n_obs "
+                             f"(got {sorted(n_obs)})")
+        return BarrierBook(
+            s=jnp.asarray([o.s for o in opts]),
+            k=jnp.asarray([o.k for o in opts]),
+            r=jnp.asarray([o.r for o in opts]),
+            v=jnp.asarray([o.v for o in opts]),
+            t=jnp.asarray([o.t for o in opts]),
+            barrier=jnp.asarray([o.barrier for o in opts]),
+            n_obs=n_obs.pop(),
+            kinds=tuple("call" for _ in opts),
+            directions=tuple(o.kind for o in opts))
+
+    def option(self, i: int) -> "BarrierOption":
+        """Instrument ``i`` as a standalone :class:`BarrierOption`
+        (calls only — the single pricer has no put variant)."""
+        if self.kinds[i] != "call":
+            raise ValueError("single BarrierOption is call-only")
+        return BarrierOption(s=self.s[i], k=self.k[i], r=self.r[i],
+                             v=self.v[i], t=self.t[i],
+                             barrier=self.barrier[i], n_obs=self.n_obs,
+                             kind=self.directions[i])
+
+    def astype(self, dtype) -> "BarrierBook":
+        return BarrierBook(
+            *(jnp.asarray(x, dtype) for x in (self.s, self.k, self.r,
+                                              self.v, self.t,
+                                              self.barrier)),
+            n_obs=self.n_obs, kinds=self.kinds, directions=self.directions)
+
+    def validate(self) -> None:
+        """Eager sanity checks (no-op under tracing)."""
+        m = self.n_instruments
+        if m < 1:
+            raise ValueError("book must hold at least one instrument")
+        if self.n_obs < 1:
+            raise ValueError("n_obs must be >= 1")
+        for name, x in (("s", self.s), ("k", self.k), ("r", self.r),
+                        ("v", self.v), ("t", self.t),
+                        ("barrier", self.barrier)):
+            if np.shape(x) != (m,):
+                raise ValueError(f"{name} must have shape ({m},), "
+                                 f"got {np.shape(x)}")
+        if len(self.kinds) != m or len(self.directions) != m:
+            raise ValueError(f"kinds and directions must have {m} entries")
+        if any(kd not in ("call", "put") for kd in self.kinds):
+            raise ValueError("kinds entries must be 'call' or 'put'")
+        if any(d not in ("up-and-out", "down-and-out")
+               for d in self.directions):
+            raise ValueError("directions entries must be 'up-and-out' or "
+                             "'down-and-out'")
+        if not _concrete(self.s, self.k, self.v, self.t, self.barrier):
+            return
+        s, k, v, t, b = (np.asarray(x) for x in
+                         (self.s, self.k, self.v, self.t, self.barrier))
+        if not (np.all(s > 0) and np.all(k > 0) and np.all(b > 0)):
+            raise ValueError("spots, strikes and barriers must be positive")
+        if np.any(v < 0):
+            raise ValueError("volatilities must be non-negative")
+        if np.any(t <= 0):
+            raise ValueError("maturities must be positive")
+        up = np.asarray([d == "up-and-out" for d in self.directions])
+        dead = np.where(up, s >= b, s <= b)
+        if np.any(dead):
+            raise ValueError("instrument starts knocked out "
+                             f"(indices {np.nonzero(dead)[0].tolist()})")
 
 
 @_register_pytree

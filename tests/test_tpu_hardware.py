@@ -881,3 +881,44 @@ def test_american_bounds_on_chip():
     hi = float(b.upper.price) + float(b.upper.ci)
     assert lo <= crr <= hi, (lo, crr, hi)
     assert b.gap < 0.008 * crr + float(b.lower.ci) + float(b.upper.ci)
+
+
+def test_barrier_book_on_chip():
+    """Barrier book on the hardware PRNG: the one-instrument bitwise tie
+    to the single kernel must hold on REAL Mosaic lowering, and a mixed
+    4-instrument book must price each instrument within tolerance of the
+    single pricer run separately (round 5: path-dependent serving)."""
+    import numpy as np
+
+    from mctpu.types import BarrierBook, BarrierOption
+    opt = BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
+                        n_obs=16)
+    book1 = BarrierBook.from_options([opt])
+    rb = engine.price_barrier_book(book1, 1 << 20, KEY, _cfg())
+    rs = engine.price_barrier(opt, 1 << 20, KEY, _cfg())
+    assert float(np.asarray(rb.price)[0]) == float(rs.price)
+    book = BarrierBook(
+        s=np.array([100.0, 95.0, 105.0, 100.0]),
+        k=np.array([100.0, 90.0, 110.0, 95.0]),
+        r=np.array([0.05, 0.03, 0.04, 0.05]),
+        v=np.array([0.2, 0.25, 0.15, 0.3]),
+        t=np.array([1.0, 2.0, 0.5, 1.0]),
+        barrier=np.array([130.0, 140.0, 150.0, 70.0]), n_obs=16,
+        kinds=("call", "call", "call", "put"),
+        directions=("up-and-out", "up-and-out", "up-and-out",
+                    "down-and-out"))
+    rbm = engine.price_barrier_book(book, 1 << 20, KEY, _cfg())
+    for i in range(3):
+        single = engine.price_barrier(book.option(i), 1 << 20,
+                                      jax.random.key(55 + i), _cfg())
+        se = float(np.hypot(np.asarray(rbm.std_error)[i],
+                            float(single.std_error)))
+        assert abs(float(np.asarray(rbm.price)[i])
+                   - float(single.price)) < 4 * se, i
+    g = engine.greeks_barrier_book(book, 1 << 19, KEY, _cfg())
+    assert np.isfinite(np.asarray(g.delta.price)).all()
+    gs = engine.greeks_barrier(book.option(0), 1 << 19, KEY, _cfg())
+    se = float(np.hypot(np.asarray(g.delta.std_error)[0],
+                        float(gs.delta.std_error)))
+    assert abs(float(np.asarray(g.delta.price)[0])
+               - float(gs.delta.price)) < 4 * se
