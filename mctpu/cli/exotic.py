@@ -539,7 +539,7 @@ def main(argv=None):
         args.spot, args.strike, args.rate, args.vol, args.maturity)
     print(f"binomial lattice (2000 steps): {crr:.6f}   "
           f"european: {float(eur):.6f}")
-    bnd = lsm.price_american_bounds(opt, min(n, 1 << 17), key, n_sub=64)
+    bnd = lsm.price_american_bounds(opt, min(n, 1 << 16), key, n_sub=32)
     print(f"duality bracket: [{float(bnd.lower.price):.6f} "
           f"± {float(bnd.lower.ci):.6f}, {float(bnd.upper.price):.6f} "
           f"± {float(bnd.upper.ci):.6f}]   gap {bnd.gap:.6f} "

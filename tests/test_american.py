@@ -262,7 +262,7 @@ class TestAmericanBounds:
     def test_bracket_contains_crr_50_dates_atm(self):
         opt = AmericanOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
                              n_steps=50, payoff="put")
-        b = lsm.price_american_bounds(opt, 1 << 16, self.KEY, n_sub=64)
+        b = lsm.price_american_bounds(opt, 1 << 15, self.KEY, n_sub=64)
         crr = self._crr()
         lo = float(b.lower.price) - float(b.lower.ci)
         hi = float(b.upper.price) + float(b.upper.ci)

@@ -65,6 +65,7 @@ class TestEngine:
         se = float(res.std_error)
         assert abs(float(res.price) - want) < 4 * se
 
+    @pytest.mark.slow
     def test_more_observations_knock_out_more(self):
         coarse = engine.price_barrier(
             BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, 120.0, 5), 1 << 17,
@@ -74,6 +75,7 @@ class TestEngine:
             KEY, CFG)
         assert float(fine.price) < float(coarse.price)
 
+    @pytest.mark.slow
     def test_antithetic(self):
         cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
                                     antithetic=True)

@@ -225,6 +225,7 @@ class TestBarrierBook:
         assert float(np.asarray(rb.price)[0]) == float(rs.price)
         assert float(np.asarray(rb.ci)[0]) == float(rs.ci)
 
+    @pytest.mark.slow
     def test_each_instrument_matches_single_pricer_statistically(self):
         book = self._book(m=3)  # all-call slice
         rb = engine.price_barrier_book(book, 1 << 14, self.KEY, self.CFG)
@@ -285,6 +286,7 @@ class TestBarrierBook:
         p = np.asarray(gb.price.price)
         assert p[0] == p[1]
 
+    @pytest.mark.slow
     def test_greeks_match_crn_bumps(self):
         import dataclasses as dc
         book = self._book(m=2)
@@ -319,6 +321,7 @@ class TestBarrierBook:
         engine.price_barrier_book(ticked, 1 << 12, key2, self.CFG)
         assert len(engine._RUNNERS) == n0  # same runner, no new compile
 
+    @pytest.mark.slow
     def test_shard_invariance_bitwise(self):
         devs = jax.devices()
         if len(devs) < 8:

@@ -150,6 +150,7 @@ def test_exotic_cli_ladder(capsys):
     assert "strike ladder" in out and out.count("K=") == 9
 
 
+@pytest.mark.slow
 def test_greeks_cli_book(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "book", "--paths", "16384"])
@@ -159,6 +160,7 @@ def test_greeks_cli_book(capsys):
     assert out.count("K=") == 8
 
 
+@pytest.mark.slow
 def test_exotic_cli_book(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "book"])
@@ -168,6 +170,7 @@ def test_exotic_cli_book(capsys):
     assert "put" in out and "call" in out
 
 
+@pytest.mark.slow
 def test_exotic_cli_rqmc(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "rqmc", "--obs", "8",
@@ -188,6 +191,7 @@ def test_exotic_cli_mlmc(capsys):
     assert "characteristic-function price" in out and "level" in out
 
 
+@pytest.mark.slow
 def test_exotic_cli_cva_multi(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(FAST + ["--product", "cva-multi", "--obs", "5",
@@ -213,6 +217,7 @@ def test_greeks_cli_cva(capsys):
     assert "credit_delta" in out and "closed-form FD" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_basket(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "basket", "--paths", "16384",
@@ -249,6 +254,7 @@ def test_greeks_cli_heston_engine(capsys):
     assert "engine-tier pathwise tangents" in out and "char-fn FD" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_rainbow(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "rainbow", "--paths", "16384",
@@ -267,6 +273,7 @@ def test_greeks_cli_varswap(capsys):
     assert "variance-swap" in out and "vega" in out and "exact" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_ladder(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "ladder", "--paths", "16384"])
@@ -275,6 +282,7 @@ def test_greeks_cli_ladder(capsys):
     assert "strike-ladder risk sweep" in out and "BS gamma" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_cva_multi(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "cva-multi", "--paths", "8192",
@@ -284,6 +292,7 @@ def test_greeks_cli_cva_multi(capsys):
     assert "netting-set CVA Greeks" in out and "credit_delta" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_basket_asian(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "basket-asian", "--paths", "8192",
@@ -293,6 +302,7 @@ def test_greeks_cli_basket_asian(capsys):
     assert "basket-asian call" in out and "rho" in out
 
 
+@pytest.mark.slow
 def test_greeks_cli_basket_barrier(capsys):
     from mctpu.cli import greeks as gcli
     rc = gcli.main(["--product", "basket-barrier", "--paths", "8192",
@@ -310,6 +320,7 @@ def test_greeks_cli_rqmc(capsys):
     assert "Sobol-RQMC Greek surface" in out and "volga" in out
 
 
+@pytest.mark.slow
 def test_exotic_cli_mlmc_barrier(capsys):
     from mctpu.cli import exotic
     rc = exotic.main(["--product", "mlmc-barrier", "--eps", "0.2",
@@ -357,8 +368,9 @@ def test_greeks_cli_xva(capsys):
 
 def test_exotic_cli_cv(capsys):
     from mctpu.cli import exotic
-    rc = exotic.main(FAST + ["--product", "cv", "--obs", "4",
-                             "--assets", "2"])
+    rc = exotic.main(["--paths", "16384", "--blocks", "8", "--rows", "8",
+                      "--backend", "xla", "--product", "cv", "--obs", "4",
+                      "--assets", "2"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "CV tightens" in out and "basket-value CV" in out
@@ -371,3 +383,24 @@ def test_exotic_cli_american_heston(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "characteristic-function european call" in out
+
+
+@pytest.mark.slow
+def test_exotic_cli_american_bounds(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(["--paths", "16384", "--blocks", "8", "--rows", "8",
+                      "--backend", "xla", "--product", "american",
+                      "--obs", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "duality bracket" in out and "rule-suboptimality" in out
+
+
+def test_exotic_cli_barrier_book(capsys):
+    from mctpu.cli import exotic
+    rc = exotic.main(["--paths", "16384", "--blocks", "8", "--rows", "8",
+                      "--backend", "xla", "--product", "barrier-book",
+                      "--obs", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "instrument-marks/s" in out and "down-and-out" in out

@@ -35,6 +35,7 @@ class TestPrice:
 
     @pytest.mark.parametrize("n,cap,floor", [
         (1, 0.10, -0.10), (4, 0.03, 0.0), (52, 0.02, -0.01)])
+    @pytest.mark.slow
     def test_period_count_and_band_sweep(self, n, cap, floor):
         opt = CliquetOption(s=100.0, r=0.03, v=0.2, t=1.0, n_periods=n,
                             cap=cap, floor=floor)
@@ -99,6 +100,7 @@ class TestGreeks:
         g = engine.greeks(OPT, 1 << 14, KEY, _cfg())
         assert float(g.vega.price) != 0.0
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         x = engine.greeks_cliquet(OPT, 1 << 13, KEY, _cfg())
         p = engine.greeks_cliquet(OPT, 1 << 13, KEY,

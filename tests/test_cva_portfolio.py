@@ -114,6 +114,7 @@ class TestWrongWayRisk:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert abs(float(res.cva) - ora.price) < 4 * se
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         port = CvaPortfolioSpec.from_single(self.SPEC, wwr_b=0.8)
         cfg = engine.EngineConfig(num_blocks=4, rows=8, backend="pallas",

@@ -170,6 +170,7 @@ class TestCva:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert _z(res.cva, ora.price, se) < 3
 
+    @pytest.mark.slow
     def test_antithetic(self):
         cfg_a = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
                                     antithetic=True)
@@ -178,6 +179,7 @@ class TestCva:
         assert _z(anti.cva, want, anti.std_error) < 3
         assert anti.n == anti.n_paths // 2
 
+    @pytest.mark.slow
     def test_grid_sweep(self):
         # The reference CVA driver sweeps grid sizes (cvaOpt.cu:70-97);
         # assert each converges to its own closed form.
@@ -200,6 +202,7 @@ class TestAutoShrink:
         res = engine.price_vanilla(OPT, 1 << 18, KEY, cfg)
         assert res.n_paths == 1 << 18
 
+    @pytest.mark.slow
     def test_shrunk_run_is_mesh_invariant(self):
         from mctpu.parallel import path_mesh
         devs = jax.devices()
@@ -214,6 +217,7 @@ class TestAutoShrink:
                                 mesh=path_mesh(devs[:8])))
         assert float(base.price) == float(shard.price)
 
+    @pytest.mark.slow
     def test_opt_out(self):
         cfg = engine.EngineConfig(num_blocks=64, rows=64, backend="xla",
                                   auto_shrink=False)
@@ -368,6 +372,7 @@ class TestDoubleSinglePrecision:
         cf = float(mcva.closed_form(spec))
         assert abs(float(r.cva) - cf) < 4 * float(r.std_error)
 
+    @pytest.mark.slow
     def test_ds_close_to_kahan_same_streams(self):
         # Same key, same geometry: DS differs from plain f32 only by walk
         # rounding — far below the MC standard error.

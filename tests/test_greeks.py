@@ -105,6 +105,7 @@ class TestExoticGreeks:
                  ) / 0.01
         assert float(g["dv0"]) == pytest.approx(fd_v0, rel=0.15)
 
+    @pytest.mark.slow
     def test_barrier_crn_delta_matches_bgk_finite_difference(self):
         from mctpu.types import BarrierOption
         uo = BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
@@ -145,6 +146,7 @@ class TestEngineGreeksAsian:
         z = (float(g.gamma.price) - hess) / float(g.gamma.std_error)
         assert abs(z) < 4.0, (z, float(g.gamma.price), hess)
 
+    @pytest.mark.slow
     def test_gamma_arithmetic_matches_crn_delta_fd(self):
         """Arithmetic gamma (carried sum s_j t_j^2 ratio) vs CRN central
         differences of the validated pathwise delta output."""
@@ -165,6 +167,7 @@ class TestEngineGreeksAsian:
         assert abs(float(g.gamma.price) - fd) < tol, (float(g.gamma.price),
                                                       fd)
 
+    @pytest.mark.slow
     def test_gamma_single_obs_reduces_to_vanilla(self):
         """n_obs = 1: the arithmetic Stein form is an alternate grouping
         of the vanilla mixed gamma; both estimate BS gamma."""
@@ -192,6 +195,7 @@ class TestEngineGreeksAsian:
             z = abs(float(mc.price) - float(ref)) / float(mc.std_error)
             assert z < 4, (float(mc.price), float(ref), z)
 
+    @pytest.mark.slow
     def test_price_matches_pricer(self):
         from mctpu import engine
         from mctpu.types import AsianOption
@@ -241,6 +245,7 @@ class TestEngineGreeksAsian:
         fd_rho = (price(0.05 + hr) - price(0.05 - hr)) / (2 * hr)
         assert float(g.rho.price) == pytest.approx(fd_rho, rel=0.05)
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         from mctpu.types import AsianOption
@@ -251,6 +256,7 @@ class TestEngineGreeksAsian:
         b = engine.greeks_asian(opt, 1 << 17, KEY, self._cfg())
         assert float(a.delta.std_error) < float(b.delta.std_error)
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         from mctpu.types import AsianOption
@@ -273,6 +279,7 @@ class TestEngineGreeksAsian:
         g = engine.greeks(opt, 1 << 14, KEY, self._cfg())
         assert g.vega is not None
 
+    @pytest.mark.slow
     def test_shard_invariant(self):
         import mctpu
         from mctpu import engine
@@ -310,6 +317,7 @@ class TestEngineGreeksLookback:
         assert float(g.delta.price) == pytest.approx(
             float(g.price.price) / 100.0, rel=1e-5)
 
+    @pytest.mark.slow
     def test_price_matches_pricer(self):
         from mctpu import engine
         g = engine.greeks_lookback(self._opt(), 1 << 17, KEY, self._cfg())
@@ -320,6 +328,7 @@ class TestEngineGreeksLookback:
     @pytest.mark.parametrize("kind,payoff,k", [
         ("floating", "call", 100.0), ("fixed", "call", 105.0),
         ("fixed", "put", 95.0)])
+    @pytest.mark.slow
     def test_delta_vega_match_crn_bumps(self, kind, payoff, k):
         # Fixed strikes sit AWAY from s0: the running extreme has an atom
         # at s0 (the initial fixing), so at k == s0 exactly the payoff
@@ -350,6 +359,7 @@ class TestEngineGreeksLookback:
     @pytest.mark.parametrize("kind,payoff,k", [
         ("floating", "call", 100.0), ("floating", "put", 100.0),
         ("fixed", "call", 105.0), ("fixed", "put", 95.0)])
+    @pytest.mark.slow
     def test_rho_matches_crn_bump(self, kind, payoff, k):
         """Arg-extreme-time rho (ds_j/dr = t_j s_j) vs CRN rate bumps."""
         import dataclasses as dc
@@ -368,6 +378,7 @@ class TestEngineGreeksLookback:
         tol = 5 * float(g.rho.std_error) + abs(fd) * 5e-3
         assert abs(float(g.rho.price) - fd) < tol, (float(g.rho.price), fd)
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         x = engine.greeks_lookback(self._opt(n_obs=8), 1 << 14, KEY,
@@ -414,6 +425,7 @@ class TestEngineGreeksVanilla:
         z = (float(r.price) - CF[name]) / max(float(r.std_error), 1e-12)
         assert abs(z) < 4.0, (name, float(r.price), CF[name], z)
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         res = engine.greeks_vanilla(OPT, 1 << 19, KEY,
@@ -479,6 +491,7 @@ class TestEngineGreeksBasket:
         return engine.greeks_basket(BasketOption.default_reference(3),
                                     1 << 19, KEY, self._cfg())
 
+    @pytest.mark.slow
     def test_price_matches_pricer(self, res):
         from mctpu import engine
         p = engine.price_basket(BasketOption.default_reference(3), 1 << 19,
@@ -496,6 +509,7 @@ class TestEngineGreeksBasket:
         np.testing.assert_allclose(d, np.asarray(d_ad), atol=0.01)
         assert (se > 0).all()
 
+    @pytest.mark.slow
     def test_ten_assets_packed_path(self):
         # a = 10 > ASSET_MAJOR_MAX exercises the packed-lane Greeks kernel
         # (small baskets route to the asset-major layout).  Price parity
@@ -551,6 +565,7 @@ class TestEngineGreeksBasket:
         fd_th = (float(up.price) - float(dn.price)) / (2 * h)
         assert float(res.theta.price) == pytest.approx(fd_th, abs=0.02)
 
+    @pytest.mark.slow
     def test_rho_theta_packed_regime(self):
         """Same CRN gates through the packed-lane MXU kernel (a > 8)."""
         import dataclasses as dc
@@ -590,6 +605,7 @@ class TestEngineGreeksBasket:
         assert abs(zr) < 4.0 and abs(zt) < 4.0, (zr, zt)
         assert abs(zg) < 4.0, zg
 
+    @pytest.mark.slow
     def test_gamma_equicorrelated_matches_crn_delta_fd(self):
         """Per-asset diagonal gamma (Stein tilt) vs CRN central
         differences of the per-asset delta output — asset-major regime.
@@ -617,6 +633,7 @@ class TestEngineGreeksBasket:
             tol = 5 * float(g.gamma.std_error[i]) + 0.10 * abs(fd)
             assert abs(mc - fd) < tol, (i, mc, fd)
 
+    @pytest.mark.slow
     def test_gamma_packed_regime_and_degenerate_none(self):
         """Packed MXU kernel (a > 8) produces finite, CRN-consistent
         diagonal gamma for a full-rank correlation; the rank-deficient
@@ -729,6 +746,7 @@ class TestEngineGreeksCva:
             z = (float(r.price) - want) / float(r.std_error)
             assert abs(z) < 4.0, (name, z, float(r.price), want)
 
+    @pytest.mark.slow
     def test_dispatch_accepts_cva_types(self):
         from mctpu import engine
         from mctpu.types import CvaGreeksResult, CvaPortfolioSpec
@@ -795,6 +813,7 @@ class TestEngineGreeksCva:
             assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                       want)
 
+    @pytest.mark.slow
     def test_portfolio_greeks_match_portfolio_fd(self):
         # Two-strike all-long portfolio: gate the spot delta against the
         # exact portfolio closed form (mixed-sign netting has no closed
@@ -819,6 +838,7 @@ class TestEngineGreeksCva:
         z = (float(res.delta.price) - want) / float(res.delta.std_error)
         assert abs(z) < 4.0, (z, float(res.delta.price), want)
 
+    @pytest.mark.slow
     def test_netted_mixed_sign_delta_matches_crn_bump(self):
         # Mixed-sign netting set (long call + short higher-strike call):
         # the exposure floor BINDS here, so gate against CRN bumps of the
@@ -846,6 +866,7 @@ class TestEngineGreeksCva:
         assert abs(float(res.delta.price) - want) < tol, (
             float(res.delta.price), want)
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         icfg = self._cfg(num_blocks=4, backend="pallas", interpret=True)
@@ -858,6 +879,7 @@ class TestEngineGreeksCva:
             se = np.hypot(float(a.std_error), float(b.std_error))
             assert abs(float(a.price) - float(b.price)) < 5 * se, name
 
+    @pytest.mark.slow
     def test_bitwise_shard_invariant(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -894,6 +916,7 @@ class TestEngineGreeksBarrier:
         kw.setdefault("backend", "xla")
         return engine.EngineConfig(**kw)
 
+    @pytest.mark.slow
     def test_price_matches_pricer(self):
         from mctpu import engine
         opt = self._opt()
@@ -902,6 +925,7 @@ class TestEngineGreeksBarrier:
         assert float(g.price.price) == pytest.approx(float(p.price),
                                                      rel=1e-6)
 
+    @pytest.mark.slow
     def test_delta_vega_rho_match_crn_bumps(self):
         import dataclasses
 
@@ -943,6 +967,7 @@ class TestEngineGreeksBarrier:
         # BGK is itself an O(1/sqrt(n_obs)) approximation -> wide gate.
         assert abs(z) < 6, (z, float(g.delta.price), want)
 
+    @pytest.mark.slow
     def test_down_and_out_variant(self):
         import dataclasses
 
@@ -959,6 +984,7 @@ class TestEngineGreeksBarrier:
         tol = 5 * float(g.delta.std_error) + abs(want) * 2e-2
         assert abs(float(g.delta.price) - want) < tol
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = self._opt(n_obs=8)
@@ -1009,6 +1035,7 @@ class TestEngineGreeksHeston:
         kw.setdefault("backend", "xla")
         return engine.EngineConfig(**kw)
 
+    @pytest.mark.slow
     def test_price_matches_pricer(self):
         from mctpu import engine
         opt = self._opt()
@@ -1019,6 +1046,7 @@ class TestEngineGreeksHeston:
         assert float(g.price.price) == pytest.approx(float(p.price),
                                                      rel=1e-4)
 
+    @pytest.mark.slow
     def test_greeks_match_crn_bumps(self):
         import dataclasses
 
@@ -1043,6 +1071,7 @@ class TestEngineGreeksHeston:
             assert abs(float(r.price) - want) < tol, (name, float(r.price),
                                                       want)
 
+    @pytest.mark.slow
     def test_variance_tangents_match_crn_bumps(self):
         """dtheta/dkappa/dxi forward tangents vs CRN bumps of the same
         scheme — 4-5 digit agreement in this Feller-satisfied regime
@@ -1092,6 +1121,7 @@ class TestEngineGreeksHeston:
         # Euler steps the O(dt) scheme bias is within this gate.
         assert float(g.delta.price) == pytest.approx(fd, abs=0.01)
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = self._opt()
@@ -1103,6 +1133,7 @@ class TestEngineGreeksHeston:
             se = np.hypot(float(xa.std_error), float(pa.std_error))
             assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1217,6 +1248,7 @@ class TestEngineGreeksAmerican:
         assert abs(float(res.delta.price) - fd) < 0.02, (
             float(res.delta.price), fd)
 
+    @pytest.mark.slow
     def test_call_greeks_match_black_scholes(self):
         # American call on a non-dividend asset == European call.
         from mctpu import engine
@@ -1230,6 +1262,7 @@ class TestEngineGreeksAmerican:
             z = (float(r.price) - float(cf[name])) / float(r.std_error)
             assert abs(z) < 4.0, (name, float(r.price), float(cf[name]), z)
 
+    @pytest.mark.slow
     def test_antithetic_tightens_ci(self):
         from mctpu import engine
         opt = self._put(n_steps=20)
@@ -1239,6 +1272,7 @@ class TestEngineGreeksAmerican:
         assert float(a.price.ci) < float(b.price.ci)
         assert np.isfinite(float(a.delta.price))
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = self._put(n_steps=20)
@@ -1251,6 +1285,7 @@ class TestEngineGreeksAmerican:
             se = np.hypot(float(xa.std_error), float(pa.std_error))
             assert abs(float(xa.price) - float(pa.price)) < 5 * se, name
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1307,10 +1342,11 @@ class TestEngineGreeksRainbow:
         return {"price": p, "delta": np.array([d1, d2]),
                 "vega": np.array([v1, v2]), "rho": rho, "theta": th}
 
-    @pytest.mark.parametrize("kind", ["max", "min"])
+    @pytest.mark.parametrize(
+        "kind", ["max", pytest.param("min", marks=pytest.mark.slow)])
     def test_two_asset_matches_stulz_gradients(self, kind):
         from mctpu import engine
-        res = engine.greeks_rainbow(self._opt(kind), 1 << 18, KEY,
+        res = engine.greeks_rainbow(self._opt(kind), 1 << 16, KEY,
                                     self._cfg())
         want = self._stulz_grads(kind)
         for name in ("price", "rho", "theta"):
@@ -1327,6 +1363,7 @@ class TestEngineGreeksRainbow:
                                              want[name])
         assert res.gamma is None  # documented: no sign-definite tilt
 
+    @pytest.mark.slow
     def test_k_zero_identities(self):
         """rho == 0 exactly in expectation; per-asset max+min deltas = 1."""
         from mctpu import engine
@@ -1342,6 +1379,7 @@ class TestEngineGreeksRainbow:
                       np.asarray(gmin.delta.std_error))
         assert (np.abs(d - 1.0) < 4 * se).all(), d
 
+    @pytest.mark.slow
     def test_three_asset_matches_crn_bumps(self):
         """No closed form at a = 3: CRN bump the pricer (shared streams)."""
         import dataclasses as dc
@@ -1384,6 +1422,7 @@ class TestEngineGreeksRainbow:
               - price(dc.replace(opt, t=opt.t - ht))) / (2 * ht)
         assert float(g.theta.price) == pytest.approx(fd, rel=0.03, abs=0.1)
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         res = engine.greeks_rainbow(self._opt("max"), 1 << 17, KEY,
@@ -1396,6 +1435,7 @@ class TestEngineGreeksRainbow:
             res.delta.std_error)
         assert (np.abs(zd) < 4.0).all()
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         x = engine.greeks_rainbow(self._opt("max"), 1 << 14, KEY,
@@ -1414,6 +1454,7 @@ class TestEngineGreeksRainbow:
             diff = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
             assert (diff < 5 * se).all(), name
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1483,6 +1524,7 @@ class TestEngineGreeksVarswap:
                                                   1e-15)
             assert abs(z) < 4.0, (nm, float(r.price), want[nm], z)
 
+    @pytest.mark.slow
     def test_delta_exactly_zero(self):
         from mctpu import engine
         g = engine.greeks_varswap(self._gbm(), 1 << 14, KEY, self._cfg(),
@@ -1493,6 +1535,7 @@ class TestEngineGreeksVarswap:
                                    self._cfg(), n_obs=8)
         assert float(gh.delta.price) == 0.0
 
+    @pytest.mark.slow
     def test_heston_tangents_match_crn_bumps(self):
         """Forward-mode tangents vs CRN central differences of the
         pricer (identical draw streams make the FD noise cancel)."""
@@ -1538,6 +1581,7 @@ class TestEngineGreeksVarswap:
                                                           float(r.price),
                                                           want[nm])
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         n = 16
@@ -1549,6 +1593,7 @@ class TestEngineGreeksVarswap:
                                                 1e-15)
         assert abs(z) < 4.0
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         pcfg = engine.EngineConfig(num_blocks=8, rows=8, backend="pallas",
@@ -1566,6 +1611,7 @@ class TestEngineGreeksVarswap:
                 d = abs(float(xa.price) - float(pa.price))
                 assert d < 5 * se + 1e-9, (type(opt).__name__, name)
 
+    @pytest.mark.slow
     def test_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1604,7 +1650,8 @@ class TestEngineGreeksLadder:
             cf["theta"] -= 0.05 * km * disc
         return cf
 
-    @pytest.mark.parametrize("kind", ["call", "put"])
+    @pytest.mark.parametrize(
+        "kind", ["call", pytest.param("put", marks=pytest.mark.slow)])
     def test_each_strike_matches_bs(self, kind):
         from mctpu import engine
         opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0,
@@ -1620,6 +1667,7 @@ class TestEngineGreeksLadder:
                 assert abs(got - cf[nm]) < 4 * se, (kind, float(km), nm,
                                                     got, cf[nm])
 
+    @pytest.mark.slow
     def test_ladder_matches_single_strike_kernel(self):
         """Strike m of the ladder == greeks_vanilla at that strike up to
         draw-stream differences (gate via z-scores between the two)."""
@@ -1638,6 +1686,7 @@ class TestEngineGreeksLadder:
                           float(getattr(single, nm).std_error))
             assert abs(a - b) < 5 * se, (nm, a, b)
 
+    @pytest.mark.slow
     def test_arbitrage_consistency_of_greek_ladders(self):
         """Comonotone draws: call delta/price ladders monotone in K
         path-exactly (not just within noise)."""
@@ -1648,6 +1697,7 @@ class TestEngineGreeksLadder:
         assert (np.diff(np.asarray(g.price.price)) < 0).all()
         assert (np.diff(np.asarray(g.delta.price)) < 0).all()
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
@@ -1659,6 +1709,7 @@ class TestEngineGreeksLadder:
             se = max(float(np.asarray(g.delta.std_error)[i]), 1e-12)
             assert abs(got - cf["delta"]) < 4 * se
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = VanillaOption(s=100.0, k=100.0, r=0.05, v=0.2, t=1.0)
@@ -1674,6 +1725,7 @@ class TestEngineGreeksLadder:
             d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
             assert (d < 5 * se).all(), nm
 
+    @pytest.mark.slow
     def test_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1755,6 +1807,7 @@ class TestEngineGreeksCvaMulti:
             assert abs(gotv - fdv) < 4 * sev, ("vega", i, gotv, fdv)
         assert g.gamma is None and g.credit_gamma is None
 
+    @pytest.mark.slow
     def test_mixed_sign_netting_matches_crn_bumps(self):
         """Short positions bind the netting floor: gate vs CRN bumps."""
         import dataclasses as dc
@@ -1788,6 +1841,7 @@ class TestEngineGreeksCvaMulti:
             assert gotv == pytest.approx(fdv, rel=0.03, abs=2e-3), \
                 ("vega", i)
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         spec = self._spec(n_grid=10)
@@ -1796,6 +1850,7 @@ class TestEngineGreeksCvaMulti:
         zc = (float(g.cva.price) - self._cf(spec)) / float(g.cva.std_error)
         assert abs(zc) < 4.0
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         spec = self._spec(n_grid=6)
@@ -1814,6 +1869,7 @@ class TestEngineGreeksCvaMulti:
             d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
             assert (d < 5 * se).all(), name
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1843,6 +1899,7 @@ class TestEngineGreeksBasketAsian:
         return BasketAsianOption(BasketOption.equicorrelated(3, rho=0.3),
                                  n_obs=n_obs)
 
+    @pytest.mark.slow
     def test_price_matches_pricer_exactly(self):
         """Shared draw streams: the Greek kernel's price IS the pricer's."""
         from mctpu import engine
@@ -1851,6 +1908,7 @@ class TestEngineGreeksBasketAsian:
         p = engine.price_basket_asian(opt, 1 << 15, KEY, self._cfg())
         assert float(g.price.price) == float(p.price)
 
+    @pytest.mark.slow
     def test_matches_crn_bumps(self):
         import dataclasses as dc
 
@@ -1907,6 +1965,7 @@ class TestEngineGreeksBasketAsian:
                 float(getattr(a1, nm).std_error))
             assert abs(x - y) < 5 * se + 1e-6, (nm, x, y)
 
+    @pytest.mark.slow
     def test_antithetic_variant(self):
         from mctpu import engine
         opt = self._opt()
@@ -1918,6 +1977,7 @@ class TestEngineGreeksBasketAsian:
                       np.asarray(ga.delta.std_error))
         assert (np.abs(d) < 5 * se).all()
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = self._opt(n_obs=4)
@@ -1936,6 +1996,7 @@ class TestEngineGreeksBasketAsian:
             d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
             assert (d < 5 * se).all(), nm
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh
@@ -1970,6 +2031,7 @@ class TestEngineGreeksBasketBarrier:
         return BasketBarrierOption(BasketOption.equicorrelated(3, rho=0.3),
                                    barrier=barrier, n_obs=n_obs)
 
+    @pytest.mark.slow
     def test_price_matches_pricer_exactly(self):
         from mctpu import engine
         opt = self._opt()
@@ -1977,6 +2039,7 @@ class TestEngineGreeksBasketBarrier:
         p = engine.price_basket_barrier(opt, 1 << 15, KEY, self._cfg())
         assert float(g.price.price) == float(p.price)
 
+    @pytest.mark.slow
     def test_far_barrier_limit_matches_european_basket_greeks(self):
         """Knockout never binds -> the LR Greeks must equal the European
         basket's pathwise Greeks in expectation."""
@@ -2011,6 +2074,7 @@ class TestEngineGreeksBasketBarrier:
                 float(getattr(b1, nm).std_error))
             assert abs(x - y) < 5 * se + 1e-6, (nm, x, y)
 
+    @pytest.mark.slow
     def test_matches_crn_bumps_within_lr_noise(self):
         import dataclasses as dc
 
@@ -2054,6 +2118,7 @@ class TestEngineGreeksBasketBarrier:
         got = float(g.rho.price)
         assert abs(got - fd) < 6 * float(g.rho.std_error) + 0.3, (got, fd)
 
+    @pytest.mark.slow
     def test_down_and_out_variant(self):
         from mctpu import engine
         from mctpu.types import BasketBarrierOption
@@ -2064,6 +2129,7 @@ class TestEngineGreeksBasketBarrier:
         assert np.isfinite(np.asarray(g.delta.price)).all()
         assert (np.asarray(g.delta.price) > 0).all()
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_consistent(self):
         from mctpu import engine
         opt = self._opt(n_obs=4)
@@ -2082,6 +2148,7 @@ class TestEngineGreeksBasketBarrier:
             d = np.abs(np.asarray(xa.price) - np.asarray(pa.price))
             assert (d < 5 * se).all(), nm
 
+    @pytest.mark.slow
     def test_dispatcher_and_shard_invariance(self):
         from mctpu import engine
         from mctpu.parallel import path_mesh

@@ -55,6 +55,7 @@ class TestEngine:
         plain = engine.price_heston(OPT, 1 << 16, KEY, CFG, n_steps=100)
         assert float(anti.std_error) < float(plain.std_error)
 
+    @pytest.mark.slow
     def test_zero_vol_of_vol_matches_bs_mc(self):
         o = HestonOption(s=100.0, k=100.0, r=0.05, t=1.0, v0=0.04,
                          kappa=2.0, theta=0.04, xi=0.0, rho=0.0)
@@ -115,6 +116,7 @@ class TestQeScheme:
         cf = float(mheston.cf_call_price(self.STEEP))
         assert abs(float(res.price) - cf) < 4 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_qe_shard_invariant(self):
         devs = jax.devices()
         if len(devs) < 8:

@@ -53,6 +53,7 @@ def test_pallas_interpret_twin():
     assert (p[:-2] - 2 * p[1:-1] + p[2:] >= -1e-6).all()
 
 
+@pytest.mark.slow
 def test_antithetic_ladder_tightens_every_strike():
     plain = engine.price_vanilla_ladder(OPT, KS, 1 << 17, KEY, CFG)
     anti = engine.price_vanilla_ladder(

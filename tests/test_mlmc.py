@@ -36,6 +36,7 @@ class TestLevelMachinery:
         assert abs(disc * m - float(ref.price)) < 4 * np.hypot(
             disc * se, float(ref.std_error))
 
+    @pytest.mark.slow
     def test_coupled_correction_variance_decays(self):
         vs = []
         for level in (1, 2, 3):
@@ -59,6 +60,7 @@ class TestEstimator:
     def res(self):
         return mlmc.price_heston_mlmc(OPT, eps=0.05, key=KEY)
 
+    @pytest.mark.slow
     def test_within_tolerance_of_cf_oracle(self, res):
         cf = mheston.cf_call_price(OPT)
         # eps is an RMS target; allow 3x for the single realization.
@@ -127,6 +129,7 @@ class TestEngineContract:
                                     mesh_cfg)
         assert base[0] == shard[0] and base[1] == shard[1]
 
+    @pytest.mark.slow
     def test_full_estimator_shard_invariant(self):
         from mctpu.parallel import path_mesh
         devs = jax.devices()
@@ -139,6 +142,7 @@ class TestEngineContract:
                                        config=mesh_cfg)
         assert base.price == shard.price and base.ci == shard.ci
 
+    @pytest.mark.slow
     def test_level_kernel_interpret_parity(self):
         # The fused Pallas coupled-level kernel (interpret mode) must agree
         # statistically with the XLA twin.
@@ -193,6 +197,7 @@ class TestAsianMlmc:
                                               2 * 2 ** lv)) / disc
             assert abs(m - want) < 4 * se, (lv, m, want)
 
+    @pytest.mark.slow
     def test_variance_decays_at_beta_two(self):
         """Subsampling coupling of an exact path: Var[d_l] ~ 4^-l."""
         v_prev = None
@@ -206,6 +211,7 @@ class TestAsianMlmc:
                 assert 2.5 < v_prev / v < 6.0, (lv, v_prev / v)
             v_prev = v
 
+    @pytest.mark.slow
     def test_estimator_matches_exact_closed_form(self):
         """The telescoped estimate equals the finest level's EXACT
         geometric closed form within its statistical CI."""
@@ -219,6 +225,7 @@ class TestAsianMlmc:
         # beta ~= 2 means most paths concentrate on the coarsest level.
         assert r.levels[0].n_paths > r.levels[-1].n_paths
 
+    @pytest.mark.slow
     def test_arithmetic_level_bitwise_shard_invariant(self):
         devs = jax.devices()
         if len(devs) < 8:
@@ -258,6 +265,7 @@ class TestBarrierMlmc:
         return BarrierOption(100.0, 100.0, 0.05, 0.2, 1.0, barrier=130.0,
                              n_obs=8)
 
+    @pytest.mark.slow
     def test_level_means_match_pricer_differences(self):
         """Level mean == price(n_f) - price(n_c) of independent pricer
         runs (undiscounted), within combined noise."""
@@ -294,6 +302,7 @@ class TestBarrierMlmc:
         # beta ~= 1/2: two levels should shed ~2x variance; gate at 1.5.
         assert stats[3] < stats[1] / 1.5, stats
 
+    @pytest.mark.slow
     def test_estimator_approaches_continuous_closed_form(self):
         from mctpu import math as mcmath
         opt = self._opt()

@@ -55,6 +55,7 @@ class TestBasketAsian:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert _z(res.price, ora.price, se) < 4
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         opt = BasketAsianOption(BasketOption.default_reference(3), n_obs=12)
         res = engine.price_basket_asian(opt, 1 << 14, KEY, ICFG)
@@ -70,6 +71,7 @@ class TestBasketAsian:
         term = engine.price_basket(bk, 1 << 17, KEY, CFG)
         assert float(asian.price) < float(term.price)
 
+    @pytest.mark.slow
     def test_shard_invariant(self):
         devs = jax.devices()
         if len(devs) < 8:
@@ -100,6 +102,7 @@ class TestBasketBarrier:
         se = np.hypot(float(res.std_error), ora.std_error)
         assert _z(res.price, ora.price, se) < 4
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin(self):
         opt = BasketBarrierOption(BasketOption.default_reference(3),
                                   barrier=120.0, n_obs=12)

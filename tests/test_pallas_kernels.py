@@ -133,6 +133,7 @@ class TestCvaKernel:
         # Exposures are ~10; both sides are MC with se ~ 0.1 at these sizes.
         np.testing.assert_allclose(got, want, rtol=0.06)
 
+    @pytest.mark.slow
     def test_profile_shape_from_kernel(self):
         from mctpu.types import CvaPortfolioSpec
         port = CvaPortfolioSpec.from_single(self.SPEC)

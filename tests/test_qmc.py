@@ -40,6 +40,7 @@ def test_vanilla_qmc_unbiased_and_tight():
     assert float(res.ci) < float(mc.ci) / 5
 
 
+@pytest.mark.slow
 def test_basket_qmc_matches_oracle():
     opt = BasketOption.default_reference(3)
     res = qmc.price_basket_qmc(opt, 1 << 12, KEY, replicates=16)

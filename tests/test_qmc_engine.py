@@ -103,6 +103,7 @@ class TestBasketRqmc:
             self.OPTB, 1 << 11, KEY, _cfg(mesh=mesh8), replicates=16)
         assert float(base.price) == float(shard.price)
 
+    @pytest.mark.slow
     def test_pallas_interpret_kernel(self):
         res = qmc_engine.price_basket_rqmc(
             self.OPTB, 1 << 10, KEY, _cfg(backend="pallas", interpret=True),
@@ -166,6 +167,7 @@ class TestAsianRqmc:
                                                  1.0, 12))
         assert abs(float(ri.price) - want) < 8 * float(ri.std_error)
 
+    @pytest.mark.slow
     def test_pallas_kernel_arithmetic_average(self):
         import dataclasses
         ari = dataclasses.replace(self.GEO, average="arithmetic")
@@ -281,6 +283,7 @@ class TestVanillaGreeksRqmc:
                                                   1e-15)
             assert abs(z) < 4.0, (nm, float(r.price), want[nm], z)
 
+    @pytest.mark.slow
     def test_ci_advantage_over_plain_mc(self):
         """At equal total points the RQMC delta CI must be at least 5x
         tighter (measured 20-80x; 5x is the conservative gate)."""
@@ -294,6 +297,7 @@ class TestVanillaGreeksRqmc:
                 float(getattr(g, nm).std_error), 1e-15)
             assert ratio > 5.0, (nm, ratio)
 
+    @pytest.mark.slow
     def test_mesh_bitwise_invariant(self, mesh8):
         base = qmc_engine.greeks_vanilla_rqmc(OPT, 1 << 11, KEY, _cfg(),
                                               replicates=16)
@@ -303,6 +307,7 @@ class TestVanillaGreeksRqmc:
             assert float(getattr(base, nm).price) == float(
                 getattr(shard, nm).price), nm
 
+    @pytest.mark.slow
     def test_pallas_interpret_kernel(self):
         x = qmc_engine.greeks_vanilla_rqmc(OPT, 1 << 11, KEY, _cfg(),
                                            replicates=8)

@@ -106,6 +106,7 @@ class TestBackends:
             assert abs(float(res.price) - cf) < 4 * float(res.std_error)
             assert np.isfinite(float(res.price))
 
+    @pytest.mark.slow
     def test_shard_invariant(self):
         devs = jax.devices()
         if len(devs) < 8:

@@ -33,6 +33,7 @@ def test_basket_cv_unbiased_vs_plain():
     assert abs(float(cv.price) - float(mc.price)) < 4 * se
 
 
+@pytest.mark.slow
 def test_basket_cv_reduces_variance():
     opt = BasketOption.equicorrelated(5, rho=0.3)
     cv = variance.price_basket_cv(opt, 1 << 18, KEY)
@@ -40,6 +41,7 @@ def test_basket_cv_reduces_variance():
     assert float(cv.std_error) < float(mc.std_error) / 1.8
 
 
+@pytest.mark.slow
 def test_deep_itm_control_is_near_perfect():
     # Deep ITM: payoff ~ S_T - K (linear in the control) -> huge reduction.
     opt = VanillaOption(s=100.0, k=20.0, r=0.048790, v=0.2, t=1.0)

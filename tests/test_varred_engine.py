@@ -44,6 +44,7 @@ def mesh8():
 
 
 class TestShardInvariance:
+    @pytest.mark.slow
     def test_vanilla_cv_bitwise_invariant(self, mesh8):
         base = variance.price_vanilla_cv(OPT, 1 << 17, KEY, _cfg(mesh=None))
         shard = variance.price_vanilla_cv(OPT, 1 << 17, KEY,
@@ -51,6 +52,7 @@ class TestShardInvariance:
         assert float(base.price) == float(shard.price)
         assert float(base.ci) == float(shard.ci)
 
+    @pytest.mark.slow
     def test_vanilla_is_bitwise_invariant(self, mesh8):
         o = VanillaOption(100.0, 150.0, 0.05, 0.2, 1.0)
         base = variance.price_vanilla_is(o, 1 << 17, KEY, _cfg(mesh=None))
@@ -108,6 +110,7 @@ class TestPallasKernels:
         res = variance.price_vanilla_is(o, 1 << 15, KEY, _icfg())
         assert abs(float(res.price) - bs) < 5 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_asian_cv_interpret_unbiased(self):
         xla = variance.price_asian_cv(ARI, 1 << 14, KEY, _cfg())
         res = variance.price_asian_cv(ARI, 1 << 14, KEY, _icfg())
@@ -139,6 +142,7 @@ class TestContract:
             variance.price_vanilla_cv(OPT, 1 << 12, KEY, _cfg(),
                                       pilot_frac=1.5)
 
+    @pytest.mark.slow
     def test_antithetic_cv_unbiased(self):
         cfg = _cfg(antithetic=True)
         res = variance.price_vanilla_cv(OPT, 1 << 16, KEY, cfg)
@@ -151,6 +155,7 @@ class TestContract:
                                         _cfg(antithetic=True))
         assert abs(float(res.price) - bs) < 5 * float(res.std_error)
 
+    @pytest.mark.slow
     def test_cv_ci_sane_in_f32_wide_dtype(self):
         # Pins the round-4 on-chip bug: with x64 OFF (the TPU production
         # default) the UN-centered moment algebra cancelled to CI == 0.0
@@ -164,6 +169,7 @@ class TestContract:
             assert float(cv.ci) > 0.0
             assert float(cv.std_error) < float(mc.std_error)
 
+    @pytest.mark.slow
     def test_basket_cv_nonzero_brownian_drift_mean(self):
         # The control mean must account for the drift offset d (the old
         # implementation assumed d = 0).

@@ -59,6 +59,7 @@ def test_pallas_interpret_twin():
     assert abs(float(res2.price) - 0.04) < 4 * float(res2.std_error) + 1e-3
 
 
+@pytest.mark.slow
 def test_shard_invariant():
     devs = jax.devices()
     if len(devs) < 8:

@@ -138,6 +138,7 @@ class TestOracleAndTies:
         np.testing.assert_array_equal(np.asarray(a.epe_profile),
                                       np.asarray(b.expected_exposure))
 
+    @pytest.mark.slow
     def test_wide_set_routes_to_xla_twin(self):
         # m > ASSET_MAJOR_MAX on the Pallas backend must not error: the
         # engine reroutes to the XLA twin (same asset-major structure).
@@ -157,6 +158,7 @@ class TestOracleAndTies:
 
 
 class TestContract:
+    @pytest.mark.slow
     def test_antithetic_is_consistent(self):
         acfg = engine.EngineConfig(num_blocks=8, rows=8, backend="xla",
                                    antithetic=True)
@@ -164,6 +166,7 @@ class TestContract:
         cva = float(_closed(SPEC)[0])
         assert abs(float(res.cva.price) - cva) < 4 * float(res.cva.std_error)
 
+    @pytest.mark.slow
     def test_shard_invariance_bitwise(self):
         devs = jax.devices()
         if len(devs) < 8:
@@ -301,6 +304,7 @@ class TestGreeksXva:
         assert abs(v0 - crn_v0) < 6 * float(
             np.asarray(res.vega.std_error)[0]) + 5e-3
 
+    @pytest.mark.slow
     def test_pallas_interpret_twin_matches_closed_form(self):
         icfg = engine.EngineConfig(num_blocks=2, rows=8, backend="pallas",
                                    interpret=True)
@@ -320,6 +324,7 @@ class TestGreeksXva:
         assert abs(float(res.fca.price) - float(legs[2])) \
             < 4 * float(res.fca.std_error)
 
+    @pytest.mark.slow
     def test_wide_set_routes_to_xla_twin(self):
         m = 12
         corr = np.full((m, m), 0.2) + 0.8 * np.eye(m)
@@ -334,6 +339,7 @@ class TestGreeksXva:
         res = engine.greeks_xva(wide, 1 << 12, KEY, pcfg)
         assert np.asarray(res.delta.price).shape == (m,)
 
+    @pytest.mark.slow
     def test_shard_invariance_bitwise(self):
         devs = jax.devices()
         if len(devs) < 8:
