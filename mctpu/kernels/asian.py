@@ -20,7 +20,7 @@ from mctpu.kernels.common import (block_out_shape, block_out_spec,
                                   GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+                                  prng_emulation, seed_prng, walk_pairwise, walk_steps)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import asian as masian
 from mctpu.types import AsianOption
@@ -515,7 +515,7 @@ def _asian_level_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
         init = (jnp.full(shape, log_s0, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
-        _, accf, accc = jax.lax.fori_loop(0, nc, body, init)
+        _, accf, accc = walk_steps(nc, body, init)
         return (_payoff_from_avg(accf, k, nf, geometric)
                 - _payoff_from_avg(accc, k, nc, geometric))
 

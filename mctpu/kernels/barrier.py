@@ -20,7 +20,8 @@ from mctpu.kernels.common import (block_out_shape, block_out_spec,
                                   GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+                                  prng_emulation, seed_prng, walk_pairwise,
+                                  walk_steps)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.types import BarrierOption
 
@@ -421,7 +422,7 @@ def _level_walk_tile(log_s0, k, log_h, drift, vol, z_at, nc: int, up: bool,
 
     init = (jnp.full(shape, log_s0, dtype), jnp.ones(shape, dtype),
             jnp.ones(shape, dtype))
-    log_s, af, ac = jax.lax.fori_loop(0, nc, body, init)
+    log_s, af, ac = walk_steps(nc, body, init)
     return (af - ac) * jnp.maximum(jnp.exp(log_s) - k, 0.0)
 
 

@@ -330,7 +330,44 @@ def acc_final_n(carry, kahan: bool):
     return carry
 
 
-def walk_pairwise(shape, n_steps: int, step_fn, init):
+# Pair-iterations unrolled per loop trip in the walk drivers.  The
+# round-5 composition microbenches (benchmarks/opcomp_r5.py) measured
+# every serial walk kernel at its UN-pipelined rate: with one pair
+# iteration per fori_loop trip, Mosaic exposes the full per-step
+# dependency chain, while the same step math unrolled 6x ran 25-55%
+# faster (asian 84 -> 142 Gsteps/s marginal, cva-multi 18 -> 26,
+# varswap-heston 30 -> 41).  Unrolling replicates the body verbatim —
+# same draw counters, same step order, same arithmetic DAG — so every
+# result stays bitwise identical; only the scheduler's pipelining
+# window changes.  Measured at 4: +5% to +29% on every walk kernel
+# (benchmarks/greeks_r5.json).  8 was probed and abandoned: the remote
+# Mosaic compile of the 8x bodies never returned (>30 min, vs ~1-2 min
+# at 4) on this platform.
+WALK_UNROLL = 4
+
+
+def walk_steps(n_steps: int, body_fn, init, unroll: int = WALK_UNROLL):
+    """``fori_loop(0, n_steps, body_fn, init)`` with bitwise-neutral
+    manual unrolling (see ``WALK_UNROLL``): the body is replicated
+    ``unroll`` times per trip and the remainder emitted statically in
+    the same index order, so the arithmetic DAG — and every result —
+    is identical to the plain loop."""
+    u = max(1, min(unroll, n_steps)) if n_steps else 1
+    trips = n_steps // u
+
+    def body(q, carry):
+        for s in range(u):
+            carry = body_fn(q * u + s, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, trips, body, init) if trips else init
+    for j in range(trips * u, n_steps):
+        carry = body_fn(j, carry)
+    return carry
+
+
+def walk_pairwise(shape, n_steps: int, step_fn, init,
+                  unroll: int = WALK_UNROLL):
     """Drive a per-step walk consuming BOTH Box-Muller branches.
 
     ``step_fn(j, z, carry) -> carry`` advances one grid step.  A naive
@@ -338,23 +375,36 @@ def walk_pairwise(shape, n_steps: int, step_fn, init):
     sine branch every step; pairing two steps per iteration halves the
     bits-generation and log/sqrt cost of the walk kernels (CVA/Asian/
     barrier).  ``j`` arrives in order 0..n_steps-1; odd step counts take one
-    trailing half-pair.
+    trailing half-pair.  ``unroll`` pair-iterations run per loop trip
+    (see ``WALK_UNROLL``); the remainder is emitted statically in the
+    same order, so results are bitwise independent of the unroll factor.
     """
     half = n_steps // 2
 
-    def body(jj, carry):
+    def pair(jj, carry):
         z1, z2 = draw_normal_pair(shape, jj)
         carry = step_fn(2 * jj, z1, carry)
         return step_fn(2 * jj + 1, z2, carry)
 
-    carry = jax.lax.fori_loop(0, half, body, init)
+    u = max(1, min(unroll, half)) if half else 1
+    trips = half // u
+
+    def body(q, carry):
+        for s in range(u):
+            carry = pair(q * u + s, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, trips, body, init) if trips else init
+    for jj in range(trips * u, half):
+        carry = pair(jj, carry)
     if n_steps % 2:
         z1, _ = draw_normal_pair(shape, half)
         carry = step_fn(n_steps - 1, z1, carry)
     return carry
 
 
-def walk_pairwise_multi(shape, n_draws: int, n_steps: int, step_fn, init):
+def walk_pairwise_multi(shape, n_draws: int, n_steps: int, step_fn, init,
+                        unroll: int = WALK_UNROLL):
     """Multi-draw variant of :func:`walk_pairwise` for asset-major walks.
 
     ``step_fn(j, zs, carry) -> carry`` advances one grid step consuming a
@@ -362,11 +412,12 @@ def walk_pairwise_multi(shape, n_draws: int, n_steps: int, step_fn, init):
     Box-Muller branches are consumed across two successive steps — per
     pair of steps exactly ``n_draws`` bit draws are generated, so there
     is no branch waste at any asset count (a per-step pair draw would
-    discard the sine branch for every odd asset).
+    discard the sine branch for every odd asset).  ``unroll`` as in
+    :func:`walk_pairwise` (bitwise-neutral).
     """
     half = n_steps // 2
 
-    def body(jj, carry):
+    def pair(jj, carry):
         zs1, zs2 = [], []
         for i in range(n_draws):
             z1, z2 = draw_normal_pair(shape, jj * n_draws + i)
@@ -375,7 +426,17 @@ def walk_pairwise_multi(shape, n_draws: int, n_steps: int, step_fn, init):
         carry = step_fn(2 * jj, zs1, carry)
         return step_fn(2 * jj + 1, zs2, carry)
 
-    carry = jax.lax.fori_loop(0, half, body, init)
+    u = max(1, min(unroll, half)) if half else 1
+    trips = half // u
+
+    def body(q, carry):
+        for s in range(u):
+            carry = pair(q * u + s, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, trips, body, init) if trips else init
+    for jj in range(trips * u, half):
+        carry = pair(jj, carry)
     if n_steps % 2:
         zs1 = [draw_normal_pair(shape, half * n_draws + i)[0]
                for i in range(n_draws)]

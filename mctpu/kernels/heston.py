@@ -27,7 +27,7 @@ from mctpu.kernels.common import (block_out_shape, block_out_spec,
                                   GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng)
+                                  prng_emulation, seed_prng, walk_steps)
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 from mctpu.models import heston as mheston
 from mctpu.types import HestonOption
@@ -158,7 +158,7 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, qe_ref, out_ref, *,
 
             init = (jnp.zeros(shape, jnp.float32),
                     jnp.full(shape, v0, jnp.float32))
-            x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+            x, _ = walk_steps(n_steps, body, init)
             return jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
 
         def body(j, carry):
@@ -169,7 +169,7 @@ def _heston_kernel(seed_ref, off_ref, scal_ref, qe_ref, out_ref, *,
 
         init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32))
-        x, _ = jax.lax.fori_loop(0, n_steps, body, init)
+        x, _ = walk_steps(n_steps, body, init)
         return jnp.maximum(s0 * jnp.exp(x) - k, 0.0)
 
     def body(i, carry):
@@ -359,7 +359,7 @@ def _heston_greeks_kernel(seed_ref, off_ref, scal_ref, out_ref, *,
         init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32),
                 _greek_tangent_init(shape, jnp.float32))
-        x, _, tg = jax.lax.fori_loop(0, n_steps, body, init)
+        x, _, tg = walk_steps(n_steps, body, init)
         return _greek_quants(x, tg, s0, k, t_k)
 
     def body(i, carry):
@@ -462,8 +462,7 @@ def _coupled_walk(shape, n_coarse: int, draw, consts, v0, theta, xi, rho_c,
 
     zero = jnp.zeros(shape, jnp.float32)
     vini = jnp.full(shape, v0, jnp.float32)
-    xf, _, xc, _ = jax.lax.fori_loop(0, n_coarse, body,
-                                     (zero, vini, zero, vini))
+    xf, _, xc, _ = walk_steps(n_coarse, body, (zero, vini, zero, vini))
     return xf, xc
 
 

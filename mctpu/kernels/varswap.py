@@ -30,7 +30,8 @@ from mctpu.kernels.common import (block_out_shape, block_out_spec,
                                   GRID_SEMANTICS, LANES, Plan, acc_add_n,
                                   acc_final_n, acc_init_n, chunk_sums,
                                   draw_normal_pair, interpret_arg,
-                                  prng_emulation, seed_prng, walk_pairwise)
+                                  prng_emulation, seed_prng, walk_pairwise,
+                                  walk_steps)
 from mctpu.kernels.heston import _heston_step
 from mctpu.kernels.vanilla import _accum_add, _accum_final, _accum_init
 
@@ -158,7 +159,7 @@ def _varswap_kernel(seed_ref, off_ref, scal_ref, out_ref, *, plan: Plan,
         init = (jnp.zeros(shape, jnp.float32),
                 jnp.full(shape, v0, jnp.float32),
                 jnp.zeros(shape, jnp.float32))
-        _, _, acc = jax.lax.fori_loop(0, n_obs, body, init)
+        _, _, acc = walk_steps(n_obs, body, init)
         return acc * inv_t
 
     def body(i, carry):
@@ -308,7 +309,7 @@ def _heston_greek_walk(shape, n_obs: int, draw, consts, sgn):
     init = (zero, jnp.full(shape, v0, jnp.float32),
             _greek_tangent_init(shape, jnp.float32), zero, zero,
             (zero, zero, zero, zero))
-    _, _, _, acc2, acc1, dacc = jax.lax.fori_loop(0, n_obs, body, init)
+    _, _, _, acc2, acc1, dacc = walk_steps(n_obs, body, init)
     rv = acc2 * inv_t
     return (rv, dacc[0] * inv_t, dacc[1] * inv_t, dacc[2] * inv_t,
             dacc[3] * inv_t, (2.0 * dt * inv_t) * acc1)
