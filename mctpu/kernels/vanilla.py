@@ -20,7 +20,7 @@ from mctpu import rng as mcrng
 from mctpu.kernels.common import (GRID_SEMANTICS, LANES, Plan,
                                   block_out_shape, block_out_spec,
                                   chunk_sums, draw_normal_pair,
-                                  interpret_arg, prng_emulation, seed_prng)
+                                  interpret_arg, prng_emulation, seed_prng, walk_steps)
 from mctpu.types import VanillaOption
 from mctpu.utils.accum import kahan_add
 
@@ -121,8 +121,10 @@ def _vanilla_kernel(seed_ref, off_ref, par_ref, out_ref, *, plan: Plan,
         cs2 = jnp.sum(p1 * p1) + jnp.sum(p2 * p2)
         return _accum_add(carry, cs, cs2, plan.kahan)
 
-    carry = jax.lax.fori_loop(0, plan.iters, body,
-                              _accum_init(jnp.float32, plan.kahan))
+    # unroll 2: pipelines the two-tile bodies across iterations
+    # (bitwise-neutral, see common.walk_steps / WALK_UNROLL notes).
+    carry = walk_steps(plan.iters, body,
+                       _accum_init(jnp.float32, plan.kahan), unroll=2)
     s, s2 = _accum_final(carry, plan.kahan)
     out_ref[0, 0, 0] = s
     out_ref[0, 0, 1] = s2
