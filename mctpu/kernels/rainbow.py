@@ -515,7 +515,7 @@ def _rainbow_greeks_kernel(seed_ref, off_ref, scal_ref, lt_ref, par_ref,
     # bitwise-neutral, see common.walk_steps).
     carry = walk_steps(plan.iters, body,
                        acc_init_n(n_sums, jnp.float32, plan.kahan),
-                       unroll=2)
+                       unroll=3)
     vals = acc_final_n(carry, plan.kahan)
     for j in range(n_sums):
         out_ref[0, 0, j] = vals[j]
